@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational core: scans, filters, joins (inner/outer/semi/anti),
+  * aggregations, grouping sets, window functions, sorts/top-k, set
+  * ops, string/date/math/JSON functions — the full SURVEY.md §2.2
+  * category checklist over the TPC-H-ish testdata.
+  *
+  * Determinism policy (drives DuckDB hash-parity):
+  *  - money aggregations sum exact DECIMALs and cast to DOUBLE at the
+  *    end — no float accumulation-order sensitivity anywhere;
+  *  - averages are (exact decimal sum → double) / count, one double
+  *    division;
+  *  - every query has a total deterministic ordering key set (the
+  *    driver sorts, but ranks/limits must be tie-free);
+  *  - timestamps are emitted as formatted strings (parquet ns vs µs
+  *    physical types would otherwise diverge between engines).
+  */
+object CoreQueries {
+
+  /** Exact decimal sum rendered as double: deterministic in both
+    * engines regardless of partitioning / merge order. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(12, 2))).cast("double")
+  private def dsumHi(c: Column): Column = sum(c).cast("double") // for already-decimal exprs
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- aggregation ---------------------------------------------------
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumHi(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          (sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          (sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_price"))),
+
+    "q_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    "q_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"))),
+
+    // -- filters / projection (pushdown-friendly single scan) ----------
+    "q_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))),
+
+    "q_notnull_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("props").isNotNull && col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))),
+
+    // -- joins ----------------------------------------------------------
+    "q3_topk_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsumHi(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_join_multiway" -> ((s, d) => {
+      // customer → nation → region star join: dims broadcast
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+    }),
+
+    // -- sort / limit / distinct / set ops -------------------------------
+    "q_sort_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    "q_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+      building.union(rich).distinct().except(machinery)
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      big.intersect(urgent)
+    }),
+
+    // -- window functions -------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).over(w).cast("double").as("running_qty"))
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("value_delta"))
+        .filter(col("value_delta").isNotNull)
+    }),
+
+    "q_window_dense" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          dense_rank().over(w).as("dr"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("dr") <= 10)
+    }),
+
+    // -- gap-and-island sessionization (batch analogue of streaming) -----
+    "q_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gapMs = 30 * 60 * 1000L
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
+    }),
+
+    // -- string / math / date / JSON functions ---------------------------
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("upper_name"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          length(col("p_name")).as("name_len"),
+          replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    "q_split_getitem" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          split(col("o_orderpriority"), "-").getItem(0).as("priority_num"),
+          split(col("o_orderpriority"), "-").getItem(1).as("priority_word"))),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 400)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("disc_amount"),
+          floor(col("l_quantity")).as("qty_floor"),
+          ceil(col("l_extendedprice") / 100.0).as("price_ceil_h"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod7"))),
+
+    "q_case_when" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "large")
+            .when(col("o_totalprice") > 100000, "medium")
+            .otherwise("small").as("size_class"))
+        .groupBy("size_class").agg(count(lit(1)).as("n"))),
+
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)),
+
+    "q_json_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
+    "q_date_trunc_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
+    "q_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // -- streaming shape in batch: tumbling window aggregation -----------
+    "q_stream_window" -> ((s, d) =>
+      graft.streaming.StreamingOps.windowedEventCounts(Tables.events(s, d))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"),
+          col("total_value").cast(DecimalType(20, 2)).cast("double").as("total_value"))))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q_agg_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           count(DISTINCT o_custkey) AS n_custs,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+           AND l_quantity > 45""",
+
+    "q_notnull_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE props IS NOT NULL AND value IS NOT NULL
+         GROUP BY event_type""",
+
+    "q3_topk_join" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+           coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS sum_price
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey""",
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) WHERE rk <= 3""",
+
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value_delta FROM (
+           SELECT user_id, event_id,
+             value - lag(value, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS value_delta
+           FROM events) WHERE value_delta IS NOT NULL""",
+
+    "q_window_dense" ->
+      """SELECT c_mktsegment, c_custkey, dr, quartile FROM (
+           SELECT c_mktsegment, c_custkey,
+             dense_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS dr,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+           FROM customer) WHERE dr <= 10""",
+
+    "q_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessioned AS (
+           SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS n_events
+           FROM sessioned GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+         FROM per_session GROUP BY user_id""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name,
+           substring(p_name, 1, 5) AS prefix5, length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           p_brand || '|' || p_type AS brand_type
+         FROM part""",
+
+    "q_split_getitem" ->
+      """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS priority_num,
+           split_part(o_orderpriority, '-', 2) AS priority_word
+         FROM orders""",
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc_amount,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS price_ceil_h,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           abs(l_discount - 0.05) AS disc_dev,
+           l_orderkey % 7 AS key_mod7
+         FROM lineitem WHERE l_orderkey < 400""",
+
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'large'
+                     WHEN o_totalprice > 100000 THEN 'medium'
+                     ELSE 'small' END AS size_class, count(*) AS n
+         FROM orders GROUP BY 1""",
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+
+    "q_json_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+
+    "q_date_trunc_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""")
+}

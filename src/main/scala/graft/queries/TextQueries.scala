@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication query surface over `documents`
+  * (SURVEY.md §2.3). Oracle policy:
+  *  - exact dedup, n-gram Jaccard, token stats, language ID, quality
+  *    score and fingerprints are mirrored in DuckDB SQL (list
+  *    comprehensions / list_reduce reproduce the same arithmetic);
+  *  - MinHash-LSH and SimHash depend on xxhash64 (not available in
+  *    DuckDB) → declared without oracle, correctness covered by
+  *    ScalaTest (LSH candidates verified against exact Jaccard).
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d))
+        .select("keep_doc_id", "n_copies")),
+
+    "dedup_exact_norm" -> ((s, d) =>
+      Dedup.exactNormalized(Tables.documents(s, d))),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), shingleN = 3, threshold = 0.35)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d))
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
+
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(meanWordLength(col("text")), 6).as("mean_word_len"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"))),
+
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"))),
+
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("predicted_lang"))),
+
+    "text_langid_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(regexp_replace(col("text"), "[^ -~]", "")).as("fp"))),
+
+    "text_token_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)))
+
+  private val tokensSql = "string_split_regex(lower(text), '\\s+')"
+  // 3-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, 3)
+  private val shingleSetSql =
+    s"""list_distinct(CASE WHEN len($tokensSql) >= 3
+        THEN [array_to_string(($tokensSql)[i:i+2], ' ') for i in range(1, len($tokensSql) - 1)]
+        ELSE [] END)"""
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+
+    "dedup_exact_norm" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH base AS (
+            SELECT doc_id, lang, CAST(n_chars // 200 AS BIGINT) AS len_band,
+                   $shingleSetSql AS sh
+            FROM documents),
+          sized AS (SELECT doc_id, lang, len_band, sh, len(sh) AS n_sh FROM base)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          FROM sized a JOIN sized b
+            ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))) >= 0.35""",
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+            len($tokensSql) AS n_tokens,
+            round(CAST(list_sum(list_transform($tokensSql, t -> length(t))) AS DOUBLE)
+                  / len($tokensSql), 6) AS mean_word_len,
+            round(CAST(len(list_filter($tokensSql,
+                    t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+                  / len($tokensSql), 6) AS stopword_ratio,
+            round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text), 6) AS punct_ratio
+          FROM documents""",
+
+    "text_quality" ->
+      s"""SELECT doc_id, round((
+            least(CAST(len($tokensSql) AS DOUBLE) / 64.0, 1.0) +
+            least(CAST(len(list_filter($tokensSql,
+                    t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+                  / len($tokensSql) * 4.0, 1.0) +
+            greatest(1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text) * 10.0, 0.0)
+          ) / 3.0, 6) AS quality FROM documents""",
+
+    "text_langid" ->
+      s"""WITH scored AS (
+            SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t, text FROM documents),
+          counts AS (
+            SELECT doc_id, lang,
+              (len(string_split(t, ' the ')) - 1) + (len(string_split(t, ' a ')) - 1) +
+              (len(string_split(t, ' of ')) - 1) + (len(string_split(t, ' and ')) - 1) +
+              (len(string_split(t, ' to ')) - 1) + (len(string_split(t, ' is ')) - 1) AS en_score,
+              (len(string_split(t, ' el ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' y ')) - 1) +
+              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' en ')) - 1) AS es_score,
+              (len(string_split(t, ' le ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' et ')) - 1) +
+              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' est ')) - 1) AS fr_score,
+              (len(string_split(t, ' der ')) - 1) + (len(string_split(t, ' die ')) - 1) +
+              (len(string_split(t, ' das ')) - 1) + (len(string_split(t, ' und ')) - 1) +
+              (len(string_split(t, ' ist ')) - 1) AS de_score,
+              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_han
+            FROM scored)
+          SELECT doc_id, lang,
+            CASE WHEN has_han THEN 'zh'
+                 WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+                 WHEN es_score >= fr_score AND es_score >= de_score AND es_score > 0 THEN 'es'
+                 WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+                 WHEN de_score > 0 THEN 'de'
+                 ELSE 'und' END AS predicted_lang
+          FROM counts""",
+
+    "text_langid_confusion" ->
+      s"""WITH scored AS (
+            SELECT lang, ' ' || lower(text) || ' ' AS t, text FROM documents),
+          counts AS (
+            SELECT lang,
+              (len(string_split(t, ' the ')) - 1) + (len(string_split(t, ' a ')) - 1) +
+              (len(string_split(t, ' of ')) - 1) + (len(string_split(t, ' and ')) - 1) +
+              (len(string_split(t, ' to ')) - 1) + (len(string_split(t, ' is ')) - 1) AS en_score,
+              (len(string_split(t, ' el ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' y ')) - 1) +
+              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' en ')) - 1) AS es_score,
+              (len(string_split(t, ' le ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' et ')) - 1) +
+              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' est ')) - 1) AS fr_score,
+              (len(string_split(t, ' der ')) - 1) + (len(string_split(t, ' die ')) - 1) +
+              (len(string_split(t, ' das ')) - 1) + (len(string_split(t, ' und ')) - 1) +
+              (len(string_split(t, ' ist ')) - 1) AS de_score,
+              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_han
+            FROM scored)
+          SELECT lang,
+            CASE WHEN has_han THEN 'zh'
+                 WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+                 WHEN es_score >= fr_score AND es_score >= de_score AND es_score > 0 THEN 'es'
+                 WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+                 WHEN de_score > 0 THEN 'de'
+                 ELSE 'und' END AS predicted_lang,
+            count(*) AS n
+          FROM counts GROUP BY 1, 2""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           CASE WHEN length(clean) = 0 THEN 0
+                ELSE list_reduce(list_transform(string_split(clean, ''), c -> CAST(ord(c) AS BIGINT)),
+                                 (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS fp
+         FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS clean FROM documents)""",
+
+    "text_token_freq" ->
+      s"""SELECT tok, count(*) AS n FROM (
+            SELECT unnest($tokensSql) AS tok FROM documents WHERE lang = 'en')
+          WHERE length(tok) > 0
+          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")
+}

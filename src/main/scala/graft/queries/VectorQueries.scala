@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.Similarity
+
+/** Similarity-search + sketch + multimodal query surface (SURVEY.md
+  * §2.3). The DuckDB oracle reproduces cosine scores bit-exactly: both
+  * engines widen float→double element-wise, multiply pairwise, and
+  * accumulate strictly left-to-right (Spark `aggregate` from 0.0 ==
+  * DuckDB `list_reduce` seeded with the first element, since
+  * 0.0 + x == x), then one sqrt and one division — all IEEE-exact.
+  */
+object VectorQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "knn_brute" -> ((s, d) =>
+      Similarity.bruteForceKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
+    "knn_lsh" -> ((s, d) =>
+      Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
+
+    "neardup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.9)),
+
+    "emb_norms" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("l2_norm"))),
+
+    "emb_label_centroid_dist" -> ((s, d) => {
+      // avg vector per label via posexplode + mean, then each vector's
+      // dot with its label centroid — array agg exercised end-to-end.
+      val e = Tables.embeddings(s, d)
+      val dims = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding"))).toDF("vec_id", "label", "dim", "x")
+      dims.groupBy("label", "dim")
+        .agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          round(sum(col("cx") * col("cx")), 6).as("centroid_sq_norm"))
+    }),
+
+    "sketch_hll" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
+    "sketch_quantiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").as("qs"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))),
+
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        s, Multimodal.assetsFromDocuments(Tables.documents(s, d))).toDF()),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame_bytes"))).as("total_bytes"))))
+
+  // dot(a,b) with strict left-to-right double accumulation, 1-based idx
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST(($b)[i] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def normSql(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  def oracles: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT q.query_id, e.vec_id,
+                    ${cosSql("q.qv", "e.embedding")} AS cos
+             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+           ranked AS (
+             SELECT query_id, vec_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= 5""",
+
+    "neardup_cosine" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9""",
+
+    "emb_norms" ->
+      s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""")
+}
