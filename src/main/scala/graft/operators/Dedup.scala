@@ -67,7 +67,8 @@ object Dedup {
       documents: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8, // 8 bands × 2 rows: P(miss | J=0.9) ≈ (1-J²)^8 ≈ 4e-6
+
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, shingleN, numHashes)

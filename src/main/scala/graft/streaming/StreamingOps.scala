@@ -55,14 +55,20 @@ object StreamingOps {
   case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)
 
   /** Custom sessionization via flatMapGroupsWithState: emit a session
-    * when a user goes quiet for `gapMs`. Processing-time timeout keeps
-    * state bounded per active user. */
-  def sessionize(spark: SparkSession, events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    * when a user goes quiet for `gapMs`. Pass
+    * GroupStateTimeout.ProcessingTimeTimeout in production so the tail
+    * session of an idle user also closes (and its state is evicted);
+    * the default NoTimeout keeps micro-batch tests deterministic. */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -86,7 +92,8 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
             }
             out.result().iterator
           }

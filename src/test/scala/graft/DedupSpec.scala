@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .withColumn("source", lit("test"))
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val got = Dedup.exact(d).select("keep_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("normalized dedup catches case/whitespace variants") {
+    val d = docs((1L, "Hello  World"), (2L, "hello world"), (3L, "different"))
+    val got = Dedup.exactNormalized(d).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds heavily-overlapping docs and skips disjoint ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val other = (100 to 140).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashLsh(d, shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("verifyJaccard computes exact shingle-set jaccard") {
+    // "a b c d" shingles(3): {abc,bcd}; "a b c e": {abc,bce} → J = 1/3
+    val d = docs((1L, "a b c d"), (2L, "a b c e"))
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val j = Dedup.verifyJaccard(pairs, d, 3).select("jaccard").head().getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (50 to 90).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, txt), (2L, txt), (3L, other))
+    val got = Dedup.simhashPairs(d, maxHamming = 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 == 0)
+  }
+
+  test("ngram jaccard brute force respects lang blocking") {
+    val txt = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, txt, "en"), (2L, txt, "es"), (3L, txt, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val got = Dedup.ngramJaccard(d, 3, 0.9).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    // 1-2 blocked (different lang) even though identical text
+    assert(got == Set((1L, 3L)))
+  }
+
+  test("LSH candidates cover all true near-dups on real documents") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val truth = Dedup.ngramJaccard(d, 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(d, 3, 16, 8, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // 16 hashes / 8 bands of 2: real near-dups here have J >= 0.88, so
+    // per-pair miss probability is (1-J²)^8 < 1e-5 — and the hash seeds
+    // are fixed, so this is deterministic, not flaky.
+    assert(truth.subsetOf(lsh), s"missed: ${truth -- lsh}")
+    lsh.foreach { case (a, b) => assert(a < b) }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f), 1.0 / math.sqrt(2))).toDF("a", "b", "expected")
+    df.select(VectorFunctions.cosine($"a", $"b").as("c"), $"expected").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force knn ranks nearest first, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(-1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceKnn(vecs, nQueries = 1, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh knn returns identical scores for the pairs it finds") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val brute = Similarity.bruteForceKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshKnn(e.limit(200), planes = 4, k = 5)
+      .select("query_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    // where brute and lsh both scored a pair, the cosine must be bit-equal
+    lsh.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(bc => assert(bc == c))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("cosineNearDup only pairs within the same label block") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.01f), 0),
+      (2L, Array(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineNearDup(vecs, 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("hyperplane signature is deterministic and bounded") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
+    val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
+      .as[Long].collect()
+    val s2 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
+      .as[Long].collect()
+    assert(s1.toSeq == s2.toSeq)
+    s1.foreach(b => assert(b >= 0 && b < 256))
+  }
+}

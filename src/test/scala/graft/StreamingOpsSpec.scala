@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(df, watermark = "5 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window
+      mem.addData((3L, ts(59), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click"), (1L, ts(2), "click"), (2L, ts(3), "view"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize emits a closed session when a later event opens a new one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(spark, mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // three events in one session, then a 49-minute gap opens a second
+      mem.addData(
+        StreamingOps.SessionEvent(7L, ts(0), "click"),
+        StreamingOps.SessionEvent(7L, ts(2), "view"),
+        StreamingOps.SessionEvent(7L, ts(5), "click"),
+        StreamingOps.SessionEvent(7L, ts(54), "click"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .select("user_id", "n_events").as[(Long, Int)].collect()
+      assert(sessions.toSeq == Seq((7L, 3)))
+    } finally q.stop()
+  }
+
+  test("reference join pipeline: batch and streaming plans agree on schema") {
+    val batch = Seq(("k", "v")).toDF("key", "value")
+    val streamed = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      graft.pipelines.StediPipelines.customerPipeline(mem.toDF().toDF("key", "value")).schema
+    }
+    assert(graft.pipelines.StediPipelines.customerPipeline(batch).schema == streamed)
+  }
+}

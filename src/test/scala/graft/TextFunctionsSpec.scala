@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.model.Schemas
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic samples from a ScalaCheck Gen (no scalatestplus
+    * bridge in the offline cache — sample by fixed seeds instead). */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("tokens / tokenCount") {
+    val df = Seq("The quick  brown fox").toDF("text")
+    assert(df.select(tokenCount($"text")).head().getInt(0) == 4)
+    assert(df.select(tokens($"text")).head().getSeq[String](0) ==
+      Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles: standard, exact-length, and too-short inputs") {
+    val df = Seq("a b c d", "a b c", "a b", "").toDF("text")
+    val got = df.select(shingleSet($"text", 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq.empty)
+    // whitespace split of "" yields [""], still shorter than n=3
+    assert(got(3) == Seq.empty)
+  }
+
+  test("fingerprint matches hand-computed rolling hash") {
+    val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq("ab").toDF("text").select(fingerprint($"text")).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("langId identifies obvious languages and han text") {
+    val df = Seq(
+      ("the cat sat on the mat and it is a cat", "en"),
+      ("el gato y la casa de la abuela en madrid", "es"),
+      ("你好世界", "zh")).toDF("text", "expected")
+    val got = df.select(langId($"text"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score is in [0,1]") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val bad = docs.select(qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("property: unbase64(base64(s)) == s over printable ASCII") {
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val inputs = samples(asciiGen, 30).distinct
+    assert(inputs.nonEmpty)
+    val got = inputs.toDF("t")
+      .select($"t", unbase64(base64($"t".cast("binary"))).cast("string").as("rt"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0)))
+  }
+
+  test("property: from_json(to_json(customer)) round-trips") {
+    val gen = for {
+      name <- Gen.alphaNumStr.map(_.take(30))
+      email <- Gen.alphaNumStr.map(_.take(30))
+    } yield (name, email)
+    val inputs = samples(gen, 20).distinct
+    assert(inputs.nonEmpty)
+    val rt = inputs.map { case (n, e) => (n, e, "555", "1990-01-01") }
+      .toDF("customerName", "email", "phone", "birthDay")
+      .select(to_json(struct($"customerName", $"email", $"phone", $"birthDay")).as("j"))
+      .select(from_json($"j", Schemas.customer).as("c"))
+      .select("c.*")
+      .collect()
+    rt.zip(inputs).foreach { case (r, (n, e)) =>
+      assert(r.getString(0) == n && r.getString(1) == e)
+    }
+  }
+}
