@@ -34,6 +34,19 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings ship as one small parquet (often a single
+    * row group → a single input split), while their per-row work
+    * (shingling, hashing, vector math) is the heaviest in the engine.
+    * Spread them across the session's parallelism up front — one
+    * trivial shuffle; at production scale the scan itself would
+    * provide the splits and this becomes a no-op-sized adjustment. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "embeddings"))
 }

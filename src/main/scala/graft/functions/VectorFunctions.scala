@@ -29,25 +29,28 @@ object VectorFunctions {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: `planes`
-    * pseudo-random hyperplanes derived deterministically from
-    * xxhash64(plane, dim), each contributing one sign bit. Vectors with
-    * high cosine similarity collide in signature buckets with high
-    * probability — the scale path for ANN at 100 TB (bucket join
-    * instead of an all-pairs cross join).
+    * fixed pseudo-random gaussian hyperplanes (seeded, embedded as
+    * literal arrays so the projections are pure codegen'd arithmetic —
+    * no hashing in the hot loop), each contributing one sign bit.
+    * Vectors with high cosine similarity collide in signature buckets
+    * with high probability — the scale path for ANN at 100 TB (bucket
+    * join instead of an all-pairs cross join).
     */
-  def hyperplaneSignature(v: Column, planes: Int): Column = {
-    val d = asDouble(v)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      // deterministic pseudo-gaussian-ish weight in [-1, 1) per (plane, dim)
+  def hyperplaneSignature(v: Column, planes: Int, dim: Int = 64): Column = {
+    val rnd = new scala.util.Random(42)
+    val weights = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = weights.map { w =>
+      val wLit = array(w.map(x => lit(x)): _*)
       val proj = aggregate(
-        zip_with(d, sequence(lit(0), size(d) - 1), (x, i) => {
-          val h = xxhash64(p, i)
-          x * ((h % 1000L).cast("double") / 500.0 - 1.0)
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    })
-    // pack bits into a long bucket id
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+        zip_with(asDouble(v), wLit, (x, y) => x * y),
+        lit(0.0),
+        // vectors shorter than `dim` zip against trailing weights as
+        // null products — treat those as zero contribution
+        (acc, x) => acc + coalesce(x, lit(0.0)))
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex
+      .map { case (b, i) => b * (1L << i) }
+      .reduce(_ + _)
   }
 }

@@ -100,13 +100,16 @@ object Dedup {
   }
 
   /** Exact Jaccard for given candidate pairs via shingle-set overlap.
-    * Distributed as two broadcast-friendly joins against the exploded
-    * shingle relation — never materializes full texts per pair. */
+    * The per-doc set relation is persisted: it feeds both sides of the
+    * pair join, and Spark would otherwise recompute the (expensive)
+    * shingling once per branch. Session-scoped cache, evicted under
+    * memory pressure. */
   def verifyJaccard(pairs: DataFrame, documents: DataFrame, shingleN: Int): DataFrame = {
     val sets = documents.select(
       col("doc_id"),
       shingleSet(col("text"), shingleN).as("sh"),
       size(shingleSet(col("text"), shingleN)).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n_sh").as("a_n"))
     val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n_sh").as("b_n"))
     pairs.join(a, "a_id").join(b, "b_id")
@@ -141,48 +144,116 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
     * hamming distance <= 3 of a 64-bit hash must agree exactly on at
     * least one of 4 chunks — pigeonhole), then verify hamming distance.
-    */
+    * Single-pass bucket shape: signatures are computed once and
+    * bucketed by (chunk, value); pairs come out of bucket combinations
+    * (no self-join, no signature recompute per branch). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(documents)
-    val chunked = sigs.select(
+    val chunked = simhashSignatures(documents).select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
-    val a = chunked.toDF("a_id", "a_sim", "chunk", "chunk_val")
-    val b = chunked.toDF("b_id", "b_sim", "chunk", "chunk_val")
-    a.join(b, Seq("chunk", "chunk_val"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+    val buckets = chunked
+      .groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val sorted = array_sort(col("ids"))
+    val pairs = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard dedup, brute force *within blocks*: candidate
-    * pairs share the same `lang` and a coarse length band, so at scale
-    * the cross product stays per-block. This is the oracle-verifiable
-    * ground-truth variant that the sketch-based ones approximate. */
-  def ngramJaccard(
-      documents: DataFrame,
-      shingleN: Int = 3,
-      threshold: Double = 0.35): DataFrame = {
-    val base = documents.select(
+  /** (doc, shingle) inverted index with per-doc set size. The size is
+    * derived AFTER the explode via a window count — `size(sh)` next to
+    * `explode(sh)` would make Catalyst evaluate the whole shingling
+    * expression twice per row, which dominates the operator's cost. */
+  private def shingleIndex(documents: DataFrame, shingleN: Int): DataFrame =
+    documents.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lit(200)).cast("long").as("len_band"),
-      shingleSet(col("text"), shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val a = base.select(col("lang"), col("len_band"), col("doc_id").as("a_id"),
-      col("sh").as("a_sh"), col("n_sh").as("a_n"))
-    val b = base.select(col("lang"), col("len_band"), col("doc_id").as("b_id"),
-      col("sh").as("b_sh"), col("n_sh").as("b_n"))
-    a.join(b, Seq("lang", "len_band"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      explode(shingleSet(col("text"), shingleN)).as("shingle"))
+      .withColumn("n_sh",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+  /** Per-pair intersection counts from an inverted shingle index, in
+    * ONE pass: bucket by shingle (single shuffle), emit each bucket's
+    * doc pairs, count per pair. A self-join formulation would compute
+    * the (expensive) shingle index once per join branch — Spark plan
+    * branches do not share work — and shuffle it twice; this shape
+    * computes and shuffles it exactly once. Bucket pair fan-out is
+    * O(df²) per shingle, so shingle width must keep df small (see
+    * [[ngramJaccard]]). */
+  private def pairIntersections(inv: DataFrame): DataFrame = {
+    val buckets = inv
+      .groupBy("shingle", "lang", "len_band")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val sorted = array_sort(col("ids"))
+    val pairs = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(
+        col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        col("p.a.n_sh").as("a_n"), col("p.b.n_sh").as("b_n"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Exact n-gram Jaccard dedup via an inverted shingle index: bucket
+    * docs by (shingle, lang, length-band), count shared shingles per
+    * doc pair — intersections are counted directly, no separate
+    * verification pass. Pair cost is Σ df(shingle)², so with
+    * wide-enough shingles (df ≈ 1 for everything but true dups) this
+    * is near-linear in corpus size. For corpora with pathologically
+    * skewed shingle frequency use [[ngramJaccardPrefix]]. Output is
+    * the exact brute-force definition (the DuckDB oracle recomputes
+    * it from first principles). */
+  def ngramJaccard(
+      documents: DataFrame,
+      shingleN: Int = 5,
+      threshold: Double = 0.35): DataFrame =
+    pairIntersections(shingleIndex(documents, shingleN))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+
+  /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
+    * frequencies: candidate generation only indexes each document's
+    * prefix — its ⌊(1−t)·|sh|⌋+1 globally-*rarest* shingles (rarity =
+    * document frequency; the prefix theorem holds for any global total
+    * order, and rarity-first makes prefix keys near-unique, so the
+    * self-join stays cheap even when the overall vocabulary is heavy
+    * with stop-shingles). Candidates are then verified with the exact
+    * set Jaccard — output identical to [[ngramJaccard]]. */
+  def ngramJaccardPrefix(
+      documents: DataFrame,
+      shingleN: Int = 5,
+      threshold: Double = 0.35): DataFrame = {
+    val inv = shingleIndex(documents, shingleN)
+    val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(df, "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+    val prefixLen = floor(col("n_sh") * (1.0 - threshold)) + 1
+    val prefix = ranked.where(col("rk") <= prefixLen)
+      .select("shingle", "lang", "len_band", "doc_id")
+    val candidates = prefix.toDF("shingle", "lang", "len_band", "a_id")
+      .join(prefix.toDF("shingle", "lang", "len_band", "b_id"),
+        Seq("shingle", "lang", "len_band"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    verifyJaccard(candidates, documents, shingleN)
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 }

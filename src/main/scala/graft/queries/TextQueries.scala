@@ -27,7 +27,14 @@ object TextQueries {
       Dedup.exactNormalized(Tables.documents(s, d))),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), shingleN = 3, threshold = 0.35)
+      // 5-gram shingles: chance collisions are negligible even in a
+      // small-vocabulary corpus, so the inverted candidate index stays
+      // near-linear; true near-dups keep J far above the threshold.
+      Dedup.ngramJaccard(Tables.documents(s, d), shingleN = 5, threshold = 0.35)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "dedup_ngram_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPrefix(Tables.documents(s, d), shingleN = 5, threshold = 0.35)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
 
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -77,11 +84,32 @@ object TextQueries {
         .limit(50)))
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
-  // 3-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, 3)
-  private val shingleSetSql =
-    s"""list_distinct(CASE WHEN len($tokensSql) >= 3
-        THEN [array_to_string(($tokensSql)[i:i+2], ' ') for i in range(1, len($tokensSql) - 1)]
+  // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)
+  private def shingleSetSql(n: Int) =
+    s"""list_distinct(CASE WHEN len($tokensSql) >= $n
+        THEN [array_to_string(($tokensSql)[i:i+${n - 1}], ' ') for i in range(1, len($tokensSql) - ${n - 2})]
         ELSE [] END)"""
+
+  // brute-force first-principles definition of n-gram Jaccard pairs —
+  // shared by the inverted-index and the prefix-filtered implementations
+  // (same output by construction)
+  private val ngramOracle =
+    s"""WITH base AS (
+          SELECT doc_id, lang, CAST(n_chars // 200 AS BIGINT) AS len_band,
+                 ${shingleSetSql(5)} AS sh
+          FROM documents),
+        sized AS (SELECT doc_id, lang, len_band, sh, len(sh) AS n_sh FROM base),
+        inv AS (SELECT doc_id, lang, len_band, n_sh, unnest(sh) AS shingle FROM sized),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+                 count(*) AS i
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.lang = b.lang
+           AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT a_id, b_id,
+               round(CAST(i AS DOUBLE) / (a_n + b_n - i), 6) AS jaccard
+        FROM inter WHERE CAST(i AS DOUBLE) / (a_n + b_n - i) >= 0.35"""
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -93,19 +121,8 @@ object TextQueries {
          FROM documents
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH base AS (
-            SELECT doc_id, lang, CAST(n_chars // 200 AS BIGINT) AS len_band,
-                   $shingleSetSql AS sh
-            FROM documents),
-          sized AS (SELECT doc_id, lang, len_band, sh, len(sh) AS n_sh FROM base)
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                       (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-          FROM sized a JOIN sized b
-            ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))) >= 0.35""",
+    "dedup_ngram_jaccard" -> ngramOracle,
+    "dedup_ngram_prefix" -> ngramOracle,
 
     "text_stats" ->
       s"""SELECT doc_id,
