@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, RefQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, RefQueries, SqlQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ CoreQueries.queries ++
+    RefQueries.queries ++ CoreQueries.queries ++ SqlQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +31,6 @@ object SparkEntry {
     * or approximate semantics (HLL, LSH buckets) are not expressible in
     * DuckDB → driver records a weaker rows-only check for those. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracles ++ CoreQueries.oracles ++
+    RefQueries.oracles ++ CoreQueries.oracles ++ SqlQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles
 }

@@ -25,8 +25,15 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(arraySum(transform(asDouble(a), x => x * x)))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Interpreted (higher-order-function) cosine — kept as the
+    * reference formulation; bit-identical to [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * (one fused loop per row; same left-to-right double accumulation
+    * as the HOF form and the DuckDB oracle — bit-identical). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: `planes`
     * fixed pseudo-random gaussian hyperplanes (seeded, embedded as

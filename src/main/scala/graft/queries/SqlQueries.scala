@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL-entry-point coverage (reference operator O6: temp views +
+  * spark.sql strings) plus the relational long tail: scalar /
+  * correlated / IN subqueries, HAVING, pivot, session windows, array /
+  * date / regexp / null-handling functions.
+  */
+object SqlQueries {
+
+  private def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => Tables.table(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O6 — the reference's temp-view + SQL-string entry point.
+    "q_sql_views" -> ((s, d) => withViews(s, d, "customer", "nation", "orders")(
+      """SELECT n.n_name AS nation, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name
+         HAVING count(*) > 10""")),
+
+    "q_scalar_subquery" -> ((s, d) => withViews(s, d, "orders")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""")),
+
+    "q_correlated_subquery" -> ((s, d) => withViews(s, d, "orders")(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o1
+         WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o1.o_custkey)""")),
+
+    "q_in_subquery" -> ((s, d) => withViews(s, d, "customer", "orders")(
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')""")),
+
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))),
+
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))),
+
+    "q_array_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          split(col("p_name"), " ").as("toks"))
+        .select(
+          col("p_partkey"),
+          size(col("toks")).as("n_toks"),
+          array_sort(col("toks")).getItem(0).as("first_sorted"),
+          array_contains(col("toks"), "green").as("has_green"),
+          concat_ws(",", array_sort(col("toks"))).as("sorted_csv"))),
+
+    "q_date_arith" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_end"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"))),
+
+    "q_null_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("was_error")).as("etype"),
+          when(col("value") > 50, col("value")).otherwise(lit(null)).as("big_value"))
+        .withColumn("big_value_filled", coalesce(col("big_value"), lit(-1.0)))),
+
+    "q_regexp" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+          col("p_name").rlike(".*(red|green|blue).*").as("is_rgb")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sql_views" ->
+      """SELECT n_name AS nation, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name HAVING count(*) > 10""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""",
+
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o1
+         WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o1.o_custkey)""",
+
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')""",
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY 1""",
+
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessioned AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events
+         FROM sessioned GROUP BY user_id, sid""",
+
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_toks,
+           list_sort(string_split(p_name, ' '))[1] AS first_sorted,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_csv
+         FROM part""",
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           CAST(DATE '1998-12-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_end,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+         FROM orders""",
+
+    "q_null_funcs" ->
+      """SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'was_error') AS etype,
+           CASE WHEN value > 50 THEN value END AS big_value,
+           coalesce(CASE WHEN value > 50 THEN value END, -1.0) AS big_value_filled
+         FROM events""",
+
+    "q_regexp" ->
+      """SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           regexp_matches(p_name, '.*(red|green|blue).*') AS is_rgb
+         FROM part""")
+}

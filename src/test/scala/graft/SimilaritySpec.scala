@@ -53,6 +53,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("q")).limit(3)
+    val both = e.crossJoin(q).select(
+      VectorFunctions.cosine($"q", $"embedding").as("fast"),
+      VectorFunctions.cosineHof($"q", $"embedding").as("ref"))
+    val mismatches = both.filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
