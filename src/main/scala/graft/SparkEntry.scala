@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, RefQueries, SqlQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, RefQueries, SqlQueries, TemporalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ CoreQueries.queries ++ SqlQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TemporalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashing (xxhash64)
@@ -32,5 +32,5 @@ object SparkEntry {
     * DuckDB → driver records a weaker rows-only check for those. */
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ CoreQueries.oracles ++ SqlQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles
+      TemporalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
 }

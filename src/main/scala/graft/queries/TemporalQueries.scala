@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Temporal join operators (SURVEY.md §2.2 gaps Spark lacks natively):
+  * as-of join (attribution) and range join, plus mergeable-sketch
+  * aggregation. The time axis is integer epoch-microseconds on both
+  * engines (unix_micros ⇔ epoch_us), which sidesteps parquet
+  * nanos-vs-micros physical differences entirely.
+  */
+object TemporalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // last-click attribution: for each purchase, the same user's most
+    // recent click at-or-before it. DuckDB verifies with native ASOF.
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
+          col("event_id").as("click_id"))
+        .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+      AsOfJoin.asOf(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("r_user"),
+        leftTime = col("t_us"), rightTime = col("r_t"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("t_us") - col("r_t")).as("gap_us"))
+    }),
+
+    // range join: clicks in the hour before each purchase, keyed by
+    // user — an equi-key + time-range join (sort-merge + range filter;
+    // never a cross product).
+    "q_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"))
+      purchases.join(clicks,
+          col("user_id") === col("r_user") &&
+            col("r_t") >= col("t_us") - expr("3600000000L") &&
+            col("r_t") <= col("t_us"),
+          "left_outer")
+        .groupBy("event_id", "user_id")
+        .agg(count(col("r_t")).as("n_recent_clicks"))
+    }),
+
+    // DataSketches HLL: per-group sketches unioned into a global
+    // estimate — the mergeable-sketch pattern that replaces exact
+    // countDistinct at 100 TB. Approximate → rows-only (no oracle).
+    "sketch_hll_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perType = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_global"),
+        count(lit(1)).as("n_groups"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS r_user, epoch_us(ts) AS r_t, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, c.click_id, p.t_us - c.r_t AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.r_user AND c.r_t <= p.t_us""",
+
+    "q_range_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS r_user, epoch_us(ts) AS r_t FROM events
+           WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, count(c.r_t) AS n_recent_clicks
+         FROM p LEFT JOIN c
+           ON p.user_id = c.r_user
+          AND c.r_t >= p.t_us - 3600000000
+          AND c.r_t <= p.t_us
+         GROUP BY 1, 2""")
+}

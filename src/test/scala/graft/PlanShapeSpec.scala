@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-critical plan-shape assertions: these lock in the physical
+  * properties that make the engine viable at 100 TB — filter/column
+  * pushdown into the parquet scan, broadcast of dimension tables,
+  * map-side partial aggregation, whole-stage codegen coverage, and
+  * sort-based top-k. If a refactor silently regresses one of these,
+  * correctness tests stay green but the 1000-executor plan rots —
+  * this suite is the tripwire.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  /** Full (untruncated) pushed-filter and read-schema strings from the
+    * parquet scan nodes — plan toString truncates long filter lists. */
+  private def scanMeta(name: String, key: String): Seq[String] =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse(key, "")
+      }
+
+  // AQE finalizes stages lazily; run the plan, then count the "*(n)"
+  // whole-stage-codegen markers in the final adaptive plan
+  private def finalPlan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution
+    qe.toRdd.count() // forces AQE to materialize the final plan
+    qe.executedPlan.toString
+  }
+  private def codegenSpans(p: String): Int =
+    "\\*\\(\\d+\\)".r.findAllIn(p).size
+
+  test("q_filter_project pushes filters and prunes columns at the scan") {
+    val pushed = scanMeta("q_filter_project", "PushedFilters").mkString
+    assert(pushed.contains("GreaterThan(l_quantity,45.0)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    val schema = scanMeta("q_filter_project", "ReadSchema").mkString
+    assert(!schema.contains("l_returnflag") && !schema.contains("l_tax"),
+      s"scan reads unneeded columns: $schema")
+  }
+
+  test("q1_agg uses two-phase hash aggregation (map-side partial)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "no partial aggregation before the exchange")
+    assert(codegenSpans(finalPlan("q1_agg")) >= 1, "no whole-stage codegen span")
+  }
+
+  test("q3_topk_join broadcasts the filtered dimension side") {
+    val p = plan("q3_topk_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "customer dim not broadcast:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k not pushed into sort")
+  }
+
+  test("q_join_multiway broadcasts both dims (no shuffle join for stars)") {
+    val p = plan("q_join_multiway")
+    assert(p.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("q_semi_join and q_anti_join plan as semi/anti hash joins") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("knn_brute broadcasts the query vectors (scan-side scoring)") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("native cosine expression participates in whole-stage codegen") {
+    // knn_brute's scoring projection contains the CosineSimilarity
+    // expression; assert its stages produce codegen spans
+    assert(codegenSpans(finalPlan("knn_brute")) >= 1, "no whole-stage codegen span")
+  }
+
+  test("as-of join is one shuffle + window, not a join explosion") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
