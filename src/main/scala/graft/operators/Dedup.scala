@@ -28,11 +28,14 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** Exact dedup keyed on a normalized form (lowercase, collapsed
-    * whitespace) — catches trivially-reformatted duplicates. */
+    * whitespace) — catches trivially-reformatted duplicates. Groups on
+    * the 64-bit hash of the normalized text, not the text itself: the
+    * shuffle carries 8-byte keys instead of kilobyte documents. */
   def exactNormalized(documents: DataFrame): DataFrame =
     documents
-      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .groupBy(col("norm"))
+      .withColumn("norm_hash",
+        xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy(col("norm_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies")
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -71,6 +71,25 @@ object CoreQueries {
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("median_price"),
           expr("percentile(o_totalprice, 0.9)").as("p90_price"))),
+
+    // -- custom typed aggregators (Aggregator[IN,BUF,OUT] via udaf) ----
+    "q_geomean" -> ((s, d) => {
+      val gm = udaf(graft.functions.Aggregators.GeoMean, Encoders.scalaDouble)
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(gm(col("o_totalprice")), 2).as("geomean_price"))
+    }),
+
+    "q_histogram" -> ((s, d) => {
+      val hist = udaf(
+        new graft.functions.Aggregators.Histogram(0.0, 50000.0, 10),
+        Encoders.scalaDouble)
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(hist(col("o_totalprice")).as("h"))
+        .select(col("o_orderstatus"), posexplode(col("h")))
+        .toDF("o_orderstatus", "bin", "n")
+    }),
 
     // -- filters / projection (pushdown-friendly single scan) ----------
     "q_filter_project" -> ((s, d) =>
@@ -326,6 +345,23 @@ object CoreQueries {
            quantile_cont(o_totalprice, 0.5) AS median_price,
            quantile_cont(o_totalprice, 0.9) AS p90_price
          FROM orders GROUP BY o_orderstatus""",
+
+    "q_geomean" ->
+      """SELECT o_orderstatus,
+           round(exp(avg(ln(o_totalprice))), 2) AS geomean_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q_histogram" ->
+      """WITH b AS (
+           SELECT o_orderstatus,
+             least(greatest(CAST(floor(o_totalprice / 50000) AS INT), 0), 9) AS bin
+           FROM orders),
+         c AS (SELECT o_orderstatus, bin, count(*) AS n FROM b GROUP BY 1, 2),
+         g AS (SELECT DISTINCT o_orderstatus FROM orders),
+         r AS (SELECT CAST(unnest(range(10)) AS INT) AS bin)
+         SELECT g.o_orderstatus, r.bin, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+         FROM g CROSS JOIN r
+         LEFT JOIN c ON c.o_orderstatus = g.o_orderstatus AND c.bin = r.bin""",
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -50,6 +50,18 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: a streaming fact joined against a
+    * (small) static dimension. The static side is broadcast per
+    * micro-batch — no streaming state at all, the scalable default for
+    * dimension enrichment. */
+  def enrichWithDim(
+      streamingFacts: DataFrame,
+      staticDim: DataFrame,
+      factKey: String,
+      dimKey: String): DataFrame =
+    streamingFacts.join(
+      broadcast(staticDim), col(factKey) === col(dimKey), "left_outer")
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)

@@ -61,6 +61,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val facts = mem.toDF().toDF("user_id", "amount")
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("uid", "tier")
+    val q = StreamingOps.enrichWithDim(facts, dim, "user_id", "uid")
+      .select("user_id", "amount", "tier")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData((7L, 10.0), (9L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(rows == Set((7L, 10.0, Some("gold")), (9L, 20.0, None)))
+    } finally q.stop()
+  }
+
   test("reference join pipeline: batch and streaming plans agree on schema") {
     val batch = Seq(("k", "v")).toDF("key", "value")
     val streamed = {
