@@ -73,6 +73,46 @@ object TextQueries {
         col("doc_id"),
         fingerprint(regexp_replace(col("text"), "[^ -~]", "")).as("fp"))),
 
+    // PII scrubbing: redact emails / phone-shaped numbers — the
+    // pre-training hygiene pass, pure codegen'd regexps.
+    "text_scrub_pii" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b", "<PHONE>").as("scrubbed"))),
+
+    // context-window packing: assign docs to ~512-token bins by
+    // running token count in doc_id order, partitioned by lang — the
+    // deterministic batch form of sequence packing for LLM training
+    // shards. Partitioned window: no global-sort bottleneck; each
+    // language shard packs independently in parallel.
+    "text_pack_bins" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin", ((col("cum_tokens") - 1) / lit(512)).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+    }),
+
+    // keep-first dedup: one row per (user, event_type), earliest ts —
+    // the deterministic batch analogue of streaming dropDuplicates.
+    "events_keep_first" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+    }),
+
     "text_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
         .where(col("lang") === "en")
@@ -123,6 +163,34 @@ object TextQueries {
 
     "dedup_ngram_jaccard" -> ngramOracle,
     "dedup_ngram_prefix" -> ngramOracle,
+
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+         FROM documents""",
+
+    "text_pack_bins" ->
+      s"""WITH t AS (
+            SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM t)
+          SELECT lang, (cum_tokens - 1) // 512 AS bin,
+                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+          FROM c GROUP BY 1, 2""",
+
+    "events_keep_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events) WHERE rn = 1""",
 
     "text_stats" ->
       s"""SELECT doc_id,

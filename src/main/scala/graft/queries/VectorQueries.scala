@@ -31,6 +31,13 @@ object VectorQueries {
         col("vec_id"),
         graft.functions.VectorFunctions.norm(col("embedding")).as("l2_norm"))),
 
+    "emb_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("n", graft.functions.VectorFunctions.norm(col("embedding")))
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / col("n")).as("unit"))),
+
     "emb_label_centroid_dist" -> ((s, d) => {
       // avg vector per label via posexplode + mean, then each vector's
       // dot with its label centroid — array agg exercised end-to-end.
@@ -100,5 +107,11 @@ object VectorQueries {
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9""",
 
     "emb_norms" ->
-      s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""")
+      s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",
+
+    "emb_normalize" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+          FROM n""")
 }
