@@ -86,6 +86,24 @@ object SqlQueries {
           when(col("value") > 50, col("value")).otherwise(lit(null)).as("big_value"))
         .withColumn("big_value_filled", coalesce(col("big_value"), lit(-1.0)))),
 
+    // generator coverage: posexplode of a token array with ordinal
+    "q_posexplode" -> ((s, d) =>
+      Tables.part(s, d)
+        .where(col("p_partkey") < 50)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .toDF("p_partkey", "pos", "tok")),
+
+    // unionByName: schemas in different column order still align
+    "q_union_by_name" -> ((s, d) => {
+      val a = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val b = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_acctbal"), col("c_custkey")) // reversed order
+      a.unionByName(b)
+    }),
+
     "q_regexp" -> ((s, d) =>
       Tables.part(s, d)
         .select(
@@ -166,6 +184,17 @@ object SqlQueries {
            CASE WHEN value > 50 THEN value END AS big_value,
            coalesce(CASE WHEN value > 50 THEN value END, -1.0) AS big_value_filled
          FROM events""",
+
+    "q_posexplode" ->
+      """SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS tok
+         FROM part WHERE p_partkey < 50""",
+
+    "q_union_by_name" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'""",
 
     "q_regexp" ->
       """SELECT p_partkey,

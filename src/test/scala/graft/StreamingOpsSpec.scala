@@ -61,6 +61,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped, not double-counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(df, watermark = "5 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(59), "view", 1.0)) // advances watermark to 10:54
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out")
+        .select("event_type", "n").as[(String, Long)].collect().toSet
+      assert(afterClose.contains(("click", 1L)))
+      // an event for the long-closed 10:00 window arrives — must be ignored
+      mem.addData((3L, ts(2), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, Timestamp.valueOf("2024-01-01 12:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val finalRows = spark.table("late_out")
+        .select("event_type", "n").as[(String, Long)].collect().toList
+      assert(finalRows.count(_ == ("click", 1L)) == 1, finalRows.toString)
+      assert(!finalRows.contains(("click", 2L)))
+    } finally q.stop()
+  }
+
+  test("AvailableNow parquet sink lands checkpointed files") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = graft.sources.KafkaSources.toParquet(
+      mem.toDF().toDF("id", "v"),
+      path = s"$dir/data",
+      checkpointLocation = s"$dir/chk").start()
+    try q.awaitTermination(30000) finally q.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 2)
+    assert(new java.io.File(s"$dir/chk").exists())
+  }
+
   test("stream-static join enriches a stream against a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
