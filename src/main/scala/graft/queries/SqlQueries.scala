@@ -86,6 +86,22 @@ object SqlQueries {
           when(col("value") > 50, col("value")).otherwise(lit(null)).as("big_value"))
         .withColumn("big_value_filled", coalesce(col("big_value"), lit(-1.0)))),
 
+    // map-typed columns: per-user event-type counts as a map, keyed
+    // lookups back out (map machinery on the Spark side; the oracle
+    // states the equivalent relational fact)
+    "q_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(
+          col("user_id"),
+          // try_element_at: ANSI-safe missing-key lookup (null, not error)
+          coalesce(try_element_at(col("m"), lit("click")), lit(0L)).as("clicks"),
+          coalesce(try_element_at(col("m"), lit("purchase")), lit(0L)).as("purchases"),
+          size(map_keys(col("m"))).as("n_types"))),
+
     // generator coverage: posexplode of a token array with ordinal
     "q_posexplode" -> ((s, d) =>
       Tables.part(s, d)
@@ -184,6 +200,13 @@ object SqlQueries {
            CASE WHEN value > 50 THEN value END AS big_value,
            coalesce(CASE WHEN value > 50 THEN value END, -1.0) AS big_value_filled
          FROM events""",
+
+    "q_map_funcs" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types
+         FROM events GROUP BY user_id""",
 
     "q_posexplode" ->
       """SELECT p_partkey,

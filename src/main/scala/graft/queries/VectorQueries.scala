@@ -71,6 +71,17 @@ object VectorQueries {
       Multimodal.extractFeatures(
         s, Multimodal.assetsFromDocuments(Tables.documents(s, d))).toDF()),
 
+    // multimodal → similarity composition: extract (stub) features
+    // from binary payloads, then ANN over the feature space — the
+    // end-to-end shape of an embedding-dedup pass over an asset lake.
+    "mm_feature_knn" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        s, Multimodal.assetsFromDocuments(Tables.documents(s, d))).toDF()
+        .select(col("asset_id").as("vec_id"),
+          transform(col("features"), x => x.cast("float")).as("embedding"))
+      Similarity.bruteForceKnn(feats, nQueries = 4, k = 3)
+    }),
+
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(Tables.documents(s, d)))
         .groupBy("asset_id")

@@ -91,4 +91,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val o = Tables.orders(spark, TestSpark.sfDir)
+    val c = Tables.customer(spark, TestSpark.sfDir)
+    try {
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/b_orders").saveAsTable("b_orders")
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/b_customer").saveAsTable("b_customer")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val qe = spark.table("b_orders")
+          .join(spark.table("b_customer"),
+            org.apache.spark.sql.functions.col("o_custkey") ===
+              org.apache.spark.sql.functions.col("c_custkey"))
+          .queryExecution
+        qe.toRdd.count()
+        val p = qe.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p.take(400))
+        assert(!p.contains("Exchange"),
+          "bucketed join should not shuffle:\n" + p.take(1200))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
