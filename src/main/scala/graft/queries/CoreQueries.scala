@@ -183,6 +183,27 @@ object CoreQueries {
       big.intersect(urgent)
     }),
 
+    "q_bag_ops" -> ((s, d) => {
+      // multiset semantics: INTERSECT ALL / EXCEPT ALL keep multiplicity
+      val l = Tables.lineitem(s, d)
+      val h1 = l.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus")
+      val h2 = l.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus")
+      h1.intersectAll(h2)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_common"))
+    }),
+
+    "q_stats_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar"))),
+
     // -- window functions -------------------------------------------------
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -217,6 +238,20 @@ object CoreQueries {
           dense_rank().over(w).as("dr"),
           ntile(4).over(w).as("quartile"))
         .filter(col("dr") <= 10)
+    }),
+
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first_value(col("o_orderkey")).over(w).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_order"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
     }),
 
     // -- gap-and-island sessionization (batch analogue of streaming) -----
@@ -428,6 +463,35 @@ object CoreQueries {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
          INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "q_bag_ops" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_common FROM (
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           INTERSECT ALL
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+         GROUP BY 1, 2""",
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+           lead(o_orderkey, 1) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
 
     "q_window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
