@@ -99,7 +99,7 @@ object Dedup {
   private def pairCombinations(ids: Column): Column = {
     val sorted = array_sort(ids)
     flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + 2, lit(MAX_BUCKET)), b => array(a, b))))
+      transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
   }
 
   /** Exact Jaccard for given candidate pairs via shingle-set overlap.
@@ -240,20 +240,25 @@ object Dedup {
       documents: DataFrame,
       shingleN: Int = 5,
       threshold: Double = 0.35): DataFrame = {
-    val inv = shingleIndex(documents, shingleN)
-    val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = inv.join(df, "shingle")
+    import org.apache.spark.sql.expressions.Window
+    // branch-free: df and per-doc rank come from two windows over the
+    // SAME flow (a groupBy-join formulation would recompute the
+    // shingling once per branch), and candidates come from the bucket
+    // shape rather than a self-join.
+    val ranked = shingleIndex(documents, shingleN)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
     val prefixLen = floor(col("n_sh") * (1.0 - threshold)) + 1
     val prefix = ranked.where(col("rk") <= prefixLen)
       .select("shingle", "lang", "len_band", "doc_id")
-    val candidates = prefix.toDF("shingle", "lang", "len_band", "a_id")
-      .join(prefix.toDF("shingle", "lang", "len_band", "b_id"),
-        Seq("shingle", "lang", "len_band"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+    val buckets = prefix
+      .groupBy("shingle", "lang", "len_band")
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) >= 2)
+    val candidates = buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p").getItem(0).as("a_id"), col("p").getItem(1).as("b_id"))
       .distinct()
     verifyJaccard(candidates, documents, shingleN)
       .where(col("jaccard") >= threshold)

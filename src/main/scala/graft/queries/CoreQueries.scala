@@ -124,6 +124,30 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: six-table star-plus-fact join with the classic
+    // local-supplier condition — the join-reordering / broadcast-mix
+    // workout. Dims broadcast; the orders⋈lineitem spine shuffles on
+    // the order key only.
+    "q5_local_supplier" -> ((s, d) => {
+      val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, d))
+      val sup = broadcast(Tables.supplier(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumHi(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))).as("revenue"))
+    }),
+
     "q_join_multiway" -> ((s, d) => {
       // customer → nation → region star join: dims broadcast
       val c = Tables.customer(s, d)
@@ -421,6 +445,20 @@ object CoreQueries {
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey ASC
          LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name""",
 
     "q_join_multiway" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

@@ -87,6 +87,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("complete output mode re-emits the full aggregate each batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("event_id", "event_type")
+    val q = df.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("complete_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "click"), (2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("complete_out").as[(String, Long)].collect().toSet ==
+        Set(("click", 2L)))
+      mem.addData((3L, "view"))
+      q.processAllAvailable()
+      // complete mode: the whole result table, updated counts included
+      assert(spark.table("complete_out").as[(String, Long)].collect().toSet ==
+        Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
   test("AvailableNow parquet sink lands checkpointed files") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
