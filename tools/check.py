@@ -47,6 +47,17 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle): mirror the driver's weaker check
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".json") or name in oracle or (only and name not in only):
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            print(f"{'PASS' if n > 0 else 'WARN'} {name} (rows-only, {n} rows)")
+        except Exception as e:
+            print(f"FAIL {name}: rows-only read error: {str(e).splitlines()[0][:120]}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
