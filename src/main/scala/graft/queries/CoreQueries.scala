@@ -40,8 +40,11 @@ object CoreQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsumHi(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          dsumHi(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+            * (lit(1).cast(DecimalType(12, 2)) + dec(col("l_tax")))).as("sum_charge"),
           (sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     "q_agg_stats" -> ((s, d) =>
@@ -181,6 +184,24 @@ object CoreQueries {
         .agg(count(col("o_orderkey")).as("n_orders"),
           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
     }),
+
+    "q_null_safe_join" -> ((s, d) => {
+      // <=> (null-safe equality): null keys match null keys — the
+      // semantics plain equality silently drops
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("nk"))
+      val n = Tables.nation(s, d)
+        .select(nullif(col("n_nationkey"), lit(3)).as("nnk"), col("n_name"))
+      c.join(n, col("nk") <=> col("nnk"))
+        .groupBy(coalesce(col("n_name"), lit("<null-key>")).as("nation"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_collect_sorted" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(array_join(
+          array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))),
 
     // -- sort / limit / distinct / set ops -------------------------------
     "q_sort_limit" -> ((s, d) =>
@@ -375,8 +396,11 @@ object CoreQueries {
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
@@ -482,6 +506,18 @@ object CoreQueries {
            coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS sum_price
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey""",
+
+    "q_null_safe_join" ->
+      """SELECT coalesce(n_name, '<null-key>') AS nation, count(*) AS n
+         FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer) c
+         JOIN (SELECT nullif(n_nationkey, 3) AS nnk, n_name FROM nation) n
+           ON c.nk IS NOT DISTINCT FROM n.nnk
+         GROUP BY 1""",
+
+    "q_collect_sorted" ->
+      """SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
