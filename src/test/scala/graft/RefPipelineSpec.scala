@@ -90,6 +90,21 @@ class RefPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full 7-column Kafka relation shape decodes; metadata columns are ignored") {
+    // FIXTURES.md §A1: key/value arrive as BINARY plus topic/partition/
+    // offset/timestamp/timestampType metadata — the pipelines must cast
+    // the payload columns and ignore the rest.
+    val in = Seq((
+      "Q3VzdG9tZXI=".getBytes("UTF-8"),
+      samTestEnvelope.getBytes("UTF-8"),
+      "redis-server", 0, 42L,
+      java.sql.Timestamp.valueOf("2020-09-14 07:54:06"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val out = RefOps.customerDecodeChain(in).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "sam.test@test.com" && out(0).getString(1) == "2001")
+  }
+
   test("wire fixtures round-trip through the full decode chain on testdata") {
     val decoded = StediPipelines.customerPipeline(
       WireFixtures.redisTopicFrame(spark, TestSpark.sfDir))
