@@ -64,6 +64,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
   }
 
+  test("q5 six-table join broadcasts all three dimension tables") {
+    val p = plan("q5_local_supplier")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      "expected >=3 broadcast joins (region, nation, supplier):\n" + p.take(1000))
+  }
+
   test("q_sort_limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"))
