@@ -40,10 +40,11 @@ object Tables {
     * Spread them across the session's parallelism up front — one
     * trivial shuffle; at production scale the scan itself would
     * provide the splits and this becomes a no-op-sized adjustment. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    // unconditional: probing the current partition count via df.rdd
+    // would force a driver-side plan-to-RDD conversion on every load,
+    // which costs more than the (tiny) round-robin shuffle it avoids
+    df.repartition(s.sparkContext.defaultParallelism)
 
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "documents"))

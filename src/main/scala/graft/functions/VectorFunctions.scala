@@ -43,10 +43,33 @@ object VectorFunctions {
     * with high probability — the scale path for ANN at 100 TB (bucket
     * join instead of an all-pairs cross join).
     */
-  def hyperplaneSignature(v: Column, planes: Int, dim: Int = 64): Column = {
+  def hyperplaneSignature(v: Column, planes: Int, dim: Int = 64): Column =
+    packSignBits(signBits(v, planes, dim))
+
+  /** LSH *banding* over hyperplane sign bits: `bands` signatures per
+    * vector, each packing `planesPerBand` bits, all planes drawn
+    * band-major from one seeded gaussian stream. Two vectors at angle
+    * θ share a given band's bucket with probability (1−θ/π)^planesPerBand,
+    * and miss EVERY band with ((1−(1−θ/π)^planesPerBand))^bands — the
+    * recall knob for near-dup candidate generation: more bands → higher
+    * recall, more planes per band → smaller buckets. Returned as
+    * array<long> indexed by band (posexplode to (band, signature)). */
+  def hyperplaneBandSignatures(
+      v: Column, planesPerBand: Int, bands: Int, dim: Int = 64): Column = {
+    val bits = signBits(v, planesPerBand * bands, dim)
+    array((0 until bands).map { b =>
+      packSignBits(bits.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }: _*)
+  }
+
+  /** One sign bit per seeded gaussian hyperplane (seed 42, shared by
+    * the single-signature and banded forms so buckets are comparable
+    * across operators). Projections are literal-weight arithmetic —
+    * pure codegen'd expressions, no hashing in the hot loop. */
+  private def signBits(v: Column, planes: Int, dim: Int): Seq[Column] = {
     val rnd = new scala.util.Random(42)
     val weights = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = weights.map { w =>
+    weights.map { w =>
       val wLit = array(w.map(x => lit(x)): _*)
       val proj = aggregate(
         zip_with(asDouble(v), wLit, (x, y) => x * y),
@@ -56,8 +79,10 @@ object VectorFunctions {
         (acc, x) => acc + coalesce(x, lit(0.0)))
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     }
+  }
+
+  private def packSignBits(bits: Seq[Column]): Column =
     bits.zipWithIndex
       .map { case (b, i) => b * (1L << i) }
       .reduce(_ + _)
-  }
 }

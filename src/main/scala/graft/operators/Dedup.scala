@@ -103,19 +103,29 @@ object Dedup {
   }
 
   /** Exact Jaccard for given candidate pairs via shingle-set overlap.
-    * The per-doc set relation is persisted: it feeds both sides of the
-    * pair join, and Spark would otherwise recompute the (expensive)
-    * shingling once per branch. Session-scoped cache, evicted under
-    * memory pressure. */
+    * The per-doc set relation appears ONCE in the plan: each pair is
+    * unpivoted to its two member ids, joined against the sets a single
+    * time, and regrouped per pair — a two-branch (a-side / b-side)
+    * join would recompute the expensive shingling once per branch
+    * (Spark plan branches don't share work), or require a persist that
+    * this operator would have no safe point to release. */
   def verifyJaccard(pairs: DataFrame, documents: DataFrame, shingleN: Int): DataFrame = {
     val sets = documents.select(
       col("doc_id"),
       shingleSet(col("text"), shingleN).as("sh"),
       size(shingleSet(col("text"), shingleN)).as("n_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n_sh").as("a_n"))
-    val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n_sh").as("b_n"))
-    pairs.join(a, "a_id").join(b, "b_id")
+    val sides = pairs.select(
+      col("a_id"), col("b_id"),
+      explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+    // exactly one row per (pair, side) ⇒ the ignore-null firsts are
+    // deterministic despite unordered aggregation
+    sides.join(sets, "doc_id")
+      .groupBy("a_id", "b_id")
+      .agg(
+        first(when(col("doc_id") === col("a_id"), col("sh")), ignoreNulls = true).as("a_sh"),
+        first(when(col("doc_id") === col("a_id"), col("n_sh")), ignoreNulls = true).as("a_n"),
+        first(when(col("doc_id") === col("b_id"), col("sh")), ignoreNulls = true).as("b_sh"),
+        first(when(col("doc_id") === col("b_id"), col("n_sh")), ignoreNulls = true).as("b_n"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .select(
         col("a_id"), col("b_id"),

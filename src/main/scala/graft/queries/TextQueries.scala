@@ -181,7 +181,7 @@ object TextQueries {
               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
             FROM t)
-          SELECT lang, (cum_tokens - 1) // 512 AS bin,
+          SELECT lang, CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin,
                  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
           FROM c GROUP BY 1, 2""",
 

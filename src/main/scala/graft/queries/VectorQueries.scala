@@ -23,20 +23,34 @@ object VectorQueries {
     "knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
 
+    // threshold 0.35 sits below the max pairwise cosine of the random
+    // testdata embeddings at every SF, so the pass is non-vacuous
+    // (threshold 0.9 matched nothing — empty ≡ empty proves nothing).
+    // The headline operator is the banded-LSH one; the brute-force
+    // definition is kept as its own oracled query so both the scale
+    // path and the exactness baseline are hash-checked.
     "neardup_cosine" -> ((s, d) =>
-      Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.9)),
+      Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.35)),
+
+    "neardup_cosine_exact" -> ((s, d) =>
+      Similarity.cosineNearDupExact(Tables.embeddings(s, d), threshold = 0.35)),
 
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
         graft.functions.VectorFunctions.norm(col("embedding")).as("l2_norm"))),
 
+    // scalar-row shape (vec_id, dim, u) rather than a raw array column:
+    // array cells aren't sortable/hashable by the oracle harness, and
+    // the exploded form is what a downstream per-dimension consumer
+    // (e.g. the centroid query below) reads anyway.
     "emb_normalize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .withColumn("n", graft.functions.VectorFunctions.norm(col("embedding")))
         .select(
           col("vec_id"),
-          transform(col("embedding"), x => x.cast("double") / col("n")).as("unit"))),
+          posexplode(transform(col("embedding"), x => x.cast("double") / col("n"))))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("u"))),
 
     "emb_label_centroid_dist" -> ((s, d) => {
       // avg vector per label via posexplode + mean, then each vector's
@@ -67,9 +81,16 @@ object VectorQueries {
           element_at(col("qs"), 2).as("p50"),
           element_at(col("qs"), 3).as("p75"))),
 
+    // exploded to one row per histogram bin — same reason as
+    // emb_normalize: the harness sorts output rows, and array cells
+    // aren't sortable.
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        s, Multimodal.assetsFromDocuments(Tables.documents(s, d))).toDF()),
+        s, Multimodal.assetsFromDocuments(Tables.documents(s, d))).toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          posexplode(col("features")))
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("pos").cast("long").as("bin"), col("col").as("f"))),
 
     // multimodal → similarity composition: extract (stub) features
     // from binary payloads, then ANN over the feature space — the
@@ -95,6 +116,15 @@ object VectorQueries {
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  // brute-force first-principles near-dup definition — the banded-LSH
+  // operator must reproduce it exactly (recall ~1 by construction)
+  private val neardupOracle =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35"""
+
   def oracles: Map[String, String] = Map(
     "knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -110,12 +140,8 @@ object VectorQueries {
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
 
-    "neardup_cosine" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                 ${cosSql("a.embedding", "b.embedding")} AS cos
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9""",
+    "neardup_cosine" -> neardupOracle,
+    "neardup_cosine_exact" -> neardupOracle,
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",
@@ -123,6 +149,7 @@ object VectorQueries {
     "emb_normalize" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
           SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)) AS u
           FROM n""")
 }

@@ -54,6 +54,10 @@ def main():
             continue
         try:
             n = con.execute(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            # the driver pandas-sorts rows-only outputs too — an
+            # array-typed column crashes it even without an oracle
+            rdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            rdf.sort_values(by=list(rdf.columns))
             print(f"{'PASS' if n > 0 else 'WARN'} {name} (rows-only, {n} rows)")
         except Exception as e:
             print(f"FAIL {name}: rows-only read error: {str(e).splitlines()[0][:120]}")
@@ -69,6 +73,24 @@ def main():
             duck_rel = con.execute(sql)
             duck_cols = [c[0] for c in duck_rel.description]
             duck_rows = duck_rel.fetchall()
+            # mirror the driver's pandas path: sort_values over all
+            # columns (dies on unhashable array cells) and dtype kinds
+            # (a DuckDB HUGEINT → float64 hashes differently from
+            # Spark's int64 even when values compare equal)
+            sdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            ddf = con.execute(sql).df()
+            sdf.sort_values(by=list(sdf.columns))
+            ddf.sort_values(by=list(ddf.columns))
+            kinds = {
+                c: (sdf[c].dtype.kind, ddf[c].dtype.kind)
+                for c in sdf.columns if c in ddf.columns}
+            badk = {c: k for c, k in kinds.items()
+                    if k[0] != k[1] and {'i', 'f'} <= set(k)}
+            if badk:
+                print(f"FAIL {name}: pandas dtype kind mismatch {badk}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e).splitlines()[0][:200]}")
             n_fail += 1
