@@ -86,6 +86,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("knn_brute top-k is two-phase salted (no single-task per-query sort)") {
+    val p = plan("knn_brute")
+    assert(p.split("Window").length >= 3,
+      "expected a salted partial window before the per-query merge window:\n" + p.take(1200))
+    assert(p.contains("pmod") && p.contains("xxhash64"),
+      "partial window is not salted:\n" + p.take(1200))
+  }
+
+  test("neardup_cosine has no per-label all-pairs join") {
+    val p = plan("neardup_cosine")
+    assert(!p.contains("Join [label") && !p.contains("Join label"),
+      "candidate generation joins on label (quadratic per block):\n" + p.take(1200))
+    // candidates come from the banded bucket aggregation instead
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
   test("native cosine expression participates in whole-stage codegen") {
     // knn_brute's scoring projection contains the CosineSimilarity
     // expression; assert its stages produce codegen spans

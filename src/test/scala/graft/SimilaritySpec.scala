@@ -53,6 +53,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("banded-LSH near-dup reproduces the brute-force definition") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val lsh = Similarity.cosineNearDup(e, threshold = 0.35)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineNearDupExact(e, threshold = 0.35)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high — the test would be vacuous")
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
+  }
+
+  test("two-phase salted top-k is bit-identical to a single global window") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val twoPhase = Similarity.bruteForceKnn(e, nQueries = 8, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val queries = e.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val w = Window.partitionBy("query_id").orderBy($"cos".desc, $"vec_id".asc)
+    val naive = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorFunctions.cosine($"q", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(twoPhase == naive)
+  }
+
+  test("lshKnn drops hot buckets above the cap — skew never goes quadratic") {
+    // 80 identical vectors land in one bucket (> MAX_BUCKET = 64) and
+    // must be dropped; a 3-vector cluster pointing the other way stays
+    // under the cap and must still produce neighbors
+    val hot = (0 until 80).map(i => (100L + i, Array(1f, 0f)))
+    val ok = Seq(
+      (0L, Array(-1f, 0.01f)), (1L, Array(-1f, 0.02f)), (2L, Array(-1f, 0f)))
+    val df = (hot ++ ok).toDF("vec_id", "embedding")
+    val out = Similarity.lshKnn(df, planes = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty, "small cluster should still pair")
+    assert(out.forall { case (q, v) => q < 100 && v < 100 },
+      s"hot-bucket members leaked into candidates: ${out.filter(_._1 >= 100).take(3)}")
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val q = e.select($"vec_id".as("qid"), $"embedding".as("q")).limit(3)
