@@ -107,6 +107,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update output mode re-emits a window's row as it grows (not only on close)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(df, watermark = "5 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("upd_out").outputMode("update").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0))
+      q.processAllAvailable()
+      // same still-open window receives another event → update mode must
+      // re-emit the grown row n=3 (append mode would emit nothing here)
+      mem.addData((3L, ts(6), "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("upd_out")
+        .select("event_type", "n").as[(String, Long)].collect().toList
+      assert(emitted.contains(("click", 2L)), s"first emission missing: $emitted")
+      assert(emitted.contains(("click", 3L)), s"in-place update not re-emitted: $emitted")
+    } finally q.stop()
+  }
+
+  test("console sink formats batches exactly (O14 golden)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val buf = new java.io.ByteArrayOutputStream()
+    // the sink prints via scala.Console.out on the query's execution
+    // thread; Console's DynamicVariable is inheritable, so a thread
+    // started inside withOut (query.start() spawns it) is redirected
+    scala.Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      val q = graft.sources.KafkaSources.toConsole(
+        mem.toDF().toDF("id", "v")).start()
+      try {
+        mem.addData((1L, "alpha"), (2L, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("Batch: 0"), out.take(400))
+    val table = Seq(
+      "+---+-----+",
+      "| id|    v|",
+      "+---+-----+",
+      "|  1|alpha|",
+      "|  2|    b|",
+      "+---+-----+").mkString("\n")
+    assert(out.contains(table), s"console table format drifted:\n$out")
+  }
+
   test("AvailableNow parquet sink lands checkpointed files") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
