@@ -52,4 +52,41 @@ object AsOfJoin {
       .where(col("_side") === 1)
       .select(col("_l.*") +: rightCols.map(c => col(s"_match.$c")): _*)
   }
+
+  /** The same as-of semantics through graft's native Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * a streaming partition merge with O(1) per-key state instead of a
+    * window buffer. Requires [[graft.plans.GraftExtensions]] on the
+    * session (registered here imperatively, idempotent). Key/time
+    * columns must be resolved against the inputs (use `df("col")`). */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // resolve each column against its own input through the analyzer
+    // (a raw Column carries an opaque ColumnNode that the generic
+    // resolver won't look inside)
+    def exprOn(df: DataFrame, c: Column) =
+      df.select(c).queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+            case e => e
+          }
+        case other => other.output.head
+      }
+    Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      left.queryExecution.analyzed,
+      right.queryExecution.analyzed,
+      Seq(exprOn(left, leftKey)),
+      Seq(exprOn(right, rightKey)),
+      exprOn(left, leftTime),
+      exprOn(right, rightTime)))
+  }
 }

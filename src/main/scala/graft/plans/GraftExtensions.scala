@@ -17,8 +17,10 @@ import graft.functions.CosineSimilarity
   *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -40,8 +42,12 @@ object GraftExtensions {
       ""),
     buildCosine _)
 
-  /** Imperative registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on an already-built session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
 }

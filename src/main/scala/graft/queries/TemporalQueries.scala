@@ -32,6 +32,24 @@ object TemporalQueries {
           (col("t_us") - col("r_t")).as("gap_us"))
     }),
 
+    // identical semantics through the native Catalyst operator
+    // (AsOfJoinPlan → AsOfJoinExec streaming merge) — same oracle, so
+    // both physical paths are hash-verified against DuckDB ASOF JOIN.
+    "q_asof_join_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
+          col("event_id").as("click_id"))
+        .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+      AsOfJoin.asOfNative(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("r_user"),
+        leftTime = col("t_us"), rightTime = col("r_t"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("t_us") - col("r_t")).as("gap_us"))
+    }),
+
     // range join: clicks in the hour before each purchase, keyed by
     // user — an equi-key + time-range join (sort-merge + range filter;
     // never a cross product).
@@ -62,7 +80,19 @@ object TemporalQueries {
         count(lit(1)).as("n_groups"))
     }))
 
+  private val asofOracle =
+    """WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+         WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id AS r_user, epoch_us(ts) AS r_t, max(event_id) AS click_id
+         FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT p.event_id, p.user_id, c.click_id, p.t_us - c.r_t AS gap_us
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.r_user AND c.r_t <= p.t_us"""
+
   def oracles: Map[String, String] = Map(
+    "q_asof_join_native" -> asofOracle,
     "q_asof_join" ->
       """WITH p AS (
            SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events

@@ -1,15 +1,23 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge into Spark's `private[sql]` Column ⇄ Expression
   * converters (Spark 4 wraps Column in ColumnNode; the classic
-  * converters live behind package-private access). Lives in an
+  * converters live behind package-private access) and the
+  * LogicalPlan → DataFrame constructor. Lives in an
   * org.apache.spark.sql subpackage solely to satisfy the qualifier —
   * the standard pattern for third-party Catalyst extensions. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a hand-built LogicalPlan (e.g. a custom operator node) as a
+    * DataFrame on the given session. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -29,4 +29,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(1L).contains(91L))
     assert(got(2L).isEmpty) // key 2 never sees key 1's rows
   }
+
+  test("native Catalyst as-of join matches the window formulation on real data") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("r_user"), unix_micros($"ts").as("r_t"),
+        $"event_id".as("click_id"))
+      .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"click_id", ($"t_us" - $"r_t").as("gap"))
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val window = shape(AsOfJoin.asOf(
+      purchases, clicks, $"user_id", $"r_user", $"t_us", $"r_t"))
+    val native = shape(AsOfJoin.asOfNative(
+      purchases, clicks, $"user_id", $"r_user", $"t_us", $"r_t"))
+    assert(window.nonEmpty)
+    assert(native == window,
+      s"diff=${(native -- window).take(3)} / ${(window -- native).take(3)}")
+  }
+
+  test("native as-of plans as AsOfJoinExec with co-partitioned sorted children") {
+    val left = Seq((1L, 1L, 100L), (2L, 2L, 100L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 91L, 99L)).toDF("rk", "rid", "rt")
+    val df = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin ["), p.take(600)) // nodeName strips "Exec"
+    assert(p.contains("Sort"), "children not sorted:\n" + p.take(600))
+    // and it still computes the right answer through the custom exec
+    val got = df.select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(91L) && got(2L).isEmpty)
+  }
 }
