@@ -44,7 +44,7 @@ object VectorFunctions {
     * join instead of an all-pairs cross join).
     */
   def hyperplaneSignature(v: Column, planes: Int, dim: Int = 64): Column =
-    packSignBits(signBits(v, planes, dim))
+    element_at(HyperplaneBandSignature(v, planesPerBand = planes, bands = 1, dim = dim), 1)
 
   /** LSH *banding* over hyperplane sign bits: `bands` signatures per
     * vector, each packing `planesPerBand` bits, all planes drawn
@@ -53,8 +53,20 @@ object VectorFunctions {
     * and miss EVERY band with ((1−(1−θ/π)^planesPerBand))^bands — the
     * recall knob for near-dup candidate generation: more bands → higher
     * recall, more planes per band → smaller buckets. Returned as
-    * array<long> indexed by band (posexplode to (band, signature)). */
+    * array<long> indexed by band (posexplode to (band, signature)).
+    *
+    * Computed by the codegen'd [[HyperplaneBandSignature]] expression
+    * (one fused loop); [[hyperplaneBandSignaturesHof]] is the
+    * interpreted reference formulation, bit-identical by construction
+    * and pinned by a parity spec. */
   def hyperplaneBandSignatures(
+      v: Column, planesPerBand: Int, bands: Int, dim: Int = 64): Column =
+    HyperplaneBandSignature(v, planesPerBand, bands, dim)
+
+  /** HOF reference form of [[hyperplaneBandSignatures]] (interpreted;
+    * one aggregate(zip_with(...)) per plane — slow, kept for parity
+    * testing only). */
+  def hyperplaneBandSignaturesHof(
       v: Column, planesPerBand: Int, bands: Int, dim: Int = 64): Column = {
     val bits = signBits(v, planesPerBand * bands, dim)
     array((0 until bands).map { b =>

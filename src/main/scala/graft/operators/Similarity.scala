@@ -119,7 +119,7 @@ object Similarity {
     * blow-up of any degenerate bucket regardless. */
   def cosineNearDup(
       embeddings: DataFrame, threshold: Double = 0.35,
-      planesPerBand: Int = 2, bands: Int = 32,
+      planesPerBand: Int = 4, bands: Int = 64,
       maxBucket: Int = 256): DataFrame = {
     val sig = embeddings
       .select(col("label"), col("vec_id"),
@@ -129,9 +129,14 @@ object Similarity {
       .groupBy("label", "band", "band_sig")
       .agg(collect_list(col("vec_id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
+    // pair expansion via two explodes (generators), not a nested
+    // transform building an array-of-arrays in-row: candidate volume
+    // is the same but per-pair allocation cost is far lower, and ids
+    // is a materialized agg column so re-referencing it is free
     val candidates = buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p").getItem(0).as("a_id"), col("p").getItem(1).as("b_id"))
+      .select(col("ids"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"),
+        explode(filter(col("ids"), x => x > col("a_id"))).as("b_id"))
       .distinct() // the same pair collides in many bands — verify once
     val e = embeddings.select(col("vec_id"), col("embedding"))
     candidates

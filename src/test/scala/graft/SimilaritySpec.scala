@@ -107,6 +107,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("codegen'd band signatures are bit-identical to the HOF reference") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val both = e.select(
+      VectorFunctions.hyperplaneBandSignatures($"embedding", 2, 32).as("fast"),
+      VectorFunctions.hyperplaneBandSignaturesHof($"embedding", 2, 32).as("ref"))
+    val mismatches = both.filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
