@@ -146,6 +146,60 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize every vector to its
+    * nearest of `nCentroids` centroids, then answer each query by
+    * scanning only the `nProbe` closest centroid lists — the classic
+    * scale path when LSH recall tuning is awkward: list sizes are
+    * ~n/nCentroids, so probed work is a (nProbe/nCentroids) fraction
+    * of the corpus regardless of score distribution.
+    *
+    * Centroids are the first `nCentroids` vectors by vec_id — a
+    * deterministic seed choice (k-means would refine them; the
+    * assignment/probe machinery is identical), which keeps the whole
+    * operator exactly reproducible in the DuckDB oracle.
+    *
+    * Shapes: assignment is a broadcast join + map-side-partial
+    * `max_by` aggregation (shuffle ≈ n rows, not n×K); the probe side
+    * is tiny (queries × centroids) and broadcast into the candidate
+    * join. */
+  def ivfKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = embeddings
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // nearest centroid per vector; ties break to the lowest c_id
+    val assigned = embeddings
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_vec")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).cast("double"))).as("c_id"))
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = queries
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("q"), col("c_id"),
+        cosine(col("q"), col("c_vec")).as("p_cos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select("query_id", "q", "c_id")
+    val scored = assigned
+      .join(broadcast(probes), "c_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
   /** Brute-force near-dup definition: all pairs within a label block.
     * Exact by construction; the correctness baseline the banded-LSH
     * operator is verified against. Only safe when blocks are small —

@@ -23,6 +23,11 @@ object VectorQueries {
     "knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
 
+    // IVF is exactly reproducible (deterministic seed centroids +
+    // exact cosine), so unlike LSH it carries a full oracle.
+    "knn_ivf" -> ((s, d) =>
+      Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // threshold 0.35 sits below the max pairwise cosine of the random
     // testdata embeddings at every SF, so the pass is non-vacuous
     // (threshold 0.9 matched nothing — empty ≡ empty proves nothing).
@@ -53,16 +58,25 @@ object VectorQueries {
         .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("u"))),
 
     "emb_label_centroid_dist" -> ((s, d) => {
-      // avg vector per label via posexplode + mean, then each vector's
-      // dot with its label centroid — array agg exercised end-to-end.
+      // centroid per label via posexplode + per-dim mean. Deterministic
+      // by construction (→ oracled): the mean sums exact decimals
+      // (order-independent) and the squared norm reduces dims in
+      // sorted order, so no float accumulation-order sensitivity.
       val e = Tables.embeddings(s, d)
-      val dims = e.select(col("vec_id"), col("label"),
-        posexplode(col("embedding"))).toDF("vec_id", "label", "dim", "x")
+      val dims = e.select(col("label"),
+        posexplode(col("embedding"))).toDF("label", "dim", "x")
       dims.groupBy("label", "dim")
-        .agg(avg(col("x").cast("double")).as("cx"))
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(25, 15))).cast("double")
+          / count(lit(1))).as("cx"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_dims"),
-          round(sum(col("cx") * col("cx")), 6).as("centroid_sq_norm"))
+          round(
+            aggregate(
+              transform(
+                array_sort(collect_list(struct(col("dim"), col("cx")))),
+                v => v.getField("cx") * v.getField("cx")),
+              lit(0.0), (a, b) => a + b), 6).as("centroid_sq_norm"))
     }),
 
     "sketch_hll" -> ((s, d) =>
@@ -103,6 +117,10 @@ object VectorQueries {
       Similarity.bruteForceKnn(feats, nQueries = 4, k = 3)
     }),
 
+    // frame sampling summarized per asset. Oracled: DuckDB cannot
+    // slice BLOBs, but frame count and byte totals are pure arithmetic
+    // over octet_length — the oracle recomputes them from first
+    // principles (frame byte *content* is pinned by MultimodalSpec).
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(Tables.documents(s, d)))
         .groupBy("asset_id")
@@ -143,8 +161,64 @@ object VectorQueries {
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,
 
+    "knn_ivf" ->
+      s"""WITH c AS (
+            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+          a AS (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c),
+          assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          qa AS (
+            SELECT q.query_id, q.qv, c.c_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+            FROM q CROSS JOIN c),
+          probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
+          cand AS (
+            SELECT p.query_id, s.vec_id,
+                   ${cosSql("p.qv", "s.embedding")} AS cos
+            FROM probe p JOIN assigned s ON p.c_id = s.c_id
+            WHERE s.vec_id <> p.query_id),
+          ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM cand)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= 5""",
+
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",
+
+    "mm_frames" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents),
+         idx AS (
+           SELECT asset_id, n,
+                  unnest(range(0, greatest(n // 64 - 1, 0) + 1)) AS i
+           FROM a),
+         f AS (
+           SELECT asset_id, least(32, greatest(n - i * 64, 0)) AS flen FROM idx)
+         SELECT asset_id, count(*) AS n_frames, CAST(sum(flen) AS BIGINT) AS total_bytes
+         FROM f WHERE flen > 0 GROUP BY asset_id""",
+
+    "emb_label_centroid_dist" ->
+      """WITH dims AS (
+           SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                  unnest(embedding) AS x
+           FROM embeddings),
+         cent AS (
+           SELECT label, dim,
+                  CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+                    / count(*) AS cx
+           FROM dims GROUP BY 1, 2)
+         SELECT label, count(*) AS n_dims,
+                round(list_reduce(list_transform(list(cx ORDER BY dim), v -> v * v),
+                                  (a, b) -> a + b), 6) AS centroid_sq_norm
+         FROM cent GROUP BY label""",
 
     "emb_normalize" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)

@@ -107,6 +107,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("ivf knn scores candidate pairs bit-identically to brute force") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val brute = Similarity.bruteForceKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.ivfKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(bc => assert(bc == c))
+    }
+  }
+
   test("codegen'd band signatures are bit-identical to the HOF reference") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val both = e.select(
