@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hash kernels as custom expressions.
+  *
+  * The declarative formulations shuffle one row per (doc, token) or
+  * (doc, shingle) and aggregate 16–64 columns per document — correct,
+  * but the shuffle volume is ~100× the input at 100 TB. Each kernel
+  * here folds the whole per-document loop into one narrow expression:
+  * no explode, no aggregation, no shuffle at all for the signature
+  * stage. Both are bit-compatible with the aggregation forms (pinned
+  * by parity specs): same `split(lower(text), "\s+")` tokenization
+  * (via the same UTF8String.split the built-in uses), same
+  * `XxHash64Function` seed-42 hashing the xxhash64() expression uses.
+  *
+  * CodegenFallback: the per-row work (regex split + hash loops) is
+  * real JVM code either way; falling back costs one boxed call per
+  * row, amortized over hundreds of token hashes.
+  */
+private object TextHash {
+  val WS: UTF8String = UTF8String.fromString("\\s+")
+  val SPACE: UTF8String = UTF8String.fromString(" ")
+}
+
+/** 64-bit SimHash of whitespace-tokenized lowercase text: every token
+  * occurrence votes ±1 per bit of its xxhash64; the signature is the
+  * sign vector. Equals `Dedup.simhashSignaturesAgg`'s per-doc value. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.split(TextHash.WS, -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = XxHash64Function.hash(toks(t), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+}
+
+/** MinHash signature of the document's `shingleN`-gram set under
+  * `numHashes` seeds: min over shingles of xxhash64(shingle, k) —
+  * exactly the value `Dedup.minhashSignaturesAgg` computes, without
+  * the explode + `numHashes`-column aggregation. Null when the
+  * document has fewer than `shingleN` tokens (no shingles — the
+  * aggregation form drops such documents entirely). */
+case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.split(TextHash.WS, -1)
+    if (toks.length < shingleN) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i <= toks.length - shingleN) {
+      // duplicate shingles cannot change a min — no distinct needed
+      val sh = UTF8String.concatWs(TextHash.SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + shingleN): _*)
+      val h1 = XxHash64Function.hash(sh, StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val hk = XxHash64Function.hash(k, IntegerType, h1)
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(text: Column, shingleN: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), shingleN, numHashes))
+}

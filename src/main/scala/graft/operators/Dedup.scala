@@ -41,13 +41,20 @@ object Dedup {
 
   private val MAX_BUCKET = 64 // skew cap: ignore degenerate LSH buckets
 
-  /** MinHash signature per document: explode distinct shingles once,
-    * hash each shingle under `numHashes` seeds *inside one row* (an
-    * array expression — no positional explode), then take per-seed MIN
-    * in a single hash aggregation. Rows shuffled = docs × shingles,
-    * each carrying a compact long array.
-    */
-  def minhashSignatures(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+  /** MinHash signature per document, computed in ONE narrow pass by
+    * the [[graft.functions.MinHashSignature]] expression — zero
+    * shuffle for the signature stage (the aggregation form below
+    * shuffles docs × shingles rows). Documents with no shingles are
+    * dropped, matching the aggregation form. */
+  def minhashSignatures(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature(col("text"), shingleN, numHashes).as("signature"))
+      .where(col("signature").isNotNull)
+
+  /** Reference formulation of [[minhashSignatures]] via explode +
+    * per-seed MIN aggregation — kept for the bit-parity spec. */
+  def minhashSignaturesAgg(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
     val sh = documents
       .select(col("doc_id"), explode(shingleSet(col("text"), shingleN)).as("shingle"))
       .select(
@@ -135,9 +142,15 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes
     * +1/-1 weighted by token frequency; the signature is the sign
-    * vector. Computed as 64 independent aggregates in one hash
-    * aggregation pass (no per-bit shuffle). */
-  def simhashSignatures(documents: DataFrame): DataFrame = {
+    * vector. One narrow pass via [[graft.functions.SimHash64]] — no
+    * explode, no 64-column aggregation, no shuffle. */
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.SimHash64(col("text")).as("simhash"))
+
+  /** Reference formulation of [[simhashSignatures]] (explode + 64 sum
+    * aggregates) — kept for the bit-parity spec. */
+  def simhashSignaturesAgg(documents: DataFrame): DataFrame = {
     val toks = documents.select(
       col("doc_id"),
       explode(tokens(col("text"))).as("tok"))

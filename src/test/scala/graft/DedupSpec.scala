@@ -66,6 +66,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L)))
   }
 
+  test("single-pass simhash expression is bit-identical to the aggregation form") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val fast = Dedup.simhashSignatures(d).as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhashSignaturesAgg(d).as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+  }
+
+  test("single-pass minhash expression is bit-identical to the aggregation form") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val fast = Dedup.minhashSignatures(d, 3, 16)
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toList).toMap
+    val ref = Dedup.minhashSignaturesAgg(d, 3, 16)
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toList).toMap
+    assert(fast == ref)
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)
