@@ -134,6 +134,43 @@ object VectorQueries {
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  // knn_lsh oracle: the hyperplane weights are a deterministic seeded
+  // stream, so the oracle EMBEDS them as SQL literals (shortest
+  // round-trip doubles parse back bit-exactly) and recomputes the
+  // bucket assignment, skew cap, and top-k from first principles.
+  private val lshOracle: String = {
+    val planes = 8
+    val dim = 64
+    val rnd = new scala.util.Random(42) // same stream as HyperplaneBandSignature
+    val w = Array.fill(planes * dim)(rnd.nextGaussian())
+    def projSql(p: Int): String = {
+      val lits = (0 until dim).map(i => java.lang.Double.toString(w(p * dim + i)))
+        .mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ($lits)[i]),
+            (acc, v) -> acc + v)"""
+    }
+    val bucketSql = (0 until planes)
+      .map(p => s"(CASE WHEN ${projSql(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        ok AS (
+          SELECT bucket FROM sig GROUP BY bucket HAVING count(*) BETWEEN 2 AND 64),
+        cand AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                 ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM sig a
+          JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          JOIN ok ON ok.bucket = a.bucket),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+  }
+
   // brute-force first-principles near-dup definition — the banded-LSH
   // operator must reproduce it exactly (recall ~1 by construction)
   private val neardupOracle =
@@ -160,6 +197,7 @@ object VectorQueries {
 
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,
+    "knn_lsh" -> lshOracle,
 
     "knn_ivf" ->
       s"""WITH c AS (
