@@ -113,6 +113,34 @@ object TextQueries {
         .select("user_id", "event_type", "event_id")
     }),
 
+    // BPE-ish subword counting (alnum runs + punctuation marks) — the
+    // cheap deterministic stand-in for a tokenizer's token count.
+    "text_subword_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        subwordCount(col("text")).as("n_subwords"))),
+
+    // deterministic stratified sampling: an arithmetic multiplicative
+    // hash of doc_id (ANSI-overflow-safe: reduce mod a prime first)
+    // keeps ~20% of every language stratum — reproducible on any
+    // engine, no RNG state. At real scale swap in xxhash64; the
+    // modular form exists so the oracle can mirror it exactly.
+    "sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L)) < 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // train/val/test split from the same hash — the canonical
+    // shard-assignment op of a training-data pipeline; output is the
+    // per-(lang, split) contingency table.
+    "sample_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L)))
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))),
+
     "text_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
         .where(col("lang") === "en")
@@ -278,6 +306,24 @@ object TextQueries {
                                  (acc, x) -> (acc * 31 + x) % 1000000007)
            END AS fp
          FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS clean FROM documents)""",
+
+    "text_subword_count" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> length(t) > 0))
+           + length(regexp_replace(text, '[a-z0-9A-Z\s]', '', 'g')) AS n_subwords
+         FROM documents""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ((doc_id % 1000003) * 2654435761) % 100 < 20""",
+
+    "sample_split" ->
+      """SELECT lang,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n
+         FROM (SELECT lang, ((doc_id % 1000003) * 2654435761) % 100 AS h FROM documents)
+         GROUP BY 1, 2""",
 
     "text_token_freq" ->
       s"""SELECT tok, count(*) AS n FROM (

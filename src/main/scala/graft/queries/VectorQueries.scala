@@ -79,6 +79,19 @@ object VectorQueries {
               lit(0.0), (a, b) => a + b), 6).as("centroid_sq_norm"))
     }),
 
+    // int8 scalar quantization per vector (symmetric, max-abs scale):
+    // the compression step before shipping embeddings to an ANN index.
+    // floor(x+0.5) instead of round(): both engines floor identically,
+    // while round() differs on double halfway cases across dialects.
+    "emb_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 127.0 / col("mx") + 0.5).cast("long"))))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("q"))),
+
     "sketch_hll" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -230,6 +243,16 @@ object VectorQueries {
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",
+
+    "emb_quantize" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           FROM embeddings)
+         SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT) AS q
+         FROM m""",
 
     "mm_frames" ->
       """WITH a AS (
