@@ -107,6 +107,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("near-dup at production threshold: 8×16 banding finds seeded dups exactly") {
+    // the low-threshold oracle query must run degenerate banding (4×64)
+    // because cos 0.35 pairs share few sign bits; at a REAL near-dup
+    // threshold the recommended config is more planes, fewer bands —
+    // this pins that tuning story on seeded true near-dups
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(20)(vec())
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+        bases.take(5).zipWithIndex.map { case (v, i) => (100L + i, jitter(v), 0) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.cosineNearDupExact(df, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDup(df, threshold = 0.9,
+      planesPerBand = 8, bands = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 5, s"seeding failed: $exact")
+    assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
   test("ivf knn scores candidate pairs bit-identically to brute force") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val brute = Similarity.bruteForceKnn(e, nQueries = 4, k = 5)
