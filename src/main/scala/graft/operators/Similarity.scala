@@ -213,11 +213,4 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
-  /** All unordered (a < b) pairs from a bucket's id list, as an in-row
-    * array expression (buckets are capped, so the fan-out is bounded). */
-  private def pairCombinations(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
-  }
 }
