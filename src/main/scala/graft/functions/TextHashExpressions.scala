@@ -121,3 +121,44 @@ object MinHashSignature {
   def apply(text: Column, shingleN: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), shingleN, numHashes))
 }
+
+/** Distinct word `n`-gram shingles of lowercase whitespace-tokenized
+  * text, first-occurrence order — the single-pass form of
+  * `TextFunctions.shingleSet` (split + transform + concat_ws +
+  * array_distinct, four interpreted HOF traversals per row). Same
+  * output array element-for-element (array_distinct also keeps first
+  * occurrence), pinned by a parity spec. */
+case class ShingleSet(child: Expression, shingleN: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_set expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.split(TextHash.WS, -1)
+    if (toks.length < shingleN)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= toks.length - shingleN) {
+      seen.add(UTF8String.concatWs(TextHash.SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + shingleN): _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  def apply(text: Column, shingleN: Int): Column =
+    Bridge.column(ShingleSet(Bridge.expression(text), shingleN))
+}

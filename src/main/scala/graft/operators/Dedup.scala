@@ -119,8 +119,8 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, documents: DataFrame, shingleN: Int): DataFrame = {
     val sets = documents.select(
       col("doc_id"),
-      shingleSet(col("text"), shingleN).as("sh"),
-      size(shingleSet(col("text"), shingleN)).as("n_sh"))
+      graft.functions.ShingleSet(col("text"), shingleN).as("sh"),
+      size(graft.functions.ShingleSet(col("text"), shingleN)).as("n_sh"))
     val sides = pairs.select(
       col("a_id"), col("b_id"),
       explode(array(col("a_id"), col("b_id"))).as("doc_id"))
@@ -202,7 +202,7 @@ object Dedup {
     documents.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lit(200)).cast("long").as("len_band"),
-      explode(shingleSet(col("text"), shingleN)).as("shingle"))
+      explode(graft.functions.ShingleSet(col("text"), shingleN)).as("shingle"))
       .withColumn("n_sh",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
 

@@ -66,6 +66,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L)))
   }
 
+  test("single-pass shingle-set expression equals the HOF form element-for-element") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val both = d.select(
+      graft.functions.ShingleSet($"text", 3).as("fast"),
+      graft.functions.TextFunctions.shingleSet($"text", 3).as("ref"))
+    assert(both.filter($"fast" =!= $"ref").count() == 0)
+  }
+
   test("single-pass simhash expression is bit-identical to the aggregation form") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val fast = Dedup.simhashSignatures(d).as[(Long, Long)].collect().toMap
