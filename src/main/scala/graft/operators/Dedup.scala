@@ -194,6 +194,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * that appears in a pair gets the MINIMUM doc_id of its component
+    * as `cluster_id` — the canonical-survivor assignment that turns
+    * pairwise dedup output into per-cluster keep/drop decisions.
+    *
+    * Driver-coordinated min-label propagation: each round joins labels
+    * across edges and keeps the per-node minimum, until a fixpoint
+    * (≤ graph diameter rounds, O(log n) for typical dup clusters —
+    * the standard distributed-CC shape). Each round's result is
+    * localCheckpoint'ed so plan lineage stays flat; the loop runs
+    * actions, but every action is a distributed aggregation — nothing
+    * is collected to the driver. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+        .unionAll(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** (doc, shingle) inverted index with per-doc set size. The size is
     * derived AFTER the explode via a window count — `size(sh)` next to
     * `explode(sh)` would make Catalyst evaluate the whole shingling

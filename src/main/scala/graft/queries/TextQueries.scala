@@ -44,6 +44,13 @@ object TextQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d))),
 
+    // pairwise dedup → per-cluster canonical assignment: connected
+    // components over the exact n-gram-Jaccard pair graph, cluster_id
+    // = min doc_id of the component. Oracled via recursive CTE.
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccard(Tables.documents(s, d), shingleN = 5, threshold = 0.35))),
+
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -191,6 +198,19 @@ object TextQueries {
 
     "dedup_ngram_jaccard" -> ngramOracle,
     "dedup_ngram_prefix" -> ngramOracle,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($ngramOracle),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          reach AS (
+            SELECT doc_id, doc_id AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id)
+          SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY doc_id""",
 
     "text_scrub_pii" ->
       """SELECT doc_id,

@@ -90,6 +90,17 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("connected components merge chained pairs into one min-labeled cluster") {
+    // chain 5-4, 4-3, 3-2, 2-1 needs several propagation rounds to
+    // settle on min label 1; the 10-11 pair is a separate component
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)
