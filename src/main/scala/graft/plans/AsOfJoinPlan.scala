@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator Catalyst integration for the as-of join (the (c)
   * tier of the build brief's preference order): a first-class
@@ -78,6 +79,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -105,6 +110,8 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -156,10 +163,10 @@ case class AsOfJoinExec(
             advanceRight()
             c = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           }
-          val m =
-            if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
-            else nullRight
-          resultProj(joined(l, m))
+          val matched = matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+          if (matched) matchedRows += 1
+          outRows += 1
+          resultProj(joined(l, if (matched) matchRow else nullRight))
         }
       }
     }

@@ -94,6 +94,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "partial window is not salted:\n" + p.take(1200))
   }
 
+  test("knn_ivf broadcasts centroids and probes (no shuffle join on the corpus)") {
+    val p = plan("knn_ivf")
+    assert(p.split("BroadcastHashJoin|BroadcastNestedLoopJoin").length >= 3,
+      "expected centroid + probe broadcasts:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p.take(1200))
+  }
+
   test("neardup_cosine has no per-label all-pairs join") {
     val p = plan("neardup_cosine")
     assert(!p.contains("Join [label") && !p.contains("Join label"),
