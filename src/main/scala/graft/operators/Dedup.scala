@@ -172,7 +172,15 @@ object Dedup {
     * least one of 4 chunks — pigeonhole), then verify hamming distance.
     * Single-pass bucket shape: signatures are computed once and
     * bucketed by (chunk, value); pairs come out of bucket combinations
-    * (no self-join, no signature recompute per branch). */
+    * (no self-join, no signature recompute per branch).
+    *
+    * Bucket fan-out is deliberately NOT capped: unlike the
+    * probabilistic LSH paths, this operator's contract is exhaustive
+    * (every pair within the hamming budget), and a giant bucket of
+    * identical documents is O(k²) *required output*, not noise. At
+    * scale, run [[exact]]/[[exactNormalized]] FIRST — byte-identical
+    * megaclusters collapse there, and what reaches simhash has
+    * bounded per-bucket multiplicity. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunked = simhashSignatures(documents).select(
       col("doc_id"), col("simhash"),

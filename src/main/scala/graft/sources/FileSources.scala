@@ -29,6 +29,14 @@ object FileSources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
+  /** ORC read — the other columnar lake format; same vectorized
+    * reader + predicate pushdown machinery as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Partitioned parquet writer — the layout that makes partition
     * pruning work at scale (predicates on partition columns never
     * touch the data files). */

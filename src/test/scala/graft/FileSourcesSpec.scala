@@ -48,4 +48,19 @@ class FileSourcesSpec extends AnyFunSuite {
       .orderBy("k").as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 1L), ("b", 2L)))
   }
+
+  test("orc round-trips and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val o = Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    FileSources.writeOrc(o, s"$dir/orders")
+    val back = FileSources.orc(spark, s"$dir/orders")
+    assert(back.count() == o.count())
+    val filtered = back.filter($"o_totalprice" > 100000)
+    val pushed = filtered.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThan(o_totalprice,100000"), pushed)
+  }
 }
