@@ -15,10 +15,10 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("all queries run and return rows on sf0.001") {
+  test("all queries run and return rows on sf0.001 — no vacuous passes") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, TestSpark.sfDir).count()
-      if (n == 0 && name != "q_anti_join" && name != "neardup_cosine") Some(name) else None
+      if (n == 0) Some(name) else None
     }
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
