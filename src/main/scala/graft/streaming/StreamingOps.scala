@@ -62,6 +62,21 @@ object StreamingOps {
     streamingFacts.join(
       broadcast(staticDim), col(factKey) === col(dimKey), "left_outer")
 
+  /** Stream-stream inner join with BOUNDED state — the production
+    * form of the reference's unbounded join (sparkpykafkajoin.py:131
+    * joins with no watermark, so both sides' state grows forever):
+    * watermarks on both inputs plus an event-time range in the join
+    * condition let Spark evict state once the watermark passes the
+    * range, keeping state proportional to the window, not the stream.
+    * The caller's `condition` must include the time-range predicate
+    * (e.g. `rTs BETWEEN lTs - interval AND lTs`). */
+  def boundedStreamStreamJoin(
+      left: DataFrame, leftTsCol: String, leftWatermark: String,
+      right: DataFrame, rightTsCol: String, rightWatermark: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftWatermark)
+      .join(right.withWatermark(rightTsCol, rightWatermark), condition)
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)

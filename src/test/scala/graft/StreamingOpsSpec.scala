@@ -169,6 +169,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists())
   }
 
+  test("bounded stream-stream join matches in-range pairs and evicts old state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val lmem = MemoryStream[(Long, Timestamp)]
+    val rmem = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.boundedStreamStreamJoin(
+      lmem.toDF().toDF("l_key", "l_ts"), "l_ts", "5 minutes",
+      rmem.toDF().toDF("r_key", "r_ts"), "r_ts", "5 minutes",
+      col("l_key") === col("r_key") &&
+        col("r_ts").between(expr("l_ts - interval 10 minutes"), col("l_ts")))
+    val q = joined.select("l_key", "l_ts", "r_ts")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      lmem.addData((1L, ts(10)), (2L, ts(10)))
+      rmem.addData((1L, ts(5)), (2L, ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select("l_key").as[Long].collect().toSet
+      assert(rows == Set(1L), s"only the in-range pair joins: $rows")
+      // advance both watermarks far past 10:xx, then trigger again so
+      // eviction lands: old state must be gone
+      lmem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      rmem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      lmem.addData((8L, Timestamp.valueOf("2024-01-01 13:01:00")))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      assert(state(0).numRowsTotal <= 4,
+        s"pre-watermark state not evicted: ${state(0).numRowsTotal} rows retained")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
