@@ -55,6 +55,37 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("property: single-pass kernels match HOF/agg forms on adversarial strings") {
+    // unicode, leading/trailing/multi-whitespace, empties — the edge
+    // cases the real-document parity specs never exercise
+    val charGen = Gen.frequency(
+      (5, Gen.choose(32.toChar, 126.toChar)),
+      (2, Gen.oneOf(' ', ' ', ' ', '\t', '\n')),
+      (1, Gen.oneOf('é', 'ß', '中', '文', '€')))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val inputs = (samples(textGen, 40) ++ Seq("", " ", "  a  ", "\ta b\n", "中 文 字 典"))
+      .distinct
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // ShingleSet vs HOF shingleSet
+    val shDiff = df.select(
+      graft.functions.ShingleSet($"text", 2).as("fast"),
+      shingleSet($"text", 2).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(shDiff == 0)
+    // SimHash64 vs explode+agg form (docs whose token array is non-empty)
+    val simFast = graft.operators.Dedup.simhashSignatures(df)
+      .as[(Long, Long)].collect().toMap
+    val simRef = graft.operators.Dedup.simhashSignaturesAgg(df)
+      .as[(Long, Long)].collect().toMap
+    simRef.foreach { case (id, sig) => assert(simFast(id) == sig, s"doc $id") }
+    // MinHashSignature vs explode+agg form
+    val mhFast = graft.operators.Dedup.minhashSignatures(df, 2, 8)
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toList).toMap
+    val mhRef = graft.operators.Dedup.minhashSignaturesAgg(df, 2, 8)
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toList).toMap
+    assert(mhFast == mhRef)
+  }
+
   test("property: unbase64(base64(s)) == s over printable ASCII") {
     val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     val inputs = samples(asciiGen, 30).distinct
