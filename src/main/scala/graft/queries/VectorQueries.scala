@@ -89,7 +89,10 @@ object VectorQueries {
           array_max(transform(col("embedding"), x => abs(x.cast("double")))))
         .select(col("vec_id"),
           posexplode(transform(col("embedding"),
-            x => floor(x.cast("double") * 127.0 / col("mx") + 0.5).cast("long"))))
+            // zero-vector guard: ANSI mode would throw on cast(NaN)
+            x => when(col("mx") > 0,
+              floor(x.cast("double") * 127.0 / col("mx") + 0.5).cast("long"))
+              .otherwise(lit(0L)))))
         .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("q"))),
 
     "sketch_hll" -> ((s, d) =>
@@ -249,10 +252,15 @@ object VectorQueries {
            SELECT vec_id, embedding,
                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
            FROM embeddings)
-         SELECT vec_id,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT) AS q
-         FROM m""",
+         , u AS (
+           SELECT vec_id, mx,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM m)
+         SELECT vec_id, dim,
+                CASE WHEN mx > 0 THEN CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)
+                     ELSE 0 END AS q
+         FROM u""",
 
     "mm_frames" ->
       """WITH a AS (
