@@ -40,11 +40,15 @@ object Tables {
     * Spread them across the session's parallelism up front — one
     * trivial shuffle; at production scale the scan itself would
     * provide the splits and this becomes a no-op-sized adjustment. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    // unconditional: probing the current partition count via df.rdd
-    // would force a driver-side plan-to-RDD conversion on every load,
-    // which costs more than the (tiny) round-robin shuffle it avoids
-    df.repartition(s.sparkContext.defaultParallelism)
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    // conditional on the FILE count (cheap driver-side metadata — no
+    // plan-to-RDD conversion like df.rdd.getNumPartitions would
+    // force): only widen genuinely under-split inputs; a table that
+    // already has enough splits is never shuffled, and never
+    // down-partitioned
+    val target = s.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target) else df
+  }
 
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "documents"))

@@ -76,24 +76,34 @@ case class HyperplaneBandSignature(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("hyperplaneWeights", weights, "double[]")
+    // fresh names for every local: generated blocks can be inlined
+    // into scopes that already declare short identifiers
+    val n = ctx.freshName("n")
+    val sigs = ctx.freshName("sigs")
+    val b = ctx.freshName("b")
+    val sig = ctx.freshName("sig")
+    val p = ctx.freshName("p")
+    val plane = ctx.freshName("plane")
+    val proj = ctx.freshName("proj")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int n = java.lang.Math.min($v.numElements(), $dim);
-         |long[] sigs = new long[$bands];
-         |for (int b = 0; b < $bands; b++) {
-         |  long sig = 0L;
-         |  for (int p = 0; p < $planesPerBand; p++) {
-         |    int plane = b * $planesPerBand + p;
-         |    double proj = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      proj += ((double) $v.getFloat(i)) * $w[plane * $dim + i];
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $sigs = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    int $plane = $b * $planesPerBand + $p;
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $proj += ((double) $v.getFloat($i)) * $w[$plane * $dim + $i];
          |    }
-         |    if (proj >= 0) sig |= (1L << p);
+         |    if ($proj >= 0) $sig |= (1L << $p);
          |  }
-         |  sigs[b] = sig;
+         |  $sigs[$b] = $sig;
          |}
          |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs);
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
        """.stripMargin
     })
   }

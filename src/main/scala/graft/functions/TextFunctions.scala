@@ -25,10 +25,13 @@ object TextFunctions {
 
   /** BPE-ish subword count: alphanumeric runs and single punctuation
     * marks each count as one token (a cheap deterministic stand-in for
-    * a real tokenizer's token count). */
+    * a real tokenizer's token count). The whitespace class is spelled
+    * out explicitly: Java's \s includes vertical tab (\x0B), RE2's
+    * (DuckDB) does not — an explicit class keeps both engines
+    * byte-identical. */
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "([^a-z0-9]+)"), t => length(t) > 0)) +
-      length(regexp_replace(text, "[a-z0-9A-Z\\s]", ""))
+      length(regexp_replace(text, "[a-z0-9A-Z \\t\\n\\x0B\\f\\r]", ""))
 
   /** Contiguous word n-grams ("shingles") over the token array.
     * Guarded: Spark's sequence(0, -1) would produce a *decreasing*

@@ -69,6 +69,16 @@ object AsOfJoin {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = left.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    // self-join lineage: if the two inputs share attribute exprIds the
+    // combined output would be ambiguous and the exec would bind right
+    // columns to left ordinals — re-alias the right side (fresh
+    // exprIds), like DeduplicateRelations does for built-in joins.
+    // Key/time columns must then be name-based (col("x")), which the
+    // analyzer resolves against the re-aliased plan.
+    val rightSafe =
+      if (right.queryExecution.analyzed.outputSet
+        .intersect(left.queryExecution.analyzed.outputSet).isEmpty) right
+      else right.select(right.columns.map(c => col(c).as(c)): _*)
     // resolve each column against its own input through the analyzer
     // (a raw Column carries an opaque ColumnNode that the generic
     // resolver won't look inside)
@@ -83,10 +93,10 @@ object AsOfJoin {
       }
     Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       left.queryExecution.analyzed,
-      right.queryExecution.analyzed,
+      rightSafe.queryExecution.analyzed,
       Seq(exprOn(left, leftKey)),
-      Seq(exprOn(right, rightKey)),
+      Seq(exprOn(rightSafe, rightKey)),
       exprOn(left, leftTime),
-      exprOn(right, rightTime)))
+      exprOn(rightSafe, rightTime)))
   }
 }

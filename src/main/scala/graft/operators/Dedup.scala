@@ -133,6 +133,10 @@ object Dedup {
         first(when(col("doc_id") === col("a_id"), col("n_sh")), ignoreNulls = true).as("a_n"),
         first(when(col("doc_id") === col("b_id"), col("sh")), ignoreNulls = true).as("b_sh"),
         first(when(col("doc_id") === col("b_id"), col("n_sh")), ignoreNulls = true).as("b_n"))
+      // a pair id absent from `documents` loses that side entirely —
+      // drop it, matching the inner-join semantics of the old
+      // two-branch formulation (no phantom null-jaccard rows)
+      .where(col("a_sh").isNotNull && col("b_sh").isNotNull)
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .select(
         col("a_id"), col("b_id"),
@@ -207,13 +211,16 @@ object Dedup {
     * as `cluster_id` — the canonical-survivor assignment that turns
     * pairwise dedup output into per-cluster keep/drop decisions.
     *
-    * Driver-coordinated min-label propagation: each round joins labels
-    * across edges and keeps the per-node minimum, until a fixpoint
-    * (≤ graph diameter rounds, O(log n) for typical dup clusters —
-    * the standard distributed-CC shape). Each round's result is
-    * localCheckpoint'ed so plan lineage stays flat; the loop runs
-    * actions, but every action is a distributed aggregation — nothing
-    * is collected to the driver. */
+    * Driver-coordinated min-label propagation WITH pointer jumping:
+    * each round a node takes the minimum of (its label, its
+    * in-neighbors' labels, its label's label). The jump step halves
+    * the remaining distance to the component minimum every round, so
+    * convergence is O(log diameter) — a 20-round budget covers
+    * diameters up to ~2²⁰, and the loop FAILS LOUDLY if it ever
+    * exhausts the budget rather than returning silently-wrong labels.
+    * Each round's result is localCheckpoint'ed so plan lineage stays
+    * flat; the loop runs actions, but every action is a distributed
+    * aggregation — nothing is collected to the driver. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -222,12 +229,20 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && it < maxIter) {
-      val next = edges.join(labels, edges("src") === labels("doc_id"))
+      val propagated = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
         .unionAll(labels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: follow my label to ITS label (labels are doc ids,
+      // so every label row exists in the labels relation)
+      val next = propagated
+        .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
+          propagated("cluster_id") === col("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .where(col("cluster_id") =!= col("prev"))
@@ -235,6 +250,8 @@ object Dedup {
       labels = next
       it += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

@@ -109,18 +109,24 @@ object Similarity {
     * are same-(label, band, signature) collisions; candidates are then
     * verified with the exact cosine. With the default banding the
     * probability a true pair above the threshold misses every band is
-    * ≈ (1 − p²)³² (p = 1 − θ/π), i.e. ~10⁻⁷ at cos ≥ 0.35 — the
-    * output equals the brute-force definition, which is exactly what
-    * the DuckDB oracle checks.
+    * (1 − p⁴)⁶⁴ (p = 1 − θ/π), ≈ 6·10⁻⁵ at cos ≥ 0.35 — at the
+    * validated scales the output equals the brute-force definition
+    * (deterministically re-checked by spec and oracle); for an
+    * exhaustive guarantee use [[cosineNearDupExact]].
     *
-    * Tuning for real near-dup thresholds (≥ 0.8): raise planesPerBand
-    * (8–12) and keep 10–20 bands — buckets shrink exponentially in
-    * planesPerBand while recall stays ~1; `maxBucket` bounds the
-    * blow-up of any degenerate bucket regardless. */
+    * SIZING RULE: a band partitions each label block into ≤
+    * 2^planesPerBand buckets, so planesPerBand must grow with the
+    * block: planesPerBand ≳ log₂(blockSize / targetBucketSize). For
+    * real near-dup thresholds (≥ 0.8) use 8–12 planes × 10–20 bands —
+    * buckets shrink exponentially while recall stays ~1. `maxBucket`
+    * is a SKEW GUARD for degenerate buckets (e.g. all-zero vectors),
+    * not a sizing mechanism: if ordinary buckets exceed it, the
+    * banding is underconfigured and candidates are being dropped —
+    * raise planesPerBand, don't raise the cap. */
   def cosineNearDup(
       embeddings: DataFrame, threshold: Double = 0.35,
       planesPerBand: Int = 4, bands: Int = 64,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     val sig = embeddings
       .select(col("label"), col("vec_id"),
         posexplode(hyperplaneBandSignatures(col("embedding"), planesPerBand, bands)))

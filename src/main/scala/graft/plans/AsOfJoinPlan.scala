@@ -39,6 +39,20 @@ case class AsOfJoinPlan(
     rightTime: Expression)
   extends BinaryNode {
 
+  // built-in joins get ImplicitTypeCasts from the analyzer; this
+  // custom node must enforce type agreement itself — the merge exec
+  // builds its orderings from LEFT-side types and would silently
+  // mis-read mismatched right-side rows
+  require(leftKeys.length == rightKeys.length,
+    s"as-of join: ${leftKeys.length} left keys vs ${rightKeys.length} right keys")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true),
+      s"as-of join key type mismatch: ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
+  }
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time type mismatch: ${leftTime.dataType.simpleString} vs " +
+      rightTime.dataType.simpleString)
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

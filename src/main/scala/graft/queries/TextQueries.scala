@@ -331,7 +331,7 @@ object TextQueries {
       """SELECT doc_id,
            len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                            t -> length(t) > 0))
-           + length(regexp_replace(text, '[a-z0-9A-Z\s]', '', 'g')) AS n_subwords
+           + length(regexp_replace(text, '[a-z0-9A-Z \t\n\x0B\f\r]', '', 'g')) AS n_subwords
          FROM documents""",
 
     "sample_stratified" ->

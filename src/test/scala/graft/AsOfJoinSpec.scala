@@ -50,6 +50,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"diff=${(native -- window).take(3)} / ${(window -- native).take(3)}")
   }
 
+  test("native as-of handles self-join lineage (shared exprIds re-aliased)") {
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 30L, 102L))
+      .toDF("k", "t", "v")
+    // right side derives from the SAME plan: exprIds collide unless
+    // asOfNative re-aliases
+    val got = AsOfJoin.asOfNative(
+      df.select($"k", $"t", $"v".as("lv")),
+      df.select($"k".as("rk"), ($"t" - 1).as("rt"), $"v".as("rv")),
+      col("k"), col("rk"), col("t"), col("rt"))
+      .select($"lv", $"rv").as[(Long, Option[Long])].collect().toMap
+    // k=1: left t=10 matches rt=9 (v=100); t=20 matches rt=19 (v=101)
+    assert(got(100L).contains(100L))
+    assert(got(101L).contains(101L))
+    assert(got(102L).contains(102L))
+  }
+
+  test("native as-of rejects mismatched key/time types loudly") {
+    val left = Seq((1, 10L, 1L)).toDF("k", "t", "lv")   // k: int
+    val right = Seq((1L, 9L, 2L)).toDF("rk", "rt", "rv") // rk: long
+    val e = intercept[Exception] {
+      AsOfJoin.asOfNative(left, right, col("k"), col("rk"), col("t"), col("rt"))
+        .collect()
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+  }
+
   test("native as-of plans as AsOfJoinExec with co-partitioned sorted children") {
     val left = Seq((1L, 1L, 100L), (2L, 2L, 100L)).toDF("k", "lid", "t")
     val right = Seq((1L, 91L, 99L)).toDF("rk", "rid", "rt")
