@@ -103,6 +103,41 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** Multi-probe variant of [[lshKnn]]: each query additionally probes
+    * the `planes` buckets at Hamming distance 1 from its own signature
+    * (the classic recall fix for single-probe LSH, where a vector
+    * alone in its bucket gets no neighbors at all). Candidate volume
+    * is bounded by (planes+1) × maxBucket per query; every base
+    * vector lives in exactly one bucket, so probes never produce
+    * duplicate candidates and no dedup pass is needed. */
+  def lshKnnMultiProbe(
+      embeddings: DataFrame, planes: Int = 8, k: Int = 5,
+      maxBucket: Int = MAX_BUCKET): DataFrame = {
+    val sig = embeddings.select(
+      col("vec_id"), col("embedding"),
+      hyperplaneSignature(col("embedding"), planes).as("bucket"))
+    val buckets = sig
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ids"))
+      .where(size(col("ids")).between(1, maxBucket)) // singletons matter on the base side
+    val probes = sig.select(
+      col("vec_id").as("query_id"), col("embedding").as("q"),
+      explode(array(
+        (col("bucket") +: (0 until planes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("probe_bucket"))
+    val cand = probes
+      .join(buckets, probes("probe_bucket") === buckets("bucket"))
+      .select(col("query_id"), col("q"),
+        explode(filter(col("ids"), b => b("vec_id") =!= col("query_id"))).as("b"))
+    val scored = cand.select(
+      col("query_id"), col("b.vec_id").as("vec_id"),
+      cosine(col("q"), col("b.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
   /** Embedding-space near-duplicate pairs above a cosine threshold,
     * within `label` blocks, computed scale-safely via banded LSH:
     * each vector gets `bands` short band signatures; candidate pairs

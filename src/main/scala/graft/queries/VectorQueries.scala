@@ -23,6 +23,9 @@ object VectorQueries {
     "knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
 
+    "knn_lsh_mp" -> ((s, d) =>
+      Similarity.lshKnnMultiProbe(Tables.embeddings(s, d), planes = 8, k = 5)),
+
     // IVF is exactly reproducible (deterministic seed centroids +
     // exact cosine), so unlike LSH it carries a full oracle.
     "knn_ivf" -> ((s, d) =>
@@ -154,20 +157,26 @@ object VectorQueries {
   // stream, so the oracle EMBEDS them as SQL literals (shortest
   // round-trip doubles parse back bit-exactly) and recomputes the
   // bucket assignment, skew cap, and top-k from first principles.
-  private val lshOracle: String = {
-    val planes = 8
+  private val lshPlanes = 8
+
+  /** SQL for the 8-plane bucket signature with the seed-42 weights
+    * embedded as literals (shared by both LSH oracles). */
+  private lazy val bucketSql: String = {
     val dim = 64
     val rnd = new scala.util.Random(42) // same stream as HyperplaneBandSignature
-    val w = Array.fill(planes * dim)(rnd.nextGaussian())
+    val w = Array.fill(lshPlanes * dim)(rnd.nextGaussian())
     def projSql(p: Int): String = {
       val lits = (0 until dim).map(i => java.lang.Double.toString(w(p * dim + i)))
         .mkString("[", ", ", "]")
       s"""list_reduce(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ($lits)[i]),
             (acc, v) -> acc + v)"""
     }
-    val bucketSql = (0 until planes)
+    (0 until lshPlanes)
       .map(p => s"(CASE WHEN ${projSql(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
+  }
+
+  private lazy val lshOracle: String =
     s"""WITH sig AS (
           SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
         ok AS (
@@ -178,6 +187,35 @@ object VectorQueries {
           FROM sig a
           JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
           JOIN ok ON ok.bucket = a.bucket),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+
+  /** Multi-probe oracle: query probes its own bucket plus the
+    * `lshPlanes` buckets one bit-flip away; base buckets keep the
+    * 64-member skew cap but singletons stay (they matter for recall). */
+  private lazy val lshMultiProbeOracle: String = {
+    val probeList = ("bucket" +: (0 until lshPlanes).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        ok AS (
+          SELECT bucket FROM sig GROUP BY bucket HAVING count(*) BETWEEN 1 AND 64),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 unnest($probeList) AS probe_bucket
+          FROM sig),
+        cand AS (
+          SELECT p.query_id, b.vec_id,
+                 ${cosSql("p.qv", "b.embedding")} AS cos
+          FROM probes p
+          JOIN sig b ON b.bucket = p.probe_bucket
+          JOIN ok ON ok.bucket = b.bucket
+          WHERE b.vec_id <> p.query_id),
         ranked AS (
           SELECT query_id, vec_id, cos,
                  row_number() OVER (PARTITION BY query_id
@@ -214,6 +252,7 @@ object VectorQueries {
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,
     "knn_lsh" -> lshOracle,
+    "knn_lsh_mp" -> lshMultiProbeOracle,
 
     "knn_ivf" ->
       s"""WITH c AS (

@@ -107,6 +107,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("multi-probe lsh covers every query single-probe strands") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val single = Similarity.lshKnn(e, planes = 8, k = 5)
+      .select("query_id").as[Long].collect().toSet
+    val multi = Similarity.lshKnnMultiProbe(e, planes = 8, k = 5)
+      .select("query_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi))
+    val all = e.select("vec_id").as[Long].collect().toSet
+    assert(multi == all,
+      s"multi-probe should reach every vector; missing ${(all -- multi).take(5)}")
+  }
+
   test("near-dup at production threshold: 8×16 banding finds seeded dups exactly") {
     // the low-threshold oracle query must run degenerate banding (4×64)
     // because cos 0.35 pairs share few sign bits; at a REAL near-dup
