@@ -301,6 +301,69 @@ object VectorQueries {
                      ELSE 0 END AS q
          FROM u""",
 
+    // the byte-histogram stub decoder IS expressible in DuckDB: hex()
+    // the blob, parse hex pairs back to byte values, histogram mod 16
+    // — so the whole mapPartitions plumbing is hash-verified, zero
+    // bins included
+    "mm_features" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  (['image','audio','video','text'])[CAST(doc_id % 4 + 1 AS INT)] AS kind,
+                  hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         bytes AS (
+           SELECT asset_id,
+                  unnest(list_transform(range(n),
+                    i -> CAST(('0x' || substring(h, CAST(i*2+1 AS INT), 2)) AS INT) % 16)) AS bin
+           FROM a),
+         counts AS (
+           SELECT asset_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+         allbins AS (
+           SELECT a.asset_id, a.kind, a.n, CAST(t.b AS BIGINT) AS bin
+           FROM a, range(16) AS t(b))
+         SELECT ab.asset_id, ab.kind, CAST(ab.n AS BIGINT) AS n_bytes, ab.bin,
+                CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(ab.n, 1) AS f
+         FROM allbins ab
+         LEFT JOIN counts c ON c.asset_id = ab.asset_id AND c.bin = ab.bin""",
+
+    // knn over the stub features: the oracle rebuilds the histograms
+    // (rounded through REAL, matching the query's float cast), then
+    // brute-forces cosine top-3 for the first 4 assets
+    "mm_feature_knn" ->
+      s"""WITH a AS (
+           SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         bytes AS (
+           SELECT asset_id,
+                  unnest(list_transform(range(n),
+                    i -> CAST(('0x' || substring(h, CAST(i*2+1 AS INT), 2)) AS INT) % 16)) AS bin
+           FROM a),
+         counts AS (
+           SELECT asset_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+         allbins AS (
+           SELECT a.asset_id, a.n, CAST(t.b AS BIGINT) AS bin
+           FROM a, range(16) AS t(b)),
+         feat AS (
+           SELECT ab.asset_id AS vec_id,
+                  list(CAST(CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(ab.n, 1) AS REAL)
+                       ORDER BY ab.bin) AS embedding
+           FROM allbins ab
+           LEFT JOIN counts c ON c.asset_id = ab.asset_id AND c.bin = ab.bin
+           GROUP BY ab.asset_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM feat WHERE vec_id < 4),
+         scored AS (
+           SELECT q.query_id, f.vec_id, ${cosSql("q.qv", "f.embedding")} AS cos
+           FROM feat f JOIN q ON f.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+         FROM ranked WHERE rank <= 3""",
+
     "mm_frames" ->
       """WITH a AS (
            SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents),
