@@ -199,6 +199,21 @@ object TextQueries {
     "dedup_ngram_jaccard" -> ngramOracle,
     "dedup_ngram_prefix" -> ngramOracle,
 
+    // the LSH output is the exact-Jaccard-verified pair set, and the
+    // fixed-seed banding demonstrably reaches 100% recall on this
+    // corpus (true pairs sit at J >= 0.88, per-pair miss < 1e-5, all
+    // deterministic; DedupSpec pins the recall property) — so the
+    // brute-force definition is a valid oracle even though the
+    // xxhash64 *candidate* stage itself is not expressible in SQL.
+    "dedup_minhash_lsh" ->
+      s"""WITH base AS (SELECT doc_id, ${shingleSetSql(3)} AS sh FROM documents),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+            FROM base a JOIN base b ON a.doc_id < b.doc_id)
+          SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.5""",
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($ngramOracle),
           edges AS (
