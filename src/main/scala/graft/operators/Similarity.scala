@@ -116,12 +116,24 @@ object Similarity {
     val sig = embeddings.select(
       col("vec_id"), col("embedding"),
       hyperplaneSignature(col("embedding"), planes).as("bucket"))
+      // signatures are never null; the explicit filter mirrors the
+      // constraint the join would otherwise infer into ONE branch
+      // only, which would make the two exchange subtrees differ and
+      // defeat exchange reuse
+      .where(col("bucket").isNotNull)
     val buckets = sig
       .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ids"))
       .where(size(col("ids")).between(1, maxBucket)) // singletons matter on the base side
-    val probes = sig.select(
-      col("vec_id").as("query_id"), col("embedding").as("q"),
+    // BOTH the probe side and the base side derive from the same
+    // aggregated relation, so the signature pass is shared through one
+    // reused exchange (a probes-from-`sig` formulation would be a
+    // self-join that recomputes the signatures per plan branch);
+    // consequence: members of over-cap buckets neither serve as base
+    // nor as queries, the same cap semantics lshKnn has
+    val members = buckets.select(col("bucket"), explode(col("ids")).as("m"))
+    val probes = members.select(
+      col("m.vec_id").as("query_id"), col("m.embedding").as("q"),
       explode(array(
         (col("bucket") +: (0 until planes).map(j =>
           col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("probe_bucket"))

@@ -208,7 +208,7 @@ object VectorQueries {
         probes AS (
           SELECT vec_id AS query_id, embedding AS qv,
                  unnest($probeList) AS probe_bucket
-          FROM sig),
+          FROM sig JOIN ok USING (bucket)),
         cand AS (
           SELECT p.query_id, b.vec_id,
                  ${cosSql("p.qv", "b.embedding")} AS cos
@@ -224,6 +224,28 @@ object VectorQueries {
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
         FROM ranked WHERE rank <= 5"""
   }
+
+  /** Shared CTEs for the byte-histogram oracles: hex-decode the UTF-8
+    * blob per asset, count bytes mod 16, and enumerate all 16 bins
+    * (zero bins included) — ONE definition so the mm_features and
+    * mm_feature_knn oracles can never drift apart. */
+  private val byteHistCtes =
+    """a AS (
+         SELECT doc_id AS asset_id,
+                (['image','audio','video','text'])[CAST(doc_id % 4 + 1 AS INT)] AS kind,
+                hex(encode(text)) AS h,
+                octet_length(encode(text)) AS n
+         FROM documents),
+       bytes AS (
+         SELECT asset_id,
+                unnest(list_transform(range(n),
+                  i -> CAST(('0x' || substring(h, CAST(i*2+1 AS INT), 2)) AS INT) % 16)) AS bin
+         FROM a),
+       counts AS (
+         SELECT asset_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+       allbins AS (
+         SELECT a.asset_id, a.kind, a.n, CAST(t.b AS BIGINT) AS bin
+         FROM a, range(16) AS t(b))"""
 
   // brute-force first-principles near-dup definition — the banded-LSH
   // operator must reproduce it exactly (recall ~1 by construction)
@@ -306,22 +328,7 @@ object VectorQueries {
     // — so the whole mapPartitions plumbing is hash-verified, zero
     // bins included
     "mm_features" ->
-      """WITH a AS (
-           SELECT doc_id AS asset_id,
-                  (['image','audio','video','text'])[CAST(doc_id % 4 + 1 AS INT)] AS kind,
-                  hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS n
-           FROM documents),
-         bytes AS (
-           SELECT asset_id,
-                  unnest(list_transform(range(n),
-                    i -> CAST(('0x' || substring(h, CAST(i*2+1 AS INT), 2)) AS INT) % 16)) AS bin
-           FROM a),
-         counts AS (
-           SELECT asset_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
-         allbins AS (
-           SELECT a.asset_id, a.kind, a.n, CAST(t.b AS BIGINT) AS bin
-           FROM a, range(16) AS t(b))
+      s"""WITH $byteHistCtes
          SELECT ab.asset_id, ab.kind, CAST(ab.n AS BIGINT) AS n_bytes, ab.bin,
                 CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(ab.n, 1) AS f
          FROM allbins ab
@@ -331,20 +338,7 @@ object VectorQueries {
     // (rounded through REAL, matching the query's float cast), then
     // brute-forces cosine top-3 for the first 4 assets
     "mm_feature_knn" ->
-      s"""WITH a AS (
-           SELECT doc_id AS asset_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS n
-           FROM documents),
-         bytes AS (
-           SELECT asset_id,
-                  unnest(list_transform(range(n),
-                    i -> CAST(('0x' || substring(h, CAST(i*2+1 AS INT), 2)) AS INT) % 16)) AS bin
-           FROM a),
-         counts AS (
-           SELECT asset_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
-         allbins AS (
-           SELECT a.asset_id, a.n, CAST(t.b AS BIGINT) AS bin
-           FROM a, range(16) AS t(b)),
+      s"""WITH $byteHistCtes,
          feat AS (
            SELECT ab.asset_id AS vec_id,
                   list(CAST(CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(ab.n, 1) AS REAL)

@@ -101,6 +101,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p.take(1200))
   }
 
+  test("knn_lsh_mp computes signatures once (probe branch reuses the bucket exchange)") {
+    val p = finalPlan("knn_lsh_mp")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      "probe side rebuilds the signature relation instead of reusing it:\n" + p.take(1500))
+  }
+
   test("neardup_cosine has no per-label all-pairs join") {
     val p = plan("neardup_cosine")
     assert(!p.contains("Join [label") && !p.contains("Join label"),
