@@ -201,6 +201,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded stream-stream LEFT OUTER join emits null-completion after the range closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val lmem = MemoryStream[(Long, Timestamp)]
+    val rmem = MemoryStream[(Long, Timestamp)]
+    // left_outer: unmatched left rows surface only once the watermark
+    // proves no in-range right row can still arrive
+    val outer = lmem.toDF().toDF("l_key", "l_ts")
+      .withWatermark("l_ts", "5 minutes")
+      .join(rmem.toDF().toDF("r_key", "r_ts").withWatermark("r_ts", "5 minutes"),
+        col("l_key") === col("r_key") &&
+          col("r_ts").between(expr("l_ts - interval 10 minutes"), col("l_ts")),
+        "left_outer")
+    val q = outer.select("l_key", "r_key")
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+    try {
+      lmem.addData((1L, ts(10)), (2L, ts(10))) // key 2 will never match
+      rmem.addData((1L, ts(5)))
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early.contains((1L, Some(1L))))
+      assert(!early.exists(r => r._1 == 2L),
+        "null-completion must wait for the watermark, got " + early)
+      // advance both watermarks far past the range, then one more
+      // batch so the outer-null emission lands
+      lmem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      rmem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      lmem.addData((8L, Timestamp.valueOf("2024-01-01 13:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((2L, None)),
+        s"unmatched left row never null-completed: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
