@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.OptimizerBarrier.evalOnce
 import graft.model.Schemas
 
 /** The reference's operator inventory (SURVEY.md §2.1, O2–O13) as small
@@ -36,9 +37,13 @@ object RefOps {
     df.withColumn("customer", unbase64(col("encodedCustomer")).cast("string"))
 
   /** O3+O4 — customer JSON text → flattened customer columns.
+    * `evalOnce` pins the whole decode chain (envelope from_json →
+    * unbase64 → customer from_json) to a single evaluation per row:
+    * without it, predicate pushdown of the email/birthDay null filter
+    * re-evaluates the chain once per conjunct (3x per row, measured).
     * sparkpyrediskafkastreamtoconsole.py:85-86 */
   def parseCustomer(df: DataFrame): DataFrame =
-    df.withColumn("customer", from_json(col("customer"), Schemas.customer))
+    df.withColumn("customer", evalOnce(from_json(col("customer"), Schemas.customer)))
       .select(col("customer.*"))
 
   /** O9 — the reference's only malformed-row handling: drop rows whose
@@ -70,7 +75,7 @@ object RefOps {
     * sparkpyeventskafkastreamtoconsole.py:24-35 */
   def riskDecodeChain(df: DataFrame): DataFrame =
     castKeyValueToString(df)
-      .withColumn("value", from_json(col("value"), Schemas.stediEvent))
+      .withColumn("value", evalOnce(from_json(col("value"), Schemas.stediEvent)))
       .select(col("value.*"))
       .select("customer", "score")
 

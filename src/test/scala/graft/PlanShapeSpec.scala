@@ -122,6 +122,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(codegenSpans(finalPlan("knn_brute")) >= 1, "no whole-stage codegen span")
   }
 
+  /** Count JsonToStructs nodes in the optimized plan whose parse schema
+    * mentions `field` — nested occurrences included, so a pushdown-
+    * duplicated decode chain shows up as >1 even when plan toString
+    * truncates the expression text. */
+  private def jsonParseCount(name: String, field: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan
+    plan.map { n =>
+      n.expressions.map(_.collect {
+        case j: org.apache.spark.sql.catalyst.expressions.JsonToStructs
+            if j.schema.catalogString.contains(field) => j
+      }.size).sum
+    }.sum
+  }
+
+  test("ref decode chains evaluate each from_json exactly once per row") {
+    // without the OptimizerBarrier, predicate pushdown duplicates the
+    // whole envelope→unbase64→customer chain once per filter conjunct
+    // (3x per row); these pins hold that fix in place
+    assert(jsonParseCount("ref_customer_decode", "customerName") === 1)
+    assert(jsonParseCount("ref_customer_decode", "zSetEntries") === 1)
+    assert(jsonParseCount("ref_join_json", "customerName") === 1)
+    assert(jsonParseCount("ref_join_json", "zSetEntries") === 1)
+    assert(jsonParseCount("ref_join_json", "riskDate") === 1)
+    assert(jsonParseCount("ref_risk_decode", "riskDate") === 1)
+  }
+
   test("as-of join is one shuffle + window, not a join explosion") {
     val p = plan("q_asof_join")
     assert(p.contains("Window"))
