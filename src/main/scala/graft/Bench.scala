@@ -31,11 +31,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // min of two timed passes per query: halves host-load noise while
-    // staying a real end-to-end measurement
+    // median of three timed passes per query: one host-load window can
+    // no longer fabricate a multi-x outlier (a min-of-two reading once
+    // reported 9s for a query that reproducibly runs in 2.3s), and the
+    // median doesn't over-reward a single cache-warm fluke either
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
-    val results = ordered.map { case (n, f) => n -> math.min(pass1(n), timeOnce(n, f)) }
+    val passes = (1 to 3).map { _ =>
+      ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    }
+    val results = ordered.map { case (n, _) =>
+      n -> passes.map(_(n)).sorted.apply(1)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
