@@ -220,7 +220,14 @@ object Dedup {
     * exhausts the budget rather than returning silently-wrong labels.
     * Each round's result is localCheckpoint'ed so plan lineage stays
     * flat; the loop runs actions, but every action is a distributed
-    * aggregation — nothing is collected to the driver. */
+    * aggregation — nothing is collected to the driver.
+    *
+    * Storage hygiene: each round's blocks are unpersisted as soon as
+    * the next round is materialized (and the edge relation when the
+    * loop ends), so executor storage stays at one round's working set
+    * instead of growing by one cached relation per round. Only the
+    * returned label frame stays cached — localCheckpoint truncates
+    * lineage, so the result's blocks must outlive the call. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -247,13 +254,28 @@ object Dedup {
       converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .where(col("cluster_id") =!= col("prev"))
         .isEmpty
+      // `next` is eagerly materialized and the convergence check has
+      // run — nothing references the superseded round's blocks anymore
+      unpersistLocalCheckpoint(labels)
       labels = next
       it += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    unpersistLocalCheckpoint(edges)
     labels
   }
+
+  /** Release the cached blocks behind a localCheckpoint'ed frame once
+    * a later round supersedes it. localCheckpoint truncates lineage —
+    * unpersisted blocks are unrecoverable — so this must only run on
+    * frames nothing references anymore. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** (doc, shingle) inverted index with per-doc set size. The size is
     * derived AFTER the explode via a window count — `size(sh)` next to
@@ -325,12 +347,21 @@ object Dedup {
       shingleN: Int = 5,
       threshold: Double = 0.35): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // branch-free: df and per-doc rank come from two windows over the
-    // SAME flow (a groupBy-join formulation would recompute the
-    // shingling once per branch), and candidates come from the bucket
-    // shape rather than a self-join.
+    // Document frequency comes from a map-side-combinable aggregation
+    // joined back on shingle — NOT from `count(*) over (partition by
+    // shingle)`. This operator exists for skew-heavy corpora, and a
+    // stop-shingle's whole postings list would funnel through a single
+    // window task; the aggregate partials combine map-side, and a
+    // skewed join partition is AQE-splittable (a window partition is
+    // not). Cost: the df branch re-runs the shingle explode (one extra
+    // linear map-side pass) — Spark plan branches don't share work,
+    // and that beats a driverless single-task funnel at scale.
+    val dfBranch = documents
+      .select(explode(graft.functions.ShingleSet(col("text"), shingleN)).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
     val ranked = shingleIndex(documents, shingleN)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .join(dfBranch, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
     val prefixLen = floor(col("n_sh") * (1.0 - threshold)) + 1

@@ -101,6 +101,20 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components leave no superseded checkpoint blocks cached") {
+    // the iterative loop localCheckpoints every round; superseded
+    // rounds and the edge relation must be unpersisted, so storage is
+    // flat in the round count — only the returned labels stay cached
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Dedup.connectedComponents(pairs)
+    got.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"leaked checkpoint blocks: $before persistent RDDs before, $after after")
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)

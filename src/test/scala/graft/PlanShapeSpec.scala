@@ -137,6 +137,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }.sum
   }
 
+  test("dedup_ngram_prefix computes df by aggregation, not a per-shingle window") {
+    // a stop-shingle's postings list must not funnel through one
+    // window task — df comes from a map-side-combinable groupBy whose
+    // join back is AQE-skew-splittable
+    val p = finalPlan("dedup_ngram_prefix")
+    assert(!"windowspecdefinition\\(shingle".r.findFirstIn(p).isDefined,
+      "df stage still windows over shingle:\n" + p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "df aggregation is not partial (map-side combinable)")
+  }
+
   test("ref decode chains evaluate each from_json exactly once per row") {
     // without the OptimizerBarrier, predicate pushdown duplicates the
     // whole envelope→unbase64→customer chain once per filter conjunct
