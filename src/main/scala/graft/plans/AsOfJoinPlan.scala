@@ -127,7 +127,23 @@ case class AsOfJoinExec(
     val outRows = longMetric("numOutputRows")
     val matchedRows = longMetric("numMatched")
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // The merge pairs partitions positionally, which is only sound if
+    // both children arrive hash-partitioned on the keys into the SAME
+    // partition count. EnsureRequirements co-partitions multi-child
+    // clustered distributions and AQE coalesces sibling shuffles in
+    // lockstep (and OptimizeSkewedJoin only rewrites SMJ/SHJ, so it
+    // can never split one side of this node) — but ClusteredDistribution
+    // does not *guarantee* equal counts, so fail loudly rather than
+    // let zipPartitions throw its cryptic error or, worse, mis-pair.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children arrived with mismatched partition counts " +
+        s"(left=${lRdd.getNumPartitions}, right=${rRdd.getNumPartitions}); " +
+        "the streaming merge zips partitions pairwise and requires " +
+        "identical hash co-partitioning on the join keys")
+
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTimeBound = BindReferences.bindReference(lTimeExpr, lOut)

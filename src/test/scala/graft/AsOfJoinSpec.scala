@@ -76,6 +76,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type mismatch"), e.getMessage)
   }
 
+  test("native as-of survives adversarial AQE coalescing with lopsided inputs") {
+    // AQE coalesces tiny shuffle partitions after the fact; if it ever
+    // coalesced the two sides independently, the positional
+    // zipPartitions pairing would mis-pair (the exec now fails loudly
+    // on mismatched counts). Deliberately lopsided input partitioning
+    // + aggressive coalescing exercises that path end-to-end.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      val e = Tables.events(spark, TestSpark.sfDir)
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+        .repartition(7)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id".as("r_user"), unix_micros($"ts").as("r_t"),
+          $"event_id".as("click_id"))
+        .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+        .repartition(3)
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"click_id").as[(Long, Option[Long])].collect().toSet
+      val native = shape(AsOfJoin.asOfNative(
+        purchases, clicks, $"user_id", $"r_user", $"t_us", $"r_t"))
+      val window = shape(AsOfJoin.asOf(
+        purchases, clicks, $"user_id", $"r_user", $"t_us", $"r_t"))
+      assert(native.nonEmpty)
+      assert(native == window,
+        s"diff=${(native -- window).take(3)} / ${(window -- native).take(3)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("native as-of plans as AsOfJoinExec with co-partitioned sorted children") {
     val left = Seq((1L, 1L, 100L), (2L, 2L, 100L)).toDF("k", "lid", "t")
     val right = Seq((1L, 91L, 99L)).toDF("rk", "rid", "rt")
