@@ -206,6 +206,61 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs whose per-token bits come from md5 — the
+    * oracle-parity variant of [[simhashPairs]]: md5 is byte-identical
+    * in every engine, so a SQL oracle (DuckDB) reproduces tokenize →
+    * md5-nibble bits → frequency-weighted bit votes → sign vector →
+    * hamming pairs end-to-end and the WHOLE pipeline is hash-verified,
+    * not just row-counted. Production corpora should prefer
+    * [[simhashPairs]] (single-pass xxhash64 kernel, no 64-column
+    * aggregation); this variant trades one wide (but map-side partial)
+    * aggregation for engine-neutral hashing.
+    *
+    * The 64-bit signature is carried as 4×16-bit chunk ints (c0..c3,
+    * c0 = bits 0-15): no unsigned-64 / sign-bit traps in engines
+    * without a uint64, and the chunks double as the pigeonhole
+    * blocking keys (hamming <= 3 forces agreement on >= 1 chunk).
+    * Same bucket shape as [[simhashPairs]]: signatures computed once,
+    * pairs out of bucket combinations, exhaustive by construction. */
+  def simhashPairsMd5(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", md5(col("tok")))
+    // bit j of a token = bit (j mod 4) of hex nibble (j div 4) of md5
+    val bitVotes = (0 until 64).map { j =>
+      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, j % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sigs = toks.groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map { c =>
+        (0 until 16).map { b =>
+          when(col(s"b${c * 16 + b}") > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _).as(s"c$c")
+      }: _*)
+    val chunked = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .toDF("doc_id", "c0", "c1", "c2", "c3", "chunk", "chunk_val")
+    val buckets = chunked
+      .groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(
+        col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val sorted = array_sort(col("ids"))
+    val pairs = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        (0 until 4).map(c =>
+          bit_count(col(s"p.a.c$c").bitwiseXOR(col(s"p.b.c$c"))))
+          .reduce(_ + _).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * that appears in a pair gets the MINIMUM doc_id of its component
     * as `cluster_id` — the canonical-survivor assignment that turns

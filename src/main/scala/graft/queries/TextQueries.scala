@@ -16,9 +16,12 @@ import graft.operators.Dedup
   *    is — the brute-force Jaccard definition serves as its oracle
   *    because fixed-seed recall is deterministically total at the
   *    gate's SF (see the oracle's comment for the measured margins);
-  *  - SimHash stays oracle-free: its output VALUES (hamming between
-  *    xxhash-derived signatures) are themselves hash-dependent;
-  *    correctness is covered by ScalaTest instead.
+  *  - SimHash is oracled through its md5-bit variant: md5 is
+  *    byte-identical in both engines, so DuckDB recomputes the full
+  *    tokenize → bit-vote → sign → hamming-pair pipeline from first
+  *    principles (brute-force all-pairs — the pigeonhole blocking is
+  *    exhaustive by construction, so the pair sets must match). The
+  *    xxhash64 kernel path keeps its ScalaTest bit-parity coverage.
   */
 object TextQueries {
 
@@ -46,8 +49,12 @@ object TextQueries {
       Dedup.minhashLsh(Tables.documents(s, d))
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // md5-bit variant so the whole pipeline (tokenize → bit votes →
+    // sign vector → pigeonhole blocking → hamming join) is DuckDB-
+    // hash-verified; the single-pass xxhash64 kernel path
+    // (Dedup.simhashPairs) is pinned bit-identical by DedupSpec.
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d))),
+      Dedup.simhashPairsMd5(Tables.documents(s, d))),
 
     // pairwise dedup → per-cluster canonical assignment: connected
     // components over the exact n-gram-Jaccard pair graph, cluster_id
@@ -219,6 +226,40 @@ object TextQueries {
                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
             FROM base a JOIN base b ON a.doc_id < b.doc_id)
           SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.5""",
+
+    // brute-force first-principles SimHash: per-token bits from md5
+    // nibbles (byte-identical across engines), frequency-weighted bit
+    // votes, sign vector as 4x16-bit chunk ints, all-pairs hamming.
+    // The Spark side blocks on chunks, but hamming <= 3 forces
+    // agreement on >= 1 of 4 chunks (pigeonhole), so blocking is
+    // exhaustive and the pair sets must match exactly.
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0),
+         th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         votes AS (
+           SELECT doc_id, j,
+                  SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
+                                 >> (j % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
+           GROUP BY doc_id, j),
+         sigs AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN v > 0 AND j < 16 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 16 AND j < 32 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 32 AND j < 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM votes GROUP BY doc_id)
+         SELECT * FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3""",
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($ngramOracle),
