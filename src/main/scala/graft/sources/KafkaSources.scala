@@ -13,7 +13,10 @@ import org.apache.spark.sql.Row
   * so do we; these builders compile against stock Spark and fail fast
   * at runtime if the connector jar is absent. All graft pipelines are
   * source-agnostic (they take the Kafka-shaped DataFrame), so tests
-  * drive them through MemoryStream and batch frames instead.
+  * drive them through MemoryStream and batch frames — and
+  * KafkaRoundTripSpec additionally executes `toTopic`/`topicBatch`
+  * themselves end-to-end against a test-classpath fake that implements
+  * the connector's column/option contract (graft.fakekafka).
   */
 object KafkaSources {
 
