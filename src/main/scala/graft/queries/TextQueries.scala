@@ -168,7 +168,86 @@ object TextQueries {
         .groupBy("tok")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc)
-        .limit(50)))
+        .limit(50)),
+
+    // Gopher-style repetition signals (the quality-filter family the
+    // existing text_quality ratios don't cover): per document, the
+    // duplicate-n-gram fraction (1 - distinct/total) and the fraction
+    // of n-grams claimed by the single most frequent one, for n=2,3.
+    // Shape: ONE scan (both widths explode out of one projection,
+    // subexpression elimination shares the tokenization), then two
+    // map-side-combinable aggregations keyed by doc_id — row-local +
+    // well-distributed keys, nothing skew-prone at 100 TB. Docs with
+    // fewer than n tokens have no n-grams: their n=3 columns are NULL
+    // and sub-2-token docs are absent, in both engines.
+    "text_gopher_quality" -> ((s, d) => {
+      val grams = Tables.documents(s, d).select(
+        col("doc_id"),
+        explode(map(
+          lit(2), shingles(tokens(col("text")), 2),
+          lit(3), shingles(tokens(col("text")), 3))))
+        .toDF("doc_id", "n", "grams")
+        .select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+      val per = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(
+          sum("c").as("total"), count(lit(1)).as("uniq"), max("c").as("top_c"))
+      def frac(numer: org.apache.spark.sql.Column) =
+        round(numer / col("total").cast("double"), 6)
+      // exactly one row per (doc, n): max(when(...)) just routes it
+      per.groupBy("doc_id").agg(
+        max(when(col("n") === 2,
+          round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6)))
+          .as("dup_2gram_frac"),
+        max(when(col("n") === 2, frac(col("top_c").cast("double")))).as("top_2gram_frac"),
+        max(when(col("n") === 3,
+          round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6)))
+          .as("dup_3gram_frac"),
+        max(when(col("n") === 3, frac(col("top_c").cast("double")))).as("top_3gram_frac"))
+    }),
+
+    // BM25 retrieval scoring of the corpus against a fixed query
+    // ("spark join stream"), top-20 with a doc_id tiebreak. Uses the
+    // RATIONAL idf variant (N - df + 0.5)/(df + 0.5) — no logarithm —
+    // so every arithmetic step is an IEEE double op with an identical
+    // evaluation order in both engines and the oracle hash-matches
+    // bit-for-bit (ln() parity across math libraries is not
+    // guaranteed; ranking is unaffected since ln is monotone).
+    // Shape at scale: tf filters to query terms right after the
+    // explode (tiny relation), df aggregates that relation map-side,
+    // doc lengths join on well-distributed doc_id, and the corpus
+    // constants (avgdl, N) broadcast as a one-row frame. Top-k plans
+    // as TakeOrderedAndProject, no global sort.
+    "text_bm25" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dls.agg(
+        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val tfs = toks.where(col("tok").isin("spark", "join", "stream"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tfs
+        .join(broadcast(dfs), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("tscore",
+          col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      scored.groupBy("doc_id").agg(
+        (coalesce(max(when(col("tok") === "spark", col("tscore"))), lit(0.0)) +
+          coalesce(max(when(col("tok") === "join", col("tscore"))), lit(0.0)) +
+          coalesce(max(when(col("tok") === "stream", col("tscore"))), lit(0.0)))
+          .as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }))
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
   // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)
@@ -411,5 +490,63 @@ object TextQueries {
       s"""SELECT tok, count(*) AS n FROM (
             SELECT unnest($tokensSql) AS tok FROM documents WHERE lang = 'en')
           WHERE length(tok) > 0
-          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")
+          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
+
+    "text_gopher_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n,
+                  unnest(CASE WHEN len(t) >= 2
+                    THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+                    ELSE [] END) AS gram
+           FROM toks
+           UNION ALL
+           SELECT doc_id, 3 AS n,
+                  unnest(CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    ELSE [] END) AS gram
+           FROM toks),
+         c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         per AS (
+           SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total,
+                  count(*) AS uniq, max(c) AS top_c
+           FROM c GROUP BY 1, 2)
+         SELECT doc_id,
+           max(CASE WHEN n = 2 THEN round(1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE), 6) END) AS dup_2gram_frac,
+           max(CASE WHEN n = 2 THEN round(CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE), 6) END) AS top_2gram_frac,
+           max(CASE WHEN n = 3 THEN round(1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE), 6) END) AS dup_3gram_frac,
+           max(CASE WHEN n = 3 THEN round(CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE), 6) END) AS top_3gram_frac
+         FROM per GROUP BY doc_id""",
+
+    "text_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0),
+         dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (
+           SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                  count(*) AS n_docs
+           FROM dls),
+         tfs AS (
+           SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+         dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok),
+         scored AS (
+           SELECT t.doc_id, t.tok,
+                  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                   (CAST(df AS DOUBLE) + 0.5)) *
+                  ((CAST(tf AS DOUBLE) * 2.2) /
+                   (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl AS DOUBLE) / avgdl)))) AS tscore
+           FROM tfs t
+           JOIN dfs USING (tok) JOIN dls USING (doc_id) CROSS JOIN stats)
+         SELECT doc_id,
+                round(coalesce(max(CASE WHEN tok = 'spark' THEN tscore END), 0.0) +
+                      coalesce(max(CASE WHEN tok = 'join' THEN tscore END), 0.0) +
+                      coalesce(max(CASE WHEN tok = 'stream' THEN tscore END), 0.0), 6) AS bm25
+         FROM scored GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")
 }
