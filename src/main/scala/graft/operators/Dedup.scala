@@ -117,10 +117,16 @@ object Dedup {
     * (Spark plan branches don't share work), or require a persist that
     * this operator would have no safe point to release. */
   def verifyJaccard(pairs: DataFrame, documents: DataFrame, shingleN: Int): DataFrame = {
-    val sets = documents.select(
-      col("doc_id"),
-      graft.functions.ShingleSet(col("text"), shingleN).as("sh"),
-      size(graft.functions.ShingleSet(col("text"), shingleN)).as("n_sh"))
+    // n_sh derives from the ALIASED set in a second projection:
+    // ShingleSet is CodegenFallback (no codegen subexpression
+    // elimination), and CollapseProject refuses to inline a non-cheap
+    // producer referenced twice — so the shingling runs once per row,
+    // not once per referencing column
+    val sets = documents
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleSet(col("text"), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
     val sides = pairs.select(
       col("a_id"), col("b_id"),
       explode(array(col("a_id"), col("b_id"))).as("doc_id"))
@@ -293,10 +299,17 @@ object Dedup {
     var it = 0
     var converged = labels.isEmpty
     while (!converged && it < maxIter) {
+      // each doc contributes exactly one row from the labels branch, so
+      // min(prev) recovers its previous label through the aggregation —
+      // the convergence test then reads straight off the checkpointed
+      // result instead of costing a join+shuffle of its own per round
       val propagated = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-        .unionAll(labels)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast("long").as("prev"))
+        .unionAll(labels.select(
+          col("doc_id"), col("cluster_id"), col("cluster_id").as("prev")))
+        .groupBy("doc_id").agg(
+          min("cluster_id").as("cluster_id"), min("prev").as("prev"))
       // pointer jump: follow my label to ITS label (labels are doc ids,
       // so every label row exists in the labels relation)
       val next = propagated
@@ -304,15 +317,14 @@ object Dedup {
           propagated("cluster_id") === col("p_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .where(col("cluster_id") =!= col("prev"))
-        .isEmpty
+      converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
       // `next` is eagerly materialized and the convergence check has
       // run — nothing references the superseded round's blocks anymore
       unpersistLocalCheckpoint(labels)
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
       it += 1
     }
     require(converged,

@@ -64,6 +64,18 @@ object KafkaSources {
   def toMemory(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode("append").start()
 
+  /** foreachBatch sink: the operational idiom for multi-sink or upsert
+    * writes — each micro-batch arrives as a reusable batch DataFrame
+    * plus its epoch id, under the same checkpointed at-least-once
+    * batch-replay contract as any sink. At scale this is how the
+    * reference's single-topic sink generalizes (land parquet AND
+    * update a serving index from one stream, dedup on epoch id). */
+  def toForeachBatch(df: DataFrame, checkpointLocation: String)(
+      f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch(f)
+
   /** File-lake sink: partitioned parquet with checkpointed exactly-once
     * semantics — what a 100 TB ingest actually lands on. */
   def toParquet(

@@ -169,6 +169,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists())
   }
 
+  test("foreachBatch sink sees each micro-batch as a batch frame with its epoch id") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = graft.sources.KafkaSources.toForeachBatch(
+      mem.toDF().toDF("id", "v"), s"$dir/chk") { (batch, epoch) =>
+      // the batch frame is a full batch DataFrame: aggregations work
+      seen.synchronized { seen += ((epoch, batch.select("id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted)) }
+    }.start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byEpoch = seen.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(byEpoch.map(_._2) == Seq(Seq(1L, 2L), Seq(3L)), seen.toString)
+    // epoch ids strictly increase (the id foreachBatch dedups on)
+    assert(byEpoch.map(_._1) == byEpoch.map(_._1).distinct.sorted)
+  }
+
   test("streaming query restarts from checkpoint with exactly-once output") {
     // the reference's operational contract (sparkpykafkajoin.py:150):
     // a sink with a checkpointLocation must survive a stop/restart —
