@@ -74,6 +74,70 @@ object SimHash64 {
     Bridge.column(SimHash64(Bridge.expression(text)))
 }
 
+/** md5-bit SimHash: like [[SimHash64]] but every token occurrence's 64
+  * vote bits come from its md5 (bit j = bit (j mod 4) of hex nibble
+  * (j div 4)) — md5 is byte-identical in every engine, so the DuckDB
+  * oracle recomputes the signature from first principles (see
+  * `Dedup.simhashPairsMd5`). Tokens are the non-empty `\s+` splits of
+  * lowercase text; null when the document has none (the aggregation
+  * form drops token-less documents, so pair outputs agree). */
+case class Md5SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_simhash64 expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.split(TextHash.WS, -1)
+    val votes = new Array[Int](64)
+    val md = Md5SimHash64.digest.get()
+    var any = false
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.numBytes() > 0) {
+        any = true
+        md.reset()
+        val d = md.digest(tok.getBytes)
+        var j = 0
+        while (j < 64) {
+          val k = j >> 2 // hex-nibble index; even = high nibble of byte k/2
+          val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
+          if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) null
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5SimHash64 {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  def apply(text: Column): Column =
+    Bridge.column(Md5SimHash64(Bridge.expression(text)))
+}
+
 /** MinHash signature of the document's `shingleN`-gram set under
   * `numHashes` seeds: min over shingles of xxhash64(shingle, k) —
   * exactly the value `Dedup.minhashSignaturesAgg` computes, without

@@ -217,10 +217,11 @@ object Dedup {
     * in every engine, so a SQL oracle (DuckDB) reproduces tokenize →
     * md5-nibble bits → frequency-weighted bit votes → sign vector →
     * hamming pairs end-to-end and the WHOLE pipeline is hash-verified,
-    * not just row-counted. Production corpora should prefer
-    * [[simhashPairs]] (single-pass xxhash64 kernel, no 64-column
-    * aggregation); this variant trades one wide (but map-side partial)
-    * aggregation for engine-neutral hashing.
+    * not just row-counted. Signatures come from the single-pass
+    * [[graft.functions.Md5SimHash64]] kernel (zero-shuffle, same scale
+    * story as [[simhashPairs]]); the explode + 64-vote-sum formulation
+    * the oracle mirrors is kept as [[simhashSignaturesMd5Agg]] with a
+    * bit-parity spec.
     *
     * The 64-bit signature is carried as 4×16-bit chunk ints (c0..c3,
     * c0 = bits 0-15): no unsigned-64 / sign-bit traps in engines
@@ -228,7 +229,24 @@ object Dedup {
     * blocking keys (hamming <= 3 forces agreement on >= 1 chunk).
     * Same bucket shape as [[simhashPairs]]: signatures computed once,
     * pairs out of bucket combinations, exhaustive by construction. */
-  def simhashPairsMd5(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsMd5(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    chunkPairs(simhashSignaturesMd5(documents), maxHamming)
+
+  /** Signatures for [[simhashPairsMd5]] in ONE narrow pass via the
+    * [[graft.functions.Md5SimHash64]] kernel — zero shuffle for the
+    * signature stage — emitted as 4×16-bit chunk ints. */
+  def simhashSignaturesMd5(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), graft.functions.Md5SimHash64(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL))
+          .cast("int").as(s"c$c")): _*)
+
+  /** Reference formulation of [[simhashSignaturesMd5]] via explode +
+    * 64 bit-vote sums — kept for the bit-parity spec (and it is the
+    * formulation the DuckDB oracle mirrors line-for-line). */
+  def simhashSignaturesMd5Agg(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .where(length(col("tok")) > 0)
@@ -238,13 +256,18 @@ object Dedup {
       val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
       sum(when(shiftright(nib, j % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val sigs = toks.groupBy("doc_id")
+    toks.groupBy("doc_id")
       .agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id") +: (0 until 4).map { c =>
         (0 until 16).map { b =>
           when(col(s"b${c * 16 + b}") > 0, lit(1 << b)).otherwise(lit(0))
         }.reduce(_ + _).as(s"c$c")
       }: _*)
+  }
+
+  /** Chunk-blocked hamming pairs over (doc_id, c0..c3) signatures —
+    * the shared tail of the md5 SimHash paths. */
+  private def chunkPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = sigs.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))

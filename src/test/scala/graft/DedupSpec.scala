@@ -90,6 +90,17 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("single-pass md5 simhash kernel is bit-identical to the aggregation form") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val fast = Dedup.simhashSignaturesMd5(d)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    val ref = Dedup.simhashSignaturesMd5Agg(d)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(fast.nonEmpty)
+    assert(fast == ref,
+      s"diff=${(fast -- ref).take(3)} / ${(ref -- fast).take(3)}")
+  }
+
   test("connected components merge chained pairs into one min-labeled cluster") {
     // chain 5-4, 4-3, 3-2, 2-1 needs several propagation rounds to
     // settle on min label 1; the 10-11 pair is a separate component
