@@ -367,17 +367,24 @@ object Dedup {
       case _ => ()
     }
 
-  /** (doc, shingle) inverted index with per-doc set size. The size is
-    * derived AFTER the explode via a window count — `size(sh)` next to
-    * `explode(sh)` would make Catalyst evaluate the whole shingling
-    * expression twice per row, which dominates the operator's cost. */
+  /** (doc, shingle) inverted index with per-doc set size. The size
+    * derives from the ALIASED set in a second projection before the
+    * explode: `size(sh)` inline next to `explode(sh)` would evaluate
+    * the shingling twice per row (ShingleSet is CodegenFallback — no
+    * codegen subexpression elimination — and CollapseProject refuses
+    * to inline a non-cheap producer referenced twice, which is exactly
+    * what keeps the two-projection form single-evaluation). This shape
+    * needs NO shuffle at all — the earlier `count() over (partition by
+    * doc_id)` formulation reshuffled the entire inverted index just to
+    * recover a size the array already knew. */
   private def shingleIndex(documents: DataFrame, shingleN: Int): DataFrame =
     documents.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lit(200)).cast("long").as("len_band"),
-      explode(graft.functions.ShingleSet(col("text"), shingleN)).as("shingle"))
-      .withColumn("n_sh",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      graft.functions.ShingleSet(col("text"), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id"), col("lang"), col("len_band"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
 
   /** Per-pair intersection counts from an inverted shingle index, in
     * ONE pass: bucket by shingle (single shuffle), emit each bucket's

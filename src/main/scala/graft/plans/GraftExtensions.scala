@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HyperplaneBandSignature, MinHashSignature, ShingleSet, SimHash64}
+import graft.functions.{CosineSimilarity, HyperplaneBandSignature, Md5SimHash64, MinHashSignature, ShingleSet, SimHash64}
 
 /** Engine extension wiring (SparkSessionExtensions): registers graft's
   * native Catalyst expressions as SQL functions, so `spark.sql` users
@@ -58,6 +58,12 @@ object GraftExtensions {
       "simhash64(text) - 64-bit SimHash of whitespace-tokenized lowercase text") { args =>
       require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
       SimHash64(args.head)
+    },
+    descriptor("md5_simhash64", classOf[Md5SimHash64],
+      "md5_simhash64(text) - 64-bit SimHash with per-token bits from md5 " +
+        "(engine-neutral; SQL-oracle-verifiable)") { args =>
+      require(args.length == 1, s"md5_simhash64 expects 1 argument, got ${args.length}")
+      Md5SimHash64(args.head)
     },
     descriptor("shingle_set", classOf[ShingleSet],
       "shingle_set(text, n) - distinct word n-gram shingles, first-occurrence order") { args =>
