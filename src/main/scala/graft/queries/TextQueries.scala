@@ -212,39 +212,39 @@ object TextQueries {
     // evaluation order in both engines and the oracle hash-matches
     // bit-for-bit (ln() parity across math libraries is not
     // guaranteed; ranking is unaffected since ln is monotone).
-    // Shape at scale: tf filters to query terms right after the
-    // explode (tiny relation), df aggregates that relation map-side,
-    // doc lengths join on well-distributed doc_id, and the corpus
-    // constants (avgdl, N) broadcast as a one-row frame. Top-k plans
-    // as TakeOrderedAndProject, no global sort.
+    // Shape at scale: ONE explode + one doc_id aggregation carries
+    // both document length and the per-term tfs; the corpus-stats
+    // branch is the IDENTICAL subtree, so its shuffle is reused
+    // (ReusedExchange), not recomputed, and the one-row stats frame
+    // broadcasts back — no join on doc_id at all. Top-k plans as
+    // TakeOrderedAndProject, no global sort.
     "text_bm25" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      val terms = Seq("spark", "join", "stream")
+      val perDocAggs = count(lit(1)).as("dl") +:
+        terms.map(t => sum(when(col("tok") === t, 1).otherwise(0)).as(s"tf_$t"))
+      val perDoc = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .where(length(col("tok")) > 0)
-      val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dls.agg(
-        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-        count(lit(1)).as("n_docs"))
-      val tfs = toks.where(col("tok").isin("spark", "join", "stream"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = tfs
-        .join(broadcast(dfs), "tok")
-        .join(dls, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))
-        .withColumn("tscore",
-          col("idf") * ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        .groupBy("doc_id")
+        .agg(perDocAggs.head, perDocAggs.tail: _*)
+      val statAggs =
+        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
+          count(lit(1)).as("n_docs") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      // per-term arithmetic identical to the oracle's (doc, term) rows:
+      // idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl)), k1=1.2 b=0.75
+      def termScore(t: String) = when(col(s"tf_$t") > 0,
+        ((col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5))) *
+          ((col(s"tf_$t").cast("double") * lit(2.2)) /
+            (col(s"tf_$t").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
               (col("dl").cast("double") / col("avgdl"))))))
-      scored.groupBy("doc_id").agg(
-        (coalesce(max(when(col("tok") === "spark", col("tscore"))), lit(0.0)) +
-          coalesce(max(when(col("tok") === "join", col("tscore"))), lit(0.0)) +
-          coalesce(max(when(col("tok") === "stream", col("tscore"))), lit(0.0)))
-          .as("raw"))
-        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+        .otherwise(lit(0.0))
+      perDoc.crossJoin(broadcast(stats))
+        .where(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+        .select(col("doc_id"),
+          round(terms.map(termScore).reduce(_ + _), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)
     }))

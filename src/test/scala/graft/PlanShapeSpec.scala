@@ -137,6 +137,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }.sum
   }
 
+  test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
+    // dl + per-term tfs come from ONE explode+aggregation; the stats
+    // branch is the identical subtree, so its shuffle must be reused,
+    // not recomputed (a second corpus pass at 100 TB otherwise)
+    val p = finalPlan("text_bm25")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      "stats branch recomputes the per-doc aggregation:\n" + p.take(1500))
+  }
+
   test("dedup_ngram_prefix computes df by aggregation, not a per-shingle window") {
     // a stop-shingle's postings list must not funnel through one
     // window task — df comes from a map-side-combinable groupBy whose
