@@ -66,6 +66,58 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** Binary-quantized kNN: every embedding compresses to its sign
+    * bits, packed 64-per-long (dimension d → bit (d mod 64) of word
+    * (d div 64), set iff vec[d] > 0) — 32× smaller than float32 — and
+    * neighbors rank by hamming distance over the packed words, which
+    * approximates angular distance. This is the standard cheap
+    * first-pass retrieval at 100 TB scale: a hamming scan over packed
+    * words costs a couple of XOR+popcount per candidate (vs. D
+    * multiply-adds), and survivors can be exactly rescored downstream.
+    *
+    * Same broadcast-queries + two-phase salted top-k shape as
+    * [[bruteForceKnn]]; the total order (hamming asc, vec_id asc) is
+    * shared by both phases, so the result equals the single-window
+    * formulation. Output carries (query_id, vec_id, rank, hamming) —
+    * representation-independent, so the oracle recomputes it as the
+    * count of sign-disagreeing dimensions without any bit packing. */
+  def binaryKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    // sign-bit packing and word-wise hamming, HOF form (kept inside
+    // the optimizer; a codegen'd kernel is the next rung if packing
+    // ever dominates — it is one linear pass either way)
+    val packed = expr(
+      """transform(
+           sequence(0, cast((size(embedding) + 63) div 64 as int) - 1),
+           w -> aggregate(
+             sequence(w * 64, cast(least(w * 64 + 63, size(embedding) - 1) as int)),
+             0L,
+             (acc, d) -> if(element_at(embedding, d + 1) > 0.0F,
+                            acc | shiftleft(1L, d % 64), acc)))""")
+    val sigs = embeddings.select(col("vec_id"), packed.as("sig"))
+    val queries = sigs
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val scored = sigs
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(qsig, sig, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)")
+          .as("hamming"))
+    val wPartial = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val partial = scored
+      .withColumn("pr", row_number().over(wPartial))
+      .where(col("pr") <= k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "hamming")
+  }
+
   /** ANN via random-hyperplane LSH: bucket = packed sign bits of
     * `planes` deterministic hyperplane projections; candidates are
     * same-bucket pairs, top-k per query among them.

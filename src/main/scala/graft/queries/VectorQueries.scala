@@ -23,6 +23,12 @@ object VectorQueries {
     "knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
 
+    // binary quantization: sign bits packed 64-per-long, hamming
+    // ranking — output is representation-independent, so the oracle
+    // counts sign-disagreeing dimensions directly.
+    "knn_binary" -> ((s, d) =>
+      Similarity.binaryKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     "knn_lsh_mp" -> ((s, d) =>
       Similarity.lshKnnMultiProbe(Tables.embeddings(s, d), planes = 8, k = 5)),
 
@@ -270,6 +276,21 @@ object VectorQueries {
              FROM scored)
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
+
+    "knn_binary" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   CAST(len(list_filter(range(1, len(e.embedding) + 1),
+                       i -> (qv[i] > 0.0) != (e.embedding[i] > 0.0))) AS INT) AS hamming
+            FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, vec_id ASC) AS rank
+            FROM scored)
+         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, hamming
+         FROM ranked WHERE rank <= 5""",
 
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,

@@ -43,6 +43,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("binary-quantized hamming equals per-dimension sign disagreement") {
+    // the packed 64-bits-per-long representation is an optimization;
+    // its XOR+popcount hamming must equal the definitional count of
+    // dimensions whose signs disagree
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val packedResult = Similarity.binaryKnn(e, nQueries = 4, k = 3)
+      .select("query_id", "vec_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val q = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val direct = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("""aggregate(zip_with(qv, embedding,
+                  (x, y) -> if((x > 0.0F) != (y > 0.0F), 1, 0)),
+                0, (a, b) -> a + b)""").as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    val directTop = direct.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3).select("query_id", "vec_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(packedResult.nonEmpty)
+    assert(packedResult == directTop,
+      s"diff=${(packedResult -- directTop).take(3)} / ${(directTop -- packedResult).take(3)}")
+  }
+
   test("cosineNearDup only pairs within the same label block") {
     val vecs = Seq(
       (0L, Array(1f, 0f), 0),
