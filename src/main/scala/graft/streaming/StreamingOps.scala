@@ -126,4 +126,40 @@ object StreamingOps {
           }
       }
   }
+
+  case class KeyedValue(key: Long, value: Double)
+  case class RunningMax(key: Long, max: Double)
+
+  /** Spark 4 `transformWithState` processor (the arbitrary-stateful
+    * successor of flatMapGroupsWithState): per-key running maximum in
+    * a typed [[org.apache.spark.sql.streaming.ValueState]]. The API is
+    * RocksDB-only by design (its state layout needs column families),
+    * which is also the right provider for 100 TB streaming state. */
+  class RunningMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedValue, RunningMax] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Double]("max",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedValue],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningMax] = {
+      var mx = if (state.exists()) state.get() else Double.NegativeInfinity
+      rows.foreach(r => mx = math.max(mx, r.value))
+      state.update(mx)
+      Iterator.single(RunningMax(key, mx))
+    }
+  }
+
+  /** Per-key running max via `transformWithState`, emitted in update
+    * mode on every change. Run under the RocksDB state store provider
+    * (see StreamingOpsSpec). */
+  def runningMax(spark: SparkSession, ds: Dataset[KeyedValue]): Dataset[RunningMax] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new RunningMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -169,6 +169,82 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists())
   }
 
+  test("stateful aggregation runs on the RocksDB state store provider") {
+    // HDFS-backed state lives on the executor heap — a non-starter for
+    // 100 TB streaming state. RocksDB spills to local disk with
+    // changelog checkpointing; this pins that the engine's stateful
+    // operators actually run (and produce identical results) on it.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    // the provider is a session conf captured into the query at start
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try StreamingOps.windowedEventCounts(df, watermark = "5 minutes", windowLen = "10 minutes")
+        .writeStream.format("memory").queryName("rocks_out").outputMode("append")
+        .option("checkpointLocation", s"$dir/chk")
+        .start()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(59), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rocks_out")
+        .select("event_type", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)))
+      // the state store actually ran on RocksDB, not the default
+      val progress = q.lastProgress.stateOperators
+      assert(progress.nonEmpty)
+      val used = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(op => Option(op.customMetrics)).exists { m =>
+          val it = m.keySet().iterator()
+          var found = false
+          while (it.hasNext && !found) found = it.next().startsWith("rocksdb")
+          found
+        }
+      assert(used, "no rocksdb custom metrics — provider option did not take effect")
+    } finally q.stop()
+  }
+
+  test("transformWithState keeps typed per-key state across batches (running max)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.KeyedValue]
+    val q =
+      try StreamingOps.runningMax(spark, mem.toDS())
+        .writeStream.format("memory").queryName("tws_out").outputMode("update")
+        .option("checkpointLocation", s"$dir/chk")
+        .start()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    try {
+      mem.addData(StreamingOps.KeyedValue(1L, 5.0), StreamingOps.KeyedValue(1L, 3.0),
+        StreamingOps.KeyedValue(2L, 7.0))
+      q.processAllAvailable()
+      // state survives into the next batch: 4.0 must NOT lower key 1's max
+      mem.addData(StreamingOps.KeyedValue(1L, 4.0), StreamingOps.KeyedValue(2L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .select("key", "max").as[(Long, Double)].collect().toSeq
+      assert(rows.sorted == Seq((1L, 5.0), (1L, 5.0), (2L, 7.0), (2L, 9.0)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink sees each micro-batch as a batch frame with its epoch id") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
