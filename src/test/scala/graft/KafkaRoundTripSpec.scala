@@ -63,6 +63,40 @@ class KafkaRoundTripSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
   }
 
+  test("the reference's literal topology runs: readStream kafka x2 -> join -> writeStream kafka") {
+    // sparkpykafkajoin.py end-to-end with every arrow real: two Kafka
+    // streaming SOURCES (O1, micro-batch path), the no-watermark
+    // stream-stream join (O12), to_json (O13), and the Kafka SINK with
+    // checkpoint (O15) — only the transport is in-memory.
+    graft.fakekafka.FakeKafkaBroker.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka3").toString
+
+    // seed the two input topics through the batch write path
+    WireFixtures.redisTopicFrame(spark, TestSpark.sfDir)
+      .write.format("kafka").option("topic", "redis-server").save()
+    WireFixtures.stediTopicFrame(spark, TestSpark.sfDir)
+      .write.format("kafka").option("topic", "stedi-events").save()
+
+    val joined = StediPipelines.joinPipeline(
+      KafkaSources.topicStream(spark, "fake:9092", "redis-server"),
+      KafkaSources.topicStream(spark, "fake:9092", "stedi-events"))
+    assert(joined.isStreaming, "pipeline lost its streaming nature")
+    val q = KafkaSources.toTopic(
+      joined, "fake:9092", "customer-risk", s"$dir/chk").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = graft.ops.RefOps.castKeyValueToString(
+      KafkaSources.topicBatch(spark, "fake:9092", "customer-risk"))
+      .select("value").as[String].collect().toSet
+    val expected = StediPipelines.joinPipeline(
+      WireFixtures.redisTopicFrame(spark, TestSpark.sfDir),
+      WireFixtures.stediTopicFrame(spark, TestSpark.sfDir))
+      .as[String].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+  }
+
   test("sink enforces the Kafka write contract: a value column is required") {
     val e = intercept[Exception] {
       Seq((1L, "x")).toDF("id", "v").write.format("kafka")

@@ -165,6 +165,7 @@ class FakeKafkaTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = FakeKafkaBroker.READ_SCHEMA
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.ACCEPT_ANY_SCHEMA).asJava
@@ -188,6 +189,13 @@ class FakeKafkaTable(options: CaseInsensitiveStringMap)
     require(topic != null, "subscribe option required for the fake kafka source")
     () => new FakeKafkaScan(topic)
   }
+}
+
+/** Offset = position in the topic log (the fake's analogue of a
+  * single-partition Kafka offset). */
+case class FakeKafkaOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
 }
 
 /** Extracts (key, value) byte pairs from input rows under the write
@@ -250,9 +258,14 @@ class FakeKafkaBatchWrite(topic: String, schema: StructType) extends BatchWrite 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class FakeKafkaScan(topic: String) extends Scan with Batch {
+class FakeKafkaScan(topic: String) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
+
   override def readSchema(): StructType = FakeKafkaBroker.READ_SCHEMA
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot on the driver; offsets are positions in the log
@@ -262,20 +275,42 @@ class FakeKafkaScan(topic: String) extends Scan with Batch {
     Array(FakeKafkaPartition(topic, rows.toArray))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[FakeKafkaPartition]
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < p.rows.length }
-        override def get(): InternalRow = {
-          val (k, v, off) = p.rows(i)
-          new GenericInternalRow(Array[Any](
-            k, v, UTF8String.fromString(p.topic), 0, off, 0L, 1))
-        }
-        override def close(): Unit = ()
-      }
+  // --- micro-batch read: each batch covers log positions [start, end)
+  // (startingOffsets=earliest semantics, like all three ref scripts)
+  override def initialOffset(): V2Offset = FakeKafkaOffset(0L)
+  override def latestOffset(): V2Offset =
+    FakeKafkaOffset(FakeKafkaBroker.read(topic).size.toLong)
+  override def deserializeOffset(json: String): V2Offset =
+    FakeKafkaOffset(json.toLong)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FakeKafkaOffset].n.toInt
+    val hi = end.asInstanceOf[FakeKafkaOffset].n.toInt
+    val rows = FakeKafkaBroker.read(topic).slice(lo, hi).zipWithIndex.map {
+      case ((k, v), i) => (k, v, (lo + i).toLong)
     }
+    Array(FakeKafkaPartition(topic, rows.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = FakeKafkaReaderFactory
+}
+
+object FakeKafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FakeKafkaPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val (k, v, off) = p.rows(i)
+        new GenericInternalRow(Array[Any](
+          k, v, UTF8String.fromString(p.topic), 0, off, 0L, 1))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class FakeKafkaPartition(
