@@ -68,6 +68,20 @@ object CoreQueries {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    // explicit GROUPING SETS (the general form rollup/cube desugar
+    // into) with grouping_id to disambiguate aggregated-away columns
+    // from genuine NULL groups
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))),
+
     "q_percentile" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -426,6 +440,14 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
 
     "q_percentile" ->
       """SELECT o_orderstatus,

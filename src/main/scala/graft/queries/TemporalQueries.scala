@@ -50,6 +50,28 @@ object TemporalQueries {
           (col("t_us") - col("r_t")).as("gap_us"))
     }),
 
+    // as-of with tolerance: the match must also lie within the last
+    // hour, else null — the standard financial-data as-of variant.
+    // Same one-shuffle window shape; tolerance is a post-predicate on
+    // the matched gap (most-recent-at-or-before is within the window
+    // iff its gap is), so the scale story is unchanged.
+    "q_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
+          col("event_id").as("click_id"))
+        .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+      val tolUs = 3600L * 1000 * 1000
+      AsOfJoin.asOf(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("r_user"),
+        leftTime = col("t_us"), rightTime = col("r_t"))
+        .select(col("event_id"), col("user_id"),
+          when(col("t_us") - col("r_t") <= tolUs, col("click_id")).as("click_id"),
+          when(col("t_us") - col("r_t") <= tolUs, col("t_us") - col("r_t")).as("gap_us"))
+    }),
+
     // range join: clicks in the hour before each purchase, keyed by
     // user — an equi-key + time-range join (sort-merge + range filter;
     // never a cross product).
@@ -101,6 +123,19 @@ object TemporalQueries {
            SELECT user_id AS r_user, epoch_us(ts) AS r_t, max(event_id) AS click_id
            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.event_id, p.user_id, c.click_id, p.t_us - c.r_t AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.r_user AND c.r_t <= p.t_us""",
+
+    "q_asof_tolerance" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS r_user, epoch_us(ts) AS r_t, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id,
+                CASE WHEN p.t_us - c.r_t <= 3600000000 THEN c.click_id END AS click_id,
+                CASE WHEN p.t_us - c.r_t <= 3600000000 THEN p.t_us - c.r_t END AS gap_us
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.r_user AND c.r_t <= p.t_us""",
 
