@@ -68,6 +68,23 @@ object CoreQueries {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    // predicate aggregates + deterministic argmax/argmin: the ordering
+    // key is exact integer cents*1e10 + orderkey, so price ties cannot
+    // make the pick engine-dependent (and no float ever orders it) —
+    // DuckDB's arg_max takes the same scalar key
+    "q_agg_predicates" -> ((s, d) => {
+      val ordKey = (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long") *
+        lit(10000000000L) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 900).as("all_above_min"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          max_by(col("o_orderkey"), ordKey).as("priciest_order"),
+          min_by(col("o_orderkey"), ordKey).as("cheapest_order"))
+    }),
+
     // explicit GROUPING SETS (the general form rollup/cube desugar
     // into) with grouping_id to disambiguate aggregated-away columns
     // from genuine NULL groups
@@ -440,6 +457,17 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_agg_predicates" ->
+      """SELECT o_orderstatus,
+           count(*) FILTER (o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 900) AS all_above_min,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                               * 10000000000 + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                               * 10000000000 + o_orderkey) AS cheapest_order
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

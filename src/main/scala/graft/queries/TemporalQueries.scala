@@ -72,6 +72,19 @@ object TemporalQueries {
           when(col("t_us") - col("r_t") <= tolUs, col("t_us") - col("r_t")).as("gap_us"))
     }),
 
+    // RANGE window frame (value-based, not row-based): purchases in
+    // the trailing hour per user — well-defined under timestamp ties
+    // because the frame is bounded by VALUE distance.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t_us"))
+        .rangeBetween(-3600L * 1000 * 1000, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+        .select(col("user_id"), col("event_id"), col("t_us"),
+          count(lit(1)).over(w).as("n_last_hour"))
+    }),
+
     // range join: clicks in the hour before each purchase, keyed by
     // user — an equi-key + time-range join (sort-merge + range filter;
     // never a cross product).
@@ -125,6 +138,13 @@ object TemporalQueries {
          SELECT p.event_id, p.user_id, c.click_id, p.t_us - c.r_t AS gap_us
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.r_user AND c.r_t <= p.t_us""",
+
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS t_us,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+         FROM events WHERE event_type = 'purchase'""",
 
     "q_asof_tolerance" ->
       """WITH p AS (
