@@ -66,6 +66,75 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** Product-quantization (PQ) kNN with ADC scoring — the classic
+    * memory-bound ANN path: each vector compresses to `subspaces`
+    * small codes (argmin codeword per subspace, 4 bytes/vector here vs
+    * 256 for float32), and each query scores the whole corpus through
+    * a tiny per-query lookup table (approximate distance = Σ_m
+    * lut[m][code_m]) — table lookups and adds, no vector arithmetic
+    * per candidate. Codebooks are the subvectors of the first
+    * `codebookSize` vectors: the same deterministic-seed stand-in as
+    * [[ivfKnn]]'s centroids (production would Lloyd-iterate; the
+    * assignment/ADC arithmetic — what the engine and oracle verify —
+    * is identical either way).
+    *
+    * Scale shape: the codebook and the per-query LUTs broadcast (K×M
+    * doubles per query); encoding is one broadcast-expanded linear
+    * pass with a map-side-combinable argmin aggregation; scoring joins
+    * nothing bigger than the LUT frame; top-k is the two-phase salted
+    * pattern. All distance arithmetic is strict left-to-right double
+    * accumulation, so DuckDB reproduces every value bit-for-bit. */
+  def pqKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      salts: Int = 32): DataFrame = {
+    val cb = embeddings.where(col("vec_id") < codebookSize)
+      .select(col("vec_id").cast("int").as("cw_k"), col("embedding").as("cw"))
+    def d2(m: Int, a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(
+          slice(a, m * subDim + 1, subDim),
+          slice(b, m * subDim + 1, subDim),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, t) => acc + t)
+    // encode: codebookSize broadcast rows per vector, argmin(d2, k)
+    // per subspace — struct-min ties break to the smallest codeword
+    val enc = embeddings.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: col("cw_k") +:
+        (0 until subspaces).map(m =>
+          d2(m, col("embedding"), col("cw")).as(s"d2_$m")): _*)
+    val codeAggs = (0 until subspaces).map(m =>
+      min(struct(col(s"d2_$m"), col("cw_k"))).getField("cw_k").as(s"c$m"))
+    val codes = enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    // per-query ADC lookup tables, k-ordered
+    val qd2 = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("cw_k") +:
+        (0 until subspaces).map(m => d2(m, col("q"), col("cw")).as(s"d2_$m")): _*)
+    val lutAggs = (0 until subspaces).map(m =>
+      transform(array_sort(collect_list(struct(col("cw_k"), col(s"d2_$m")))),
+        e => e.getField(s"d2_$m")).as(s"lut_$m"))
+    val luts = qd2.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until subspaces).map(m =>
+          element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
+    val wPartial = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val partial = scored
+      .withColumn("pr", row_number().over(wPartial))
+      .where(col("pr") <= k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "adc_dist")
+  }
+
   /** Binary-quantized kNN: every embedding compresses to its sign
     * bits, packed 64-per-long (dimension d → bit (d mod 64) of word
     * (d div 64), set iff vec[d] > 0) — 32× smaller than float32 — and

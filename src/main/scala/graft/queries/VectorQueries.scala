@@ -29,6 +29,12 @@ object VectorQueries {
     "knn_binary" -> ((s, d) =>
       Similarity.binaryKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // product quantization + ADC: codes and lookup tables are exact
+    // double arithmetic with deterministic tie-breaks, so the whole
+    // encode→LUT→score→top-k pipeline is recomputed by the oracle.
+    "knn_pq" -> ((s, d) =>
+      Similarity.pqKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     "knn_lsh_mp" -> ((s, d) =>
       Similarity.lshKnnMultiProbe(Tables.embeddings(s, d), planes = 8, k = 5)),
 
@@ -276,6 +282,42 @@ object VectorQueries {
              FROM scored)
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
+
+    "knn_pq" -> {
+      // sequential-double subspace squared distance, offset m*16
+      def d2Sql(m: Int, a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 17),
+             i -> (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE)) *
+                  (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE))),
+             (acc, x) -> acc + x)"""
+      val encD2 = (0 until 4).map(m => s"${d2Sql(m, "e.embedding", "cb.cw")} AS d2_$m").mkString(",\n             ")
+      val qD2 = (0 until 4).map(m => s"${d2Sql(m, "q.embedding", "cb.cw")} AS d2_$m").mkString(",\n             ")
+      val codeCols = (0 until 4).map(m => s"first(k ORDER BY d2_$m ASC, k ASC) AS c$m").mkString(", ")
+      val lutCols = (0 until 4).map(m => s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
+      val adc = (0 until 4).map(m => s"lut_$m[c$m + 1]").mkString(" + ")
+      s"""WITH cb AS (
+            SELECT CAST(vec_id AS INT) AS k, embedding AS cw FROM embeddings WHERE vec_id < 16),
+          enc AS (
+            SELECT e.vec_id, cb.k,
+             $encD2
+            FROM embeddings e CROSS JOIN cb),
+          codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+          qenc AS (
+            SELECT q.vec_id AS query_id, cb.k,
+             $qD2
+            FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 8),
+          luts AS (SELECT query_id, $lutCols FROM qenc GROUP BY query_id),
+          scored AS (
+            SELECT query_id, vec_id, $adc AS adc_dist
+            FROM codes CROSS JOIN luts WHERE vec_id <> query_id),
+          ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+          FROM ranked WHERE rank <= 5"""
+    },
 
     "knn_binary" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
