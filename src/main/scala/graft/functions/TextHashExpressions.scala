@@ -27,6 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
 private object TextHash {
   val WS: UTF8String = UTF8String.fromString("\\s+")
   val SPACE: UTF8String = UTF8String.fromString(" ")
+
+  /** Occurrence counts per distinct token. Bit votes are additive in
+    * the count, so hashing once per DISTINCT token is semantically
+    * identical to hashing every occurrence — and much cheaper on the
+    * repetitive corpora the dedup family targets. */
+  def countOccurrences(toks: Array[UTF8String]): java.util.LinkedHashMap[UTF8String, Integer] = {
+    val m = new java.util.LinkedHashMap[UTF8String, Integer]
+    var t = 0
+    while (t < toks.length) {
+      m.merge(toks(t), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      t += 1
+    }
+    m
+  }
 }
 
 /** 64-bit SimHash of whitespace-tokenized lowercase text: every token
@@ -46,15 +60,17 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toLowerCase.split(TextHash.WS, -1)
     val votes = new Array[Int](64)
-    var t = 0
-    while (t < toks.length) {
-      val h = XxHash64Function.hash(toks(t), StringType, 42L)
+    // votes are additive in occurrence count, so each DISTINCT token
+    // hashes once — repetitive (boilerplate-heavy) documents are
+    // exactly this operator's target input
+    val counts = TextHash.countOccurrences(toks)
+    counts.forEach { (tok, cnt) =>
+      val h = XxHash64Function.hash(tok, StringType, 42L)
       var j = 0
       while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((h >>> j) & 1L) == 1L) votes(j) += cnt else votes(j) -= cnt
         j += 1
       }
-      t += 1
     }
     var sig = 0L
     var j = 0
@@ -98,9 +114,8 @@ case class Md5SimHash64(child: Expression)
     val votes = new Array[Int](64)
     val md = Md5SimHash64.digest.get()
     var any = false
-    var t = 0
-    while (t < toks.length) {
-      val tok = toks(t)
+    // one digest per DISTINCT token; votes weighted by occurrence count
+    TextHash.countOccurrences(toks).forEach { (tok, cnt) =>
       if (tok.numBytes() > 0) {
         any = true
         md.reset()
@@ -109,11 +124,10 @@ case class Md5SimHash64(child: Expression)
         while (j < 64) {
           val k = j >> 2 // hex-nibble index; even = high nibble of byte k/2
           val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
-          if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+          if (((nib >> (j & 3)) & 1) == 1) votes(j) += cnt else votes(j) -= cnt
           j += 1
         }
       }
-      t += 1
     }
     if (!any) null
     else {

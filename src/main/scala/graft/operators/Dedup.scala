@@ -191,26 +191,16 @@ object Dedup {
     * scale, run [[exact]]/[[exactNormalized]] FIRST — byte-identical
     * megaclusters collapse there, and what reaches simhash has
     * bounded per-bucket multiplicity. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunked = simhashSignatures(documents).select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("doc_id", "simhash", "chunk", "chunk_val")
-    val buckets = chunked
-      .groupBy("chunk", "chunk_val")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .where(size(col("ids")) >= 2)
-    val sorted = array_sort(col("ids"))
-    val pairs = flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + 2, size(sorted)),
-        b => struct(a.as("a"), b.as("b")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    // the 64-bit signature splits into the same 4×16-bit chunk shape
+    // the md5 variant uses (Σ chunk-XOR popcounts = full-XOR popcount),
+    // so both SimHash paths share ONE blocking/hamming implementation
+    chunkPairs(
+      simhashSignatures(documents).select(
+        col("doc_id") +: (0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+            .cast("int").as(s"c$c")): _*),
+      maxHamming)
 
   /** SimHash near-dup pairs whose per-token bits come from md5 — the
     * oracle-parity variant of [[simhashPairs]]: md5 is byte-identical
@@ -321,39 +311,47 @@ object Dedup {
       .localCheckpoint(true)
     var it = 0
     var converged = labels.isEmpty
-    while (!converged && it < maxIter) {
-      // each doc contributes exactly one row from the labels branch, so
-      // min(prev) recovers its previous label through the aggregation —
-      // the convergence test then reads straight off the checkpointed
-      // result instead of costing a join+shuffle of its own per round
-      val propagated = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"),
-          lit(null).cast("long").as("prev"))
-        .unionAll(labels.select(
-          col("doc_id"), col("cluster_id"), col("cluster_id").as("prev")))
-        .groupBy("doc_id").agg(
-          min("cluster_id").as("cluster_id"), min("prev").as("prev"))
-      // pointer jump: follow my label to ITS label (labels are doc ids,
-      // so every label row exists in the labels relation)
-      val next = propagated
-        .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
-          propagated("cluster_id") === col("p_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
-            .as("cluster_id"),
-          col("prev"))
-        .localCheckpoint(true)
-      converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
-      // `next` is eagerly materialized and the convergence check has
-      // run — nothing references the superseded round's blocks anymore
-      unpersistLocalCheckpoint(labels)
-      labels = next.select("doc_id", "cluster_id")
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        // each doc contributes exactly one row from the labels branch, so
+        // min(prev) recovers its previous label through the aggregation —
+        // the convergence test then reads straight off the checkpointed
+        // result instead of costing a join+shuffle of its own per round
+        val propagated = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"),
+            lit(null).cast("long").as("prev"))
+          .unionAll(labels.select(
+            col("doc_id"), col("cluster_id"), col("cluster_id").as("prev")))
+          .groupBy("doc_id").agg(
+            min("cluster_id").as("cluster_id"), min("prev").as("prev"))
+        // pointer jump: follow my label to ITS label (labels are doc ids,
+        // so every label row exists in the labels relation)
+        val next = propagated
+          .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
+            propagated("cluster_id") === col("p_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+              .as("cluster_id"),
+            col("prev"))
+          .localCheckpoint(true)
+        converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
+        // `next` is eagerly materialized and the convergence check has
+        // run — nothing references the superseded round's blocks anymore
+        unpersistLocalCheckpoint(labels)
+        labels = next.select("doc_id", "cluster_id")
+        it += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+      labels
+    } finally {
+      // success or failure, the edge relation is never needed again;
+      // on failure (non-convergence or a mid-loop job error) the last
+      // round's labels must be released too — a caller that catches
+      // and retries with a larger budget must not strand blocks
+      unpersistLocalCheckpoint(edges)
+      if (!converged) unpersistLocalCheckpoint(labels)
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
-    unpersistLocalCheckpoint(edges)
-    labels
   }
 
   /** Release the cached blocks behind a localCheckpoint'ed frame once

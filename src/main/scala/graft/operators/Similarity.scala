@@ -53,17 +53,33 @@ object Similarity {
       .select(
         col("query_id"), col("vec_id"),
         cosine(col("q"), col("embedding")).as("cos"))
+    saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
+  }
+
+  /** Two-phase salted per-query top-k, shared by the full-scan ranking
+    * operators ([[bruteForceKnn]], [[binaryKnn]], [[pqKnn]]):
+    * candidates are salted into `salts` groups per query and reduced
+    * to k rows per (query, salt) first, so the final per-query sort
+    * sees ≤ salts·k rows instead of the whole corpus. BOTH phases use
+    * the one total order (score, vec_id asc) — that invariant is what
+    * makes the result bit-identical to a single global window (pinned
+    * by spec), so any change here must change both windows together. */
+  private def saltedTopK(
+      scored: DataFrame, score: String, ascending: Boolean,
+      k: Int, salts: Int): DataFrame = {
+    val ord =
+      if (ascending) Seq(col(score).asc, col("vec_id").asc)
+      else Seq(col(score).desc, col("vec_id").asc)
     val wPartial = Window
       .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val partial = scored
+      .orderBy(ord: _*)
+    val w = Window.partitionBy("query_id").orderBy(ord: _*)
+    scored
       .withColumn("pr", row_number().over(wPartial))
       .where(col("pr") <= k)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "vec_id", "rank", "cos")
+      .select("query_id", "vec_id", "rank", score)
   }
 
   /** Product-quantization (PQ) kNN with ADC scoring — the classic
@@ -121,18 +137,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
-    val wPartial = Window
-      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    val partial = scored
-      .withColumn("pr", row_number().over(wPartial))
-      .where(col("pr") <= k)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "rank", "adc_dist")
+    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
   }
 
   /** Binary-quantized kNN: every embedding compresses to its sign
@@ -173,18 +178,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         expr("aggregate(zip_with(qsig, sig, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)")
           .as("hamming"))
-    val wPartial = Window
-      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(salts)))
-      .orderBy(col("hamming").asc, col("vec_id").asc)
-    val partial = scored
-      .withColumn("pr", row_number().over(wPartial))
-      .where(col("pr") <= k)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("hamming").asc, col("vec_id").asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "rank", "hamming")
+    saltedTopK(scored, score = "hamming", ascending = true, k = k, salts = salts)
   }
 
   /** ANN via random-hyperplane LSH: bucket = packed sign bits of

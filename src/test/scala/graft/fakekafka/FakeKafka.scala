@@ -139,12 +139,17 @@ object FakeKafkaBroker {
   def clear(): Unit = synchronized { topics.clear(); committedEpochs.clear() }
 
   /** The real sink's KafkaWriter.validateQuery contract; returns the
-    * target topic. */
+    * target topic. Unlike the real sink, the fake does NOT implement
+    * per-row routing via a `topic` column — fail loudly rather than
+    * silently landing rows under a wrong topic name. */
   def validateWriteSchema(schema: StructType, topicOption: Option[String]): String = {
     val topic = topicOption.getOrElse {
-      require(schema.fieldNames.contains("topic"),
+      if (schema.fieldNames.contains("topic"))
+        throw new UnsupportedOperationException(
+          "fake kafka broker does not implement per-row topic-column " +
+            "routing — pass .option(\"topic\", ...) instead")
+      throw new IllegalArgumentException(
         "topic option required (no 'topic' option and no topic column present)")
-      "<column>"
     }
     val valueIdx = schema.fieldNames.indexOf("value")
     require(valueIdx >= 0, "required attribute 'value' not found")
