@@ -99,6 +99,35 @@ object CoreQueries {
           count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"))),
 
+    // data profiling: per-column null/distinct/range stats in ONE scan
+    // (a single wide aggregation row, unpivoted in-row to per-column
+    // rows) — the ops tool you point at an unfamiliar 100 TB table
+    // before writing queries against it
+    "q_profile" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("qty_null"),
+        countDistinct(col("l_quantity")).as("qty_distinct"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("rf_null"),
+        countDistinct(col("l_returnflag")).as("rf_distinct"),
+        sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("sd_null"),
+        countDistinct(col("l_shipdate")).as("sd_distinct"))
+      val nullD = lit(null).cast("double")
+      agg.select(explode(array(
+        struct(lit("l_quantity").as("column"), col("n"),
+          col("qty_null").as("n_null"), col("qty_distinct").as("n_distinct"),
+          col("qty_min").as("min_num"), col("qty_max").as("max_num")),
+        struct(lit("l_returnflag").as("column"), col("n"),
+          col("rf_null").as("n_null"), col("rf_distinct").as("n_distinct"),
+          nullD.as("min_num"), nullD.as("max_num")),
+        struct(lit("l_shipdate").as("column"), col("n"),
+          col("sd_null").as("n_null"), col("sd_distinct").as("n_distinct"),
+          nullD.as("min_num"), nullD.as("max_num")))).as("p"))
+        .select("p.*")
+    }),
+
     "q_percentile" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -476,6 +505,26 @@ object CoreQueries {
            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+
+    "q_profile" ->
+      """WITH s AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_null,
+             count(DISTINCT l_quantity) AS qty_distinct,
+             min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+             CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_null,
+             count(DISTINCT l_returnflag) AS rf_distinct,
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sd_null,
+             count(DISTINCT l_shipdate) AS sd_distinct
+           FROM lineitem)
+         SELECT 'l_quantity' AS "column", n, qty_null AS n_null,
+                qty_distinct AS n_distinct, qty_min AS min_num, qty_max AS max_num FROM s
+         UNION ALL
+         SELECT 'l_returnflag', n, rf_null, rf_distinct,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+         UNION ALL
+         SELECT 'l_shipdate', n, sd_null, sd_distinct,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s""",
 
     "q_percentile" ->
       """SELECT o_orderstatus,

@@ -170,6 +170,27 @@ object TextQueries {
         .orderBy(col("n").desc, col("tok").asc)
         .limit(50)),
 
+    // Benchmark decontamination: flag corpus documents that share any
+    // 8-gram with a held-out "benchmark" set (every 25th doc as the
+    // stand-in) — the canonical eval-leakage scrub before training.
+    // Shape at 100 TB: the benchmark gram set is small BY NATURE
+    // (benchmarks are thousands of docs, not billions), so it
+    // broadcasts; the corpus side is one explode + broadcast semi-ish
+    // join + map-side-combinable distinct count. No shuffle of corpus
+    // grams on gram.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 25 === 0
+      val benchGrams = docs.where(isBench)
+        .select(explode(graft.functions.ShingleSet(col("text"), 8)).as("gram"))
+        .distinct()
+      docs.where(!isBench)
+        .select(col("doc_id"), explode(graft.functions.ShingleSet(col("text"), 8)).as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    }),
+
     // Gopher-style repetition signals (the quality-filter family the
     // existing text_quality ratios don't cover): per document, the
     // duplicate-n-gram fraction (1 - distinct/total) and the fraction
@@ -491,6 +512,17 @@ object TextQueries {
             SELECT unnest($tokensSql) AS tok FROM documents WHERE lang = 'en')
           WHERE length(tok) > 0
           GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
+
+    "text_decontaminate" ->
+      s"""WITH bg AS (
+            SELECT DISTINCT unnest(${shingleSetSql(8)}) AS gram
+            FROM documents WHERE doc_id % 25 = 0),
+          cg AS (
+            SELECT doc_id, unnest(${shingleSetSql(8)}) AS gram
+            FROM documents WHERE doc_id % 25 <> 0)
+          SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+          FROM cg JOIN bg USING (gram)
+          GROUP BY doc_id""",
 
     "text_gopher_quality" ->
       """WITH toks AS (
