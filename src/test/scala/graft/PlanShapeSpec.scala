@@ -137,6 +137,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }.sum
   }
 
+  test("knn_pq broadcasts the codebook and LUTs — no shuffle join on the corpus") {
+    val p = plan("knn_pq")
+    assert(p.split("BroadcastExchange|BroadcastNestedLoopJoin").length >= 3,
+      "codebook/LUT side not broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p.take(1200))
+  }
+
+  test("text_decontaminate broadcasts the benchmark gram set") {
+    // the benchmark is small by nature; corpus grams must never
+    // shuffle on the gram key
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus grams shuffled on gram:\n" + p.take(1200))
+  }
+
   test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
     // dl + per-term tfs come from ONE explode+aggregation; the stats
     // branch is the identical subtree, so its shuffle must be reused,
