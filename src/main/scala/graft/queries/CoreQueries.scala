@@ -304,6 +304,20 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_common"))
     }),
 
+    "q_except_all" -> ((s, d) => {
+      // multiset difference: per-group surplus max(0, c1 - c2)
+      val l = Tables.lineitem(s, d)
+      val h1 = l.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus")
+      val h2 = l.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus")
+      // later-period side first: that is the one with the surplus in
+      // this data (the other direction is empty — vacuous for the gate)
+      h2.exceptAll(h1)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_extra"))
+    }),
+
     "q_stats_moments" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -649,6 +663,15 @@ object CoreQueries {
            INTERSECT ALL
            SELECT l_returnflag, l_linestatus FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+         GROUP BY 1, 2""",
+
+    "q_except_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_extra FROM (
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           EXCEPT ALL
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
          GROUP BY 1, 2""",
 
     "q_stats_moments" ->
