@@ -34,18 +34,32 @@ object Bench {
     // median of three timed passes per query: one host-load window can
     // no longer fabricate a multi-x outlier (a min-of-two reading once
     // reported 9s for a query that reproducibly runs in 2.3s), and the
-    // median doesn't over-reward a single cache-warm fluke either
+    // median doesn't over-reward a single cache-warm fluke either.
+    // The per-pass times are emitted too: a fully-contended run (all
+    // three passes inflated — the median can't save that) is then
+    // self-evident from the spread, as is wall-vs-CPU skew below.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val wall0 = System.nanoTime()
+    val cpu0 = osBean.getProcessCpuTime
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to 3).map { _ =>
       ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     val results = ordered.map { case (n, _) =>
       n -> passes.map(_(n)).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qp = ordered.map { case (n, _) =>
+      "\"" + n + "\":" + passes.map(_(n)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_passes":$qp,"wall_sec":$wallSec,"process_cpu_sec":$cpuSec,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

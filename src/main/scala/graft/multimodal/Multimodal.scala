@@ -21,18 +21,44 @@ case class AssetFeatures(
     n_bytes: Long,
     features: Array[Double])
 
-/** Multimodal-column plumbing (SURVEY.md §2.3 north star). The decode /
-  * feature-extraction step that would call an image/audio codec is
-  * STUBBED with a deterministic byte-histogram "feature extractor"
-  * (the codec libraries are not in this container); everything Spark-
-  * side — binary schema, batch iteration shape, partition-parallel
-  * execution via `mapPartitions`, typed Encoders — is real and tested.
+/** A fixture image asset: BMP-encoded payload plus its declared
+  * dimensions (content-addressed binary + queryable metadata, the
+  * schema a 100 TB image lake partition-prunes on). */
+case class ImageAsset(asset_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+/** Features decoded from real image bytes: per-channel means over all
+  * pixels plus two positional probe pixels (so a transposed or
+  * channel-swapped decode cannot pass). */
+case class ImageFeatures(
+    asset_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    mean_r: Double,
+    mean_g: Double,
+    mean_b: Double,
+    px00_r: Int,
+    pxlast_b: Int)
+
+/** Multimodal-column plumbing (SURVEY.md §2.3 north star).
+  *
+  * Two feature paths share the same per-partition decode seam:
+  *  - [[extractFeatures]] — a codec-agnostic byte-histogram
+  *    featurizer that works on ANY payload kind (image/audio/video/
+  *    text) without decoding it; cheap, deterministic, and fully
+  *    reproducible by the DuckDB oracle from the raw bytes;
+  *  - [[decodeImageFeatures]] — a REAL image codec path: BMP payloads
+  *    (written by [[imageAssets]] with a closed-form pixel formula)
+  *    are decoded with JDK `javax.imageio.ImageIO` and reduced to
+  *    per-channel statistics the oracle recomputes from the same
+  *    closed-form formula — the bytes themselves never leave Spark.
   *
   * In PySpark the same seam is `mapInPandas` (iterator-of-batches);
   * `Dataset.mapPartitions` is the JVM-native equivalent with the same
-  * batch-at-a-time contract, so a real decoder drops in per-partition
-  * (amortizing codec init across a partition, exactly like a Pandas
-  * UDF amortizes across a batch).
+  * batch-at-a-time contract: codec/reader initialization amortizes
+  * across a partition, exactly like a Pandas UDF amortizes across a
+  * batch, and adding a new codec (JPEG via ImageIO, audio via
+  * javax.sound) changes only the closure body.
   */
 object Multimodal {
 
@@ -51,16 +77,16 @@ object Multimodal {
 
   private val FEATURE_BINS = 16
 
-  /** STUB decoder: a real implementation would decode the codec frame
-    * here; the stand-in is a normalized histogram of payload bytes into
-    * 16 bins — deterministic, cheap, and shape-identical to a real
-    * feature vector. Runs per-partition so a real codec would be
-    * initialized once per partition, not per row. */
+  /** Codec-agnostic featurizer: a normalized histogram of payload
+    * bytes into 16 bins — deterministic, cheap, works on every asset
+    * kind without decoding, and exactly reproducible by the DuckDB
+    * oracle (hex-decode + count). The codec-aware path for images is
+    * [[decodeImageFeatures]]. Runs per-partition so any per-codec
+    * state is initialized once per partition, not per row. */
   def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.select("asset_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init of the (stub) decoder happens here
         rows.map { case (id, kind, payload) =>
           val hist = new Array[Double](FEATURE_BINS)
           var i = 0
@@ -72,6 +98,95 @@ object Multimodal {
           AssetFeatures(id, kind, payload.length.toLong, hist.map(_ / n))
         }
       }
+  }
+
+  /** Deterministic BMP fixture images, one per document: dimensions
+    * derive from the id (width = id%16+8, height = id%12+8) and every
+    * pixel channel is a closed-form function of (asset_id, x, y):
+    *
+    *   r = (id·31 + x·7 + y·13) mod 256
+    *   g = (id·17 + x·5 + y·11) mod 256
+    *   b = (id·29 + x·3 + y·19) mod 256
+    *
+    * BMP is 24-bit uncompressed, so the encode→decode round trip is
+    * bit-exact, and the DuckDB oracle can recompute any decoded
+    * statistic from the formula without ever seeing the bytes. The
+    * encoder (JDK ImageIO) runs inside `mapPartitions` — the same
+    * per-partition codec seam a real ingest pipeline uses. */
+  def imageAssets(spark: SparkSession, documents: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (col("doc_id") % 16 + 8).cast("int").as("width"),
+        (col("doc_id") % 12 + 8).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+              val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          // BMP writer ships in the JDK; returns false only if no
+          // writer exists — fail loudly rather than emit empty bytes
+          require(javax.imageio.ImageIO.write(img, "bmp", out),
+            "JDK ImageIO has no BMP writer")
+          ImageAsset(id, w, h, out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image decode: `ImageIO.read` parses the BMP payload and the
+    * features are per-channel pixel-mean statistics plus two probe
+    * pixels — (0,0) red and (w−1,h−1) blue — so a decoder that
+    * transposed axes or swapped channels cannot hash-match. Channel
+    * sums accumulate in Long (exact; ≤ 255·w·h ≪ 2⁵³) and divide once
+    * in double, so the value is IEEE-identical to the oracle's
+    * CAST(sum AS DOUBLE)/n. Decoding runs per-partition: the ImageIO
+    * reader registry is touched once per JVM and each task streams its
+    * partition through the codec — the 100 TB shape, where decode
+    * parallelism is exactly scan parallelism and nothing is collected
+    * or shuffled to do it. */
+  def decodeImageFeatures(
+      spark: SparkSession, assets: Dataset[ImageAsset]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"undecodable payload for asset ${a.asset_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(a.asset_id, w, h, n,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+          (img.getRGB(0, 0) >> 16) & 0xff,
+          img.getRGB(w - 1, h - 1) & 0xff)
+      }
+    }
   }
 
   /** "Frame sampling" stub: slice every `stride`-th byte window from the

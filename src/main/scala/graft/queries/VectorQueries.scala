@@ -148,6 +148,15 @@ object VectorQueries {
       Similarity.bruteForceKnn(feats, nQueries = 4, k = 3)
     }),
 
+    // REAL codec path: BMP fixture images (closed-form pixels) are
+    // decoded with JDK ImageIO inside the per-partition seam; the
+    // oracle recomputes every statistic from the pixel formula, so a
+    // decoder that read the wrong bytes, axes, or channels would
+    // hash-mismatch.
+    "mm_decode" -> ((s, d) =>
+      Multimodal.decodeImageFeatures(s,
+        Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()),
+
     // frame sampling summarized per asset. Oracled: DuckDB cannot
     // slice BLOBs, but frame count and byte totals are pure arithmetic
     // over octet_length — the oracle recomputes them from first
@@ -420,6 +429,32 @@ object VectorQueries {
            FROM scored)
          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
          FROM ranked WHERE rank <= 3""",
+
+    // the decoded features are recomputed from the closed-form pixel
+    // formula — no byte access needed: the image IS the formula
+    "mm_decode" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(doc_id % 16 + 8 AS INT) AS width,
+                  CAST(doc_id % 12 + 8 AS INT) AS height
+           FROM documents),
+         px AS (
+           SELECT asset_id, width, height, tx.x AS x, ty.y AS y
+           FROM a, range(23) tx(x), range(19) ty(y)
+           WHERE tx.x < width AND ty.y < height),
+         s AS (
+           SELECT asset_id, width, height, count(*) AS n_pixels,
+                  sum((asset_id*31 + x*7 + y*13) % 256) AS sr,
+                  sum((asset_id*17 + x*5 + y*11) % 256) AS sg,
+                  sum((asset_id*29 + x*3 + y*19) % 256) AS sb
+           FROM px GROUP BY 1, 2, 3)
+         SELECT asset_id, width, height, CAST(n_pixels AS BIGINT) AS n_pixels,
+                CAST(sr AS DOUBLE) / n_pixels AS mean_r,
+                CAST(sg AS DOUBLE) / n_pixels AS mean_g,
+                CAST(sb AS DOUBLE) / n_pixels AS mean_b,
+                CAST(asset_id*31 % 256 AS INT) AS px00_r,
+                CAST((asset_id*29 + (width-1)*3 + (height-1)*19) % 256 AS INT) AS pxlast_b
+         FROM s""",
 
     "mm_frames" ->
       """WITH a AS (

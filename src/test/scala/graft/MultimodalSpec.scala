@@ -30,6 +30,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("imageAssets emits real BMP bytes; ImageIO decode reproduces the pixel formula") {
+    val imgs = Multimodal.imageAssets(spark,
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"))
+      .filter($"asset_id".isin(1L, 7L, 42L)).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { a =>
+      // BMP magic bytes prove a real encoder ran, not a fake payload
+      assert(a.payload(0) == 'B'.toByte && a.payload(1) == 'M'.toByte)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      assert(img.getWidth == a.width && img.getHeight == a.height)
+      // every pixel of every channel round-trips the closed form
+      for (y <- 0 until a.height; x <- 0 until a.width) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == ((a.asset_id * 31 + x * 7 + y * 13) % 256).toInt, s"r($x,$y)")
+        assert(((p >> 8) & 0xff) == ((a.asset_id * 17 + x * 5 + y * 11) % 256).toInt, s"g($x,$y)")
+        assert((p & 0xff) == ((a.asset_id * 29 + x * 3 + y * 19) % 256).toInt, s"b($x,$y)")
+      }
+    }
+  }
+
+  test("decodeImageFeatures: decoded statistics match a by-hand pixel walk") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .filter($"doc_id" === 5L)
+    val feats = Multimodal.decodeImageFeatures(
+      spark, Multimodal.imageAssets(spark, docs)).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    val (w, h) = ((5 % 16 + 8), (5 % 12 + 8))
+    assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+    def mean(mul: Long, xm: Long, ym: Long) =
+      px.map { case (x, y) => (5L * mul + x * xm + y * ym) % 256 }.sum.toDouble / (w * h)
+    assert(f.mean_r == mean(31, 7, 13))
+    assert(f.mean_g == mean(17, 5, 11))
+    assert(f.mean_b == mean(29, 3, 19))
+    assert(f.px00_r == (5 * 31 % 256))
+    assert(f.pxlast_b == ((5 * 29 + (w - 1) * 3 + (h - 1) * 19) % 256))
+  }
+
   test("frame sampling covers the payload with the configured stride") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 64)
     val one = frames.filter($"asset_id" === 1L).count()
