@@ -195,35 +195,30 @@ object TextQueries {
     // existing text_quality ratios don't cover): per document, the
     // duplicate-n-gram fraction (1 - distinct/total) and the fraction
     // of n-grams claimed by the single most frequent one, for n=2,3.
-    // Shape: ONE scan (both widths explode out of one projection,
-    // subexpression elimination shares the tokenization), then two
-    // map-side-combinable aggregations keyed by doc_id — row-local +
-    // well-distributed keys, nothing skew-prone at 100 TB. Docs with
-    // fewer than n tokens have no n-grams: their n=3 columns are NULL
-    // and sub-2-token docs are absent, in both engines.
+    // These are functions of ONE document's grams, so the plan is
+    // ZERO-shuffle: a single-pass row-local kernel (GopherRepetition,
+    // beside the other text-hash kernels) produces total/uniq/top per
+    // width and the fractions are plain projected arithmetic — the
+    // earlier declarative form shuffled every (doc, n, gram) tuple of
+    // the corpus through three aggregations to compute row-local
+    // numbers, which is the plan you reject at 100 TB. The kernel is
+    // wrapped in evalOnce so the null-filter can't get pushed through
+    // the projection and evaluate it a second time. Docs with fewer
+    // than n tokens have no n-grams: their n=3 columns are NULL and
+    // sub-2-token docs are absent, in both engines (null struct).
     "text_gopher_quality" -> ((s, d) => {
-      val grams = Tables.documents(s, d).select(
+      val g = Tables.documents(s, d).select(
         col("doc_id"),
-        explode(map(
-          lit(2), shingles(tokens(col("text")), 2),
-          lit(3), shingles(tokens(col("text")), 3))))
-        .toDF("doc_id", "n", "grams")
-        .select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
-      val per = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n").agg(
-          sum("c").as("total"), count(lit(1)).as("uniq"), max("c").as("top_c"))
-      def frac(numer: org.apache.spark.sql.Column) =
-        round(numer / col("total").cast("double"), 6)
-      // exactly one row per (doc, n): max(when(...)) just routes it
-      per.groupBy("doc_id").agg(
-        max(when(col("n") === 2,
-          round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6)))
-          .as("dup_2gram_frac"),
-        max(when(col("n") === 2, frac(col("top_c").cast("double")))).as("top_2gram_frac"),
-        max(when(col("n") === 3,
-          round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6)))
-          .as("dup_3gram_frac"),
-        max(when(col("n") === 3, frac(col("top_c").cast("double")))).as("top_3gram_frac"))
+        graft.functions.OptimizerBarrier.evalOnce(
+          graft.functions.GopherRepetition(col("text"))).as("g"))
+        .where(col("g").isNotNull)
+      def dup(n: Int) = round(lit(1.0) -
+        col(s"g.uniq_$n").cast("double") / col(s"g.total_$n").cast("double"), 6)
+      def top(n: Int) = round(
+        col(s"g.top_$n").cast("double") / col(s"g.total_$n").cast("double"), 6)
+      g.select(col("doc_id"),
+        dup(2).as("dup_2gram_frac"), top(2).as("top_2gram_frac"),
+        dup(3).as("dup_3gram_frac"), top(3).as("top_3gram_frac"))
     }),
 
     // BM25 retrieval scoring of the corpus against a fixed query

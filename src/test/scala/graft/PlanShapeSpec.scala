@@ -174,6 +174,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "df aggregation is not partial (map-side combinable)")
   }
 
+  test("text_gopher_quality is row-local: no aggregate, window, or hash shuffle") {
+    // dup/top n-gram fractions are functions of one row — the kernel
+    // plan must be scan → project → filter → project, nothing else
+    // (the loader's spread() round-robin is the only allowed exchange)
+    val p = finalPlan("text_gopher_quality")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      "gopher stats still aggregate:\n" + p.take(1200))
+    assert(!p.contains("hashpartitioning"),
+      "row-local kernel got shuffled on a key:\n" + p.take(1200))
+    assert(!p.contains("Window"), "unexpected window:\n" + p.take(1200))
+  }
+
   test("ref decode chains evaluate each from_json exactly once per row") {
     // without the OptimizerBarrier, predicate pushdown duplicates the
     // whole envelope→unbase64→customer chain once per filter conjunct

@@ -86,6 +86,50 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(mhFast == mhRef)
   }
 
+  test("property: GopherRepetition kernel matches the (doc,n,gram) aggregation form") {
+    // small vocab + repetition so gram multiplicities are interesting;
+    // plus the degenerate shapes (empty, 1-token, exactly-2-token)
+    val textGen = Gen.listOf(Gen.oneOf("a", "b", "c", "aa", "ab")).map(_.mkString(" "))
+    val inputs = (samples(textGen, 40) ++
+      Seq("", " ", "a", "a b", "a a a a", "x y x y x", " a  b a ")).distinct
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // the kernel form — same projection arithmetic as the query
+    def dup(n: Int) = round(lit(1.0) -
+      col(s"g.uniq_$n").cast("double") / col(s"g.total_$n").cast("double"), 6)
+    def topf(n: Int) = round(
+      col(s"g.top_$n").cast("double") / col(s"g.total_$n").cast("double"), 6)
+    val fast = df.select(col("doc_id"), graft.functions.GopherRepetition(col("text")).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("doc_id"), dup(2).as("d2"), topf(2).as("t2"), dup(3).as("d3"), topf(3).as("t3"))
+
+    // the retired declarative form: explode every (doc, n, gram), three
+    // aggregations — the ground truth the kernel must reproduce
+    val grams = df.select(col("doc_id"),
+      explode(map(lit(2), shingles(tokens(col("text")), 2),
+        lit(3), shingles(tokens(col("text")), 3))))
+      .toDF("doc_id", "n", "grams")
+      .select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+    val per = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(
+        sum("c").as("total"), count(lit(1)).as("uniq"), max("c").as("top_c"))
+    def frac(numer: org.apache.spark.sql.Column) =
+      round(numer / col("total").cast("double"), 6)
+    val ref = per.groupBy("doc_id").agg(
+      max(when(col("n") === 2,
+        round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6))).as("d2"),
+      max(when(col("n") === 2, frac(col("top_c").cast("double")))).as("t2"),
+      max(when(col("n") === 3,
+        round(lit(1.0) - col("uniq").cast("double") / col("total").cast("double"), 6))).as("d3"),
+      max(when(col("n") === 3, frac(col("top_c").cast("double")))).as("t3"))
+
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (1 to 4).map(i => Option(r.get(i))).toList).toMap
+    val fastM = toMap(fast.collect())
+    val refM = toMap(ref.collect())
+    assert(fastM == refM)
+  }
+
   test("property: unbase64(base64(s)) == s over printable ASCII") {
     val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     val inputs = samples(asciiGen, 30).distinct
