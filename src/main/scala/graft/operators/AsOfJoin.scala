@@ -59,13 +59,18 @@ object AsOfJoin {
     * window buffer. Requires [[graft.plans.GraftExtensions]] on the
     * session (registered here imperatively, idempotent). Key/time
     * columns must be resolved against the inputs (use `df("col")`). */
+  /** @param tolerance max allowed `leftTime - rightTime` (same integral
+    *                   unit as the time columns, epoch-µs by engine
+    *                   convention); a match older than the bound emits
+    *                   nulls like an unmatched row. */
   def asOfNative(
       left: DataFrame,
       right: DataFrame,
       leftKey: Column,
       rightKey: Column,
       leftTime: Column,
-      rightTime: Column): DataFrame = {
+      rightTime: Column,
+      tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = left.sparkSession
     graft.plans.GraftExtensions.register(spark)
@@ -97,6 +102,7 @@ object AsOfJoin {
       Seq(exprOn(left, leftKey)),
       Seq(exprOn(rightSafe, rightKey)),
       exprOn(left, leftTime),
-      exprOn(rightSafe, rightTime)))
+      exprOn(rightSafe, rightTime),
+      tolerance))
   }
 }

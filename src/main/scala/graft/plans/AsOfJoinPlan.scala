@@ -36,7 +36,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   // built-in joins get ImplicitTypeCasts from the analyzer; this
@@ -52,6 +53,12 @@ case class AsOfJoinPlan(
   require(org.apache.spark.sql.types.DataType.equalsStructurally(leftTime.dataType, rightTime.dataType, ignoreNullability = true),
     s"as-of join time type mismatch: ${leftTime.dataType.simpleString} vs " +
       rightTime.dataType.simpleString)
+  // the tolerance bound subtracts times, which is only defined for an
+  // integral time axis (the engine's convention is epoch-µs longs)
+  require(tolerance.isEmpty ||
+      leftTime.dataType == org.apache.spark.sql.types.LongType,
+    s"as-of tolerance requires a bigint time axis, got ${leftTime.dataType.simpleString}")
+  require(tolerance.forall(_ >= 0), s"negative as-of tolerance: $tolerance")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,8 +73,8 @@ case class AsOfJoinPlan(
   * through `GraftExtensions.register`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -80,14 +87,22 @@ object AsOfJoinStrategy extends SparkStrategy {
   * side. Null keys group together (same as the window formulation's
   * partitionBy). Null times follow ascending-nulls-first sort order:
   * a null-time right row is eligible for every same-key left row.
-  */
+  *
+  * `tolerance` (epoch-µs bound, the financial-data as-of variant):
+  * the carried match is the LATEST eligible right row, so if its gap
+  * exceeds the bound every earlier row's does too — rejection is one
+  * comparison at emit time, state stays O(1), and the merge itself is
+  * unchanged. A match whose gap is undefined (either time null) is
+  * out of tolerance, mirroring SQL's `t_l - t_r <= tol` three-valued
+  * logic. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -126,6 +141,7 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val outRows = longMetric("numOutputRows")
     val matchedRows = longMetric("numMatched")
+    val tol = tolerance
 
     val lRdd = left.execute()
     val rRdd = right.execute()
@@ -167,6 +183,7 @@ case class AsOfJoinExec(
         // latest right row consumed for its key (candidate match)
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTime: Any = _
         advanceRight()
 
         private def advanceRight(): Unit =
@@ -189,11 +206,18 @@ case class AsOfJoinExec(
           val lTime = lTimeBound.eval(l)
           var c = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           while (rRow != null && (c < 0 || (c == 0 && eligible(rTime, lTime)))) {
-            if (c == 0) { matchRow = rRow; matchKey = rKey }
+            if (c == 0) { matchRow = rRow; matchKey = rKey; matchTime = rTime }
             advanceRight()
             c = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           }
-          val matched = matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+          // the carried match is the latest eligible row, so a gap
+          // check on it alone implements the tolerance exactly
+          val matched = matchKey != null && keyOrd.compare(matchKey, lKey) == 0 &&
+            (tol match {
+              case None => true
+              case Some(t) => lTime != null && matchTime != null &&
+                lTime.asInstanceOf[Long] - matchTime.asInstanceOf[Long] <= t
+            })
           if (matched) matchedRows += 1
           outRows += 1
           resultProj(joined(l, if (matched) matchRow else nullRight))

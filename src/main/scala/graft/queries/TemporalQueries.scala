@@ -72,6 +72,26 @@ object TemporalQueries {
           when(col("t_us") - col("r_t") <= tolUs, col("t_us") - col("r_t")).as("gap_us"))
     }),
 
+    // the same tolerance semantics through the native operator: the
+    // merge rejects a carried match older than the bound (one long
+    // comparison at emit, O(1) state) — same oracle as the window
+    // formulation, so both physical paths are hash-verified.
+    "q_asof_tolerance_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
+          col("event_id").as("click_id"))
+        .groupBy("r_user", "r_t").agg(max("click_id").as("click_id"))
+      AsOfJoin.asOfNative(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("r_user"),
+        leftTime = col("t_us"), rightTime = col("r_t"),
+        tolerance = Some(3600L * 1000 * 1000))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("t_us") - col("r_t")).as("gap_us"))
+    }),
+
     // RANGE window frame (value-based, not row-based): purchases in
     // the trailing hour per user — well-defined under timestamp ties
     // because the frame is bounded by VALUE distance.
@@ -145,6 +165,20 @@ object TemporalQueries {
                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              AS n_last_hour
          FROM events WHERE event_type = 'purchase'""",
+
+    // identical tolerance oracle for the native-exec path
+    "q_asof_tolerance_native" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS r_user, epoch_us(ts) AS r_t, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id,
+                CASE WHEN p.t_us - c.r_t <= 3600000000 THEN c.click_id END AS click_id,
+                CASE WHEN p.t_us - c.r_t <= 3600000000 THEN p.t_us - c.r_t END AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.r_user AND c.r_t <= p.t_us""",
 
     "q_asof_tolerance" ->
       """WITH p AS (

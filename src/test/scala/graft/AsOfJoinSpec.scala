@@ -66,6 +66,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(102L).contains(102L))
   }
 
+  test("native as-of tolerance: boundary-exact gap kept, one past dropped") {
+    val left = Seq((1L, 100L, 1000L), (1L, 101L, 2000L), (2L, 102L, 500L))
+      .toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 900L), (1L, 901L, 1990L), (2L, 902L, 100L))
+      .toDF("rk", "rid", "rt")
+    // tolerance 100: gap(100→900)=100 boundary-exact (kept), gap(101→901)=10
+    // (kept), gap(102→902)=400 (dropped — and no older row can be closer)
+    val got = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt",
+      tolerance = Some(100L))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(900L))
+    assert(got(101L).contains(901L))
+    assert(got(102L).isEmpty)
+    // one unit tighter: the exact-boundary match flips to null
+    val got99 = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt",
+      tolerance = Some(99L))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got99(100L).isEmpty)
+    assert(got99(101L).contains(901L))
+  }
+
+  test("native as-of tolerance: null-time match is out of tolerance (3VL)") {
+    val left = Seq((1L, 100L, 1000L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, Option.empty[Long])).toDF("rk", "rid", "rt")
+    // without a tolerance a null-time right row matches everything…
+    val open = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(open(100L).contains(900L))
+    // …but its gap is undefined, so any tolerance rejects it (SQL 3VL)
+    val tol = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt",
+      tolerance = Some(Long.MaxValue))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(tol(100L).isEmpty)
+  }
+
+  test("native as-of tolerance rejects a non-bigint time axis loudly") {
+    val left = Seq((1L, 10, 1L)).toDF("k", "t", "lv")    // t: int
+    val right = Seq((1L, 9, 2L)).toDF("rk", "rt", "rv")  // rt: int
+    val e = intercept[Exception] {
+      AsOfJoin.asOfNative(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        tolerance = Some(5L)).collect()
+    }
+    assert(e.getMessage.contains("bigint time axis"), e.getMessage)
+  }
+
   test("native as-of rejects mismatched key/time types loudly") {
     val left = Seq((1, 10L, 1L)).toDF("k", "t", "lv")   // k: int
     val right = Seq((1L, 9L, 2L)).toDF("rk", "rt", "rv") // rk: long
