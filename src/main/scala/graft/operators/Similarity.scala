@@ -89,10 +89,10 @@ object Similarity {
     * a tiny per-query lookup table (approximate distance = Σ_m
     * lut[m][code_m]) — table lookups and adds, no vector arithmetic
     * per candidate. Codebooks are the subvectors of the first
-    * `codebookSize` vectors: the same deterministic-seed stand-in as
-    * [[ivfKnn]]'s centroids (production would Lloyd-iterate; the
-    * assignment/ADC arithmetic — what the engine and oracle verify —
-    * is identical either way).
+    * `codebookSize` vectors — the same deterministic seed choice as
+    * [[ivfKnn]]'s; [[kmeans]] is the in-engine trainer when refined
+    * codebooks are wanted (the assignment/ADC arithmetic the engine
+    * and oracle verify is identical either way).
     *
     * Scale shape: the codebook and the per-query LUTs broadcast (K×M
     * doubles per query); encoding is one broadcast-expanded linear
@@ -314,6 +314,65 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Distributed k-means (Lloyd) trainer for IVF/PQ codebooks: a
+    * fixed number of iterations, each = one broadcast-assignment pass
+    * + one map-side-combinable mean recompute — nothing is ever
+    * collected to the driver and no step shuffles more than n rows,
+    * so the trainer scales exactly like one aggregation query per
+    * iteration.
+    *
+    * Deterministic end-to-end (→ fully oracled): seeds are the first
+    * `k` vectors; assignment is argmax cosine with ties to the lowest
+    * centroid id; per-dimension means sum exact decimals
+    * (order-independent across partitions) and divide once in double;
+    * each new centroid is cast to float32 — the storage type a real
+    * codebook uses — so every iteration's arithmetic is reproducible
+    * bit-for-bit in DuckDB (`CAST AS REAL` rounds identically). A
+    * centroid whose cluster empties drops out, in both engines.
+    *
+    * Returns (c_id, c_vec: array<float>). */
+  def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    var centroids = embeddings
+      .where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    for (_ <- 1 to iters) {
+      // assignment is IN-ROW: the (tiny) centroid table folds into ONE
+      // broadcast row sorted by c_id, and each vector scans it with an
+      // aggregate HOF — the corpus is never shuffled to pick a
+      // centroid (vs. a join + groupBy(vec_id), which re-shuffles all
+      // n embeddings every iteration). Strict `>` over the ascending
+      // c_id scan keeps the FIRST best — the same tie-break as
+      // max_by(cos, -c_id) and the oracle's (cos DESC, c_id ASC).
+      // NaN cosines (zero vectors) normalize to +inf so they assign to
+      // the lowest c_id, matching NaN-greatest ordering both engines
+      // use in sorts.
+      val centsRow = centroids
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
+      val assigned = embeddings.crossJoin(broadcast(centsRow))
+        .select(col("vec_id"), col("embedding"),
+          aggregate(col("cents"),
+            struct(lit(Double.NegativeInfinity).as("key"), lit(-1L).as("c_id")),
+            (acc, c) => {
+              val cs = cosine(col("embedding"), c.getField("c_vec"))
+              val key = when(isnan(cs), lit(Double.PositiveInfinity)).otherwise(cs)
+              when(key > acc.getField("key"),
+                struct(key.as("key"), c.getField("c_id").as("c_id")))
+                .otherwise(acc)
+            }).getField("c_id").as("c_id"))
+      centroids = assigned
+        .select(col("c_id"), posexplode(col("embedding"))).toDF("c_id", "dim", "x")
+        .groupBy("c_id", "dim")
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(25, 15))).cast("double")
+          / count(lit(1))).as("cx"))
+        .groupBy("c_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cx")))),
+          v => v.getField("cx").cast("float")).as("c_vec"))
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its
     * nearest of `nCentroids` centroids, then answer each query by
     * scanning only the `nProbe` closest centroid lists — the classic
@@ -321,10 +380,9 @@ object Similarity {
     * ~n/nCentroids, so probed work is a (nProbe/nCentroids) fraction
     * of the corpus regardless of score distribution.
     *
-    * Centroids are the first `nCentroids` vectors by vec_id — a
-    * deterministic seed choice (k-means would refine them; the
-    * assignment/probe machinery is identical), which keeps the whole
-    * operator exactly reproducible in the DuckDB oracle.
+    * Centroids here are the first `nCentroids` vectors by vec_id — a
+    * deterministic seed choice; [[ivfKnnWith]] + [[kmeans]] is the
+    * trained-codebook form (`knn_ivf_trained`), same machinery.
     *
     * Shapes: assignment is a broadcast join + map-side-partial
     * `max_by` aggregation (shuffle ≈ n rows, not n×K); the probe side
@@ -332,10 +390,17 @@ object Similarity {
     * join. */
   def ivfKnn(
       embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = embeddings
-      .where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfKnnWith(embeddings,
+      embeddings.where(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      nQueries, k, nProbe)
+
+  /** [[ivfKnn]] against an explicit centroid table (c_id, c_vec) —
+    * e.g. one trained by [[kmeans]]. */
+  def ivfKnnWith(
+      embeddings: DataFrame, centroids: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     // nearest centroid per vector; ties break to the lowest c_id
     val assigned = embeddings
       .join(broadcast(centroids))

@@ -43,6 +43,17 @@ object VectorQueries {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // IVF over a k-means-TRAINED codebook: 3 distributed Lloyd
+    // iterations (broadcast assignment + decimal-exact mean recompute,
+    // float32 centroids) — the oracle unrolls the same 3 iterations,
+    // so the whole training trajectory is hash-verified, not just the
+    // final probe.
+    "knn_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfKnnWith(e, Similarity.kmeans(e, k = 16, iters = 3),
+        nQueries = 8, k = 5, nProbe = 4)
+    }),
+
     // threshold 0.35 sits below the max pairwise cosine of the random
     // testdata embeddings at every SF, so the pass is non-vacuous
     // (threshold 0.9 matched nothing — empty ≡ empty proves nothing).
@@ -268,6 +279,67 @@ object VectorQueries {
          SELECT a.asset_id, a.kind, a.n, CAST(t.b AS BIGINT) AS bin
          FROM a, range(16) AS t(b))"""
 
+  /** knn_ivf_trained oracle: unrolls the SAME 3 Lloyd iterations the
+    * engine runs — argmax-cosine assignment (ties to lowest c_id),
+    * per-dim mean via exact DECIMAL(25,15) sums (order-independent)
+    * divided once in double, centroid rounded through REAL (the
+    * engine's float32 cast) — then the standard IVF probe against the
+    * trained table. Every centroid of every iteration must agree
+    * bit-for-bit or the final ranks drift. */
+  private lazy val ivfTrainedOracle: String = {
+    def assign(i: Int, cent: String) =
+      s"""a$i AS (
+            SELECT vec_id, embedding, c_id FROM (
+              SELECT e.vec_id, e.embedding, c.c_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+              FROM embeddings e CROSS JOIN $cent c)
+            WHERE rn = 1)"""
+    def recompute(i: Int) =
+      s"""c$i AS (
+            SELECT c_id, list(CAST(cx AS REAL) ORDER BY dim) AS c_vec FROM (
+              SELECT c_id, dim,
+                     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+                       / count(*) AS cx
+              FROM (
+                SELECT c_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       unnest(embedding) AS x
+                FROM a$i)
+              GROUP BY 1, 2)
+            GROUP BY c_id)"""
+    s"""WITH c0 AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        ${assign(1, "c0")}, ${recompute(1)},
+        ${assign(2, "c1")}, ${recompute(2)},
+        ${assign(3, "c2")}, ${recompute(3)},
+        af AS (
+          SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c3 c)
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c3 c),
+        probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, s.vec_id,
+                 ${cosSql("p.qv", "s.embedding")} AS cos
+          FROM probe p JOIN af s ON p.c_id = s.c_id
+          WHERE s.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+  }
+
   // brute-force first-principles near-dup definition — the banded-LSH
   // operator must reproduce it exactly (recall ~1 by construction)
   private val neardupOracle =
@@ -347,6 +419,7 @@ object VectorQueries {
     "neardup_cosine_exact" -> neardupOracle,
     "knn_lsh" -> lshOracle,
     "knn_lsh_mp" -> lshMultiProbeOracle,
+    "knn_ivf_trained" -> ivfTrainedOracle,
 
     "knn_ivf" ->
       s"""WITH c AS (

@@ -179,6 +179,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: deterministic float32 centroids; zero iterations returns the seeds") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = Similarity.kmeans(e, k = 4, iters = 0)
+      .as[(Long, Seq[Float])].collect().toMap
+    val seedRef = e.where($"vec_id" < 4)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(seeds == seedRef)
+    def run() = Similarity.kmeans(e, k = 4, iters = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    val a = run(); val b = run()
+    assert(a == b, "trainer is not deterministic")
+    assert(a.nonEmpty && a.values.forall(_.length == seedRef.values.head.length))
+    // training moved at least one centroid off its seed
+    assert(a != seedRef)
+  }
+
   test("codegen'd band signatures are bit-identical to the HOF reference") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val both = e.select(
