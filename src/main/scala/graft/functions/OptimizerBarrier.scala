@@ -53,7 +53,21 @@ case class OptimizerBarrier(child: Expression) extends UnaryExpression {
 }
 
 object OptimizerBarrier {
-  /** Column-level entry point: evaluate `c` exactly once per row. */
+  /** Column-level entry point: evaluate `c` exactly once per row.
+    *
+    * BLAST RADIUS (wider than the schema-pruning note above): because
+    * the wrapper reads as non-deterministic, `PushPredicateThroughNonJoin`
+    * refuses to push ANY predicate through a projection containing it —
+    * including filters on unrelated columns composed downstream — so
+    * scan-level pushdown (parquet PushedFilters, partition pruning)
+    * stops at the barrier for everything built on top of the wrapped
+    * projection. Use it on terminal/near-terminal projections (the ref
+    * decode chains, a row-local kernel feeding only its own null
+    * filter), NOT under further filtering layers you want pushed to
+    * the scan. If Spark's `With`/`CommonExpressionRef` CSE form ever
+    * gets a stable public constructor, that is the surgical
+    * replacement: the optimizer would dedupe the expression instead of
+    * being fenced out. */
   def evalOnce(c: Column): Column =
     Bridge.column(OptimizerBarrier(Bridge.expression(c)))
 }

@@ -71,7 +71,14 @@ object CoreQueries {
     // predicate aggregates + deterministic argmax/argmin: the ordering
     // key is exact integer cents*1e10 + orderkey, so price ties cannot
     // make the pick engine-dependent (and no float ever orders it) —
-    // DuckDB's arg_max takes the same scalar key
+    // DuckDB's arg_max takes the same scalar key (it rejects STRUCT
+    // keys, which is why this is a composite integer, not a struct).
+    // DOMAIN BOUND: the packing is tie-free only while o_orderkey <
+    // 1e10; TPC-H orderkeys reach 4·6e6·SF, so the formula is valid to
+    // SF ≈ 400 and would silently bleed across 1-cent buckets beyond
+    // that — at which point widen both engines to a DECIMAL(38) key
+    // (a bigger bigint multiplier overflows ANSI bigint already at
+    // TPC-H prices).
     "q_agg_predicates" -> ((s, d) => {
       val ordKey = (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long") *
         lit(10000000000L) + col("o_orderkey")

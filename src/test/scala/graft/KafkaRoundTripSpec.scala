@@ -105,6 +105,46 @@ class KafkaRoundTripSpec extends AnyFunSuite {
     assert(e.getMessage.contains("value"), e.getMessage)
   }
 
+  test("a GENUINELY replayed epoch (commit log truncated) does not double-write") {
+    // the crash window the simple restart test can't reach: the sink
+    // committed batch 0 but the driver died before writing commits/0.
+    // On restart Spark re-executes batch 0 under a NEW runId — the
+    // dedup key must therefore be the checkpoint-stable query id, or
+    // this replay double-appends.
+    graft.fakekafka.FakeKafkaBroker.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka4").toString
+    // input via the fake-kafka SOURCE (not MemoryStream, which purges
+    // committed batches and so cannot serve a replay)
+    Seq("a", "b").toDF("value").write.format("kafka")
+      .option("topic", "in4").save()
+    def start() = KafkaSources.toTopic(
+      KafkaSources.topicStream(spark, "fake:9092", "in4")
+        .selectExpr("CAST(value AS STRING) AS value"),
+      "fake:9092", "t4", s"$dir/chk").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate the crash: batch 0 landed in the sink, commit log lost
+    // (the local FS keeps a .crc checksum sidecar — a real lost write
+    // loses both, so delete both or the replayed rename collides)
+    val commit0 = new java.io.File(s"$dir/chk/commits/0")
+    assert(commit0.exists(), "expected commit log entry for batch 0")
+    assert(commit0.delete())
+    new java.io.File(s"$dir/chk/commits/.0.crc").delete()
+    Seq("c").toDF("value").write.format("kafka").option("topic", "in4").save()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val vals = graft.fakekafka.FakeKafkaBroker.read("t4")
+      .map(r => new String(r._2, java.nio.charset.StandardCharsets.UTF_8)).sorted
+    assert(vals == Seq("a", "b", "c"), s"replayed epoch double-wrote: $vals")
+    // and the contract the dedup key rests on, proven not assumed:
+    // Spark hands the writer the checkpoint-stable query id — equal
+    // across both runs and equal to StreamingQuery.id, NOT the runId
+    val ids = graft.fakekafka.FakeKafkaBroker.writerQueryIds.toSeq
+    assert(ids.size >= 2, s"expected a writer per run, got $ids")
+    assert(ids.distinct == Seq(q2.id.toString), s"ids=$ids q2.id=${q2.id}")
+    assert(q1.id == q2.id && q1.runId != q2.runId)
+  }
+
   test("replayed epochs after a checkpoint restart do not double-write") {
     graft.fakekafka.FakeKafkaBroker.clear()
     implicit val sqlCtx = spark.sqlContext

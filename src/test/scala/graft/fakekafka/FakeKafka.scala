@@ -118,13 +118,26 @@ object FakeKafkaBroker {
     mutable.Map.empty[String, mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]
   private val committedEpochs = mutable.Set.empty[(String, Long)]
 
+  /** Instrumentation for the epoch-dedup contract: every queryId Spark
+    * hands a streaming writer is recorded so the replay spec can PROVE
+    * the id is the checkpoint-stable StreamingQuery.id (not the
+    * per-run runId) — the whole dedup scheme rests on that. */
+  val writerQueryIds: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  def recordWriterQueryId(id: String): Unit = synchronized { writerQueryIds += id }
+
   def append(topic: String, rows: Seq[(Array[Byte], Array[Byte])]): Unit =
     synchronized {
       topics.getOrElseUpdate(topic, mutable.ArrayBuffer.empty) ++= rows
     }
 
-  /** Exactly-once per (queryRunId, epoch): a replayed epoch after a
-    * checkpoint restart must not double-append. */
+  /** Exactly-once per (queryId, epoch): a replayed epoch after a
+    * checkpoint restart must not double-append. This relies on Spark
+    * passing the CHECKPOINT-STABLE StreamingQuery.id (not the per-run
+    * runId) as LogicalWriteInfo.queryId — proven, not assumed, by the
+    * truncated-commit-log replay spec, which forces a genuine
+    * cross-restart epoch replay and asserts the recorded writer ids
+    * are identical across runs. */
   def appendEpoch(
       runTopic: String, epoch: Long,
       rows: Seq[(Array[Byte], Array[Byte])], topic: String): Unit =
@@ -136,7 +149,9 @@ object FakeKafkaBroker {
   def read(topic: String): Seq[(Array[Byte], Array[Byte])] =
     synchronized { topics.getOrElse(topic, Nil).toSeq }
 
-  def clear(): Unit = synchronized { topics.clear(); committedEpochs.clear() }
+  def clear(): Unit = synchronized {
+    topics.clear(); committedEpochs.clear(); writerQueryIds.clear()
+  }
 
   /** The real sink's KafkaWriter.validateQuery contract; returns the
     * target topic. Unlike the real sink, the fake does NOT implement
@@ -242,6 +257,8 @@ case class FakeKafkaWriterFactory(schema: StructType)
 
 class FakeKafkaStreamingWrite(topic: String, schema: StructType, queryId: String)
     extends StreamingWrite {
+  FakeKafkaBroker.recordWriterQueryId(queryId)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     FakeKafkaWriterFactory(schema)
