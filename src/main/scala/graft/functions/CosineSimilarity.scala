@@ -91,3 +91,68 @@ object CosineSimilarity {
   def apply(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }
+
+/** Σ (aᵢ−bᵢ)² over two `array<float>` columns — the PQ/k-means kernel,
+  * with whole-stage codegen. Same rationale and arithmetic contract as
+  * [[CosineSimilarity]]: elements widen float→double, the squared
+  * differences accumulate strictly left-to-right, so the value is
+  * bit-identical to the `zip_with`+`aggregate` HOF form (pinned by
+  * spec) and to DuckDB's `list_reduce` mirror. Length mismatch
+  * truncates to the shorter side, like `zip_with`'s null-padded tail
+  * after the callers' `coalesce`-free sum drops it. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"squared_l2 expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredL2 {
+  /** Column-level entry point: squared_l2(a, b). */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(SquaredL2(Bridge.expression(a), Bridge.expression(b)))
+}

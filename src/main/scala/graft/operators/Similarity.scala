@@ -32,6 +32,13 @@ object Similarity {
     * allowed to expand O(|bucket|²) candidate pairs in one task. */
   private val MAX_BUCKET = 64
 
+  /** Σ (aᵢ − bᵢ)² with strict left-to-right double accumulation — the
+    * arithmetic DuckDB's `list_reduce` mirrors exactly (0.0 + x == x,
+    * so the zero seed equals seeding with the first element). The
+    * codegen'd kernel, bit-identical to the HOF form (parity spec). */
+  private def squaredL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.SquaredL2(a, b)
+
   /** Exact top-k cosine neighbors for each query vector (queries =
     * vec_id < nQueries; self-matches excluded). The query side is tiny
     * and broadcast; scoring is a single pass over the base table.
@@ -133,6 +140,91 @@ object Similarity {
       transform(array_sort(collect_list(struct(col("cw_k"), col(s"d2_$m")))),
         e => e.getField(s"d2_$m")).as(s"lut_$m"))
     val luts = qd2.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until subspaces).map(m =>
+          element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
+    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
+  }
+
+  /** [[pqKnn]] with per-subspace codebooks TRAINED by Lloyd iterations
+    * (L2 objective, the textbook PQ training) instead of seed
+    * subvectors. All `subspaces` codebooks train in ONE grouped loop:
+    * the corpus explodes once into (vector, subspace-slice) rows and
+    * every Lloyd step keys by `m` — identical math to running
+    * [[kmeans]] per slice, but one stage chain instead of `subspaces`
+    * of them, and the corpus is still never shuffled to assign (the
+    * per-subspace centroid lists broadcast-join on `m` and an
+    * aggregate HOF scans them in-row). Surviving codewords re-key
+    * DENSE per subspace (so ADC lookup tables index by position even
+    * when a cluster emptied during training); encode/LUT/score/top-k
+    * are the standard ADC pipeline. Everything — including every
+    * training iteration of every subspace — is deterministic
+    * double/decimal arithmetic, so the DuckDB oracle replays the
+    * complete trajectory bit-for-bit. */
+  def pqKnnTrained(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      iters: Int = 2, salts: Int = 32): DataFrame = {
+    // one row per (vector, subspace): the only wide pass over the data
+    val sliced = embeddings.select(col("vec_id"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col("embedding"), m * subDim + 1, subDim)): _*)))
+      .toDF("vec_id", "m", "sv")
+    var cb = sliced.where(col("vec_id") < codebookSize)
+      .select(col("m"), col("vec_id").cast("int").as("cw_k"), col("sv").as("cw"))
+    for (_ <- 1 to iters) {
+      // per-subspace centroid lists, cw_k-ascending for the tie-break
+      val cents = cb.groupBy("m")
+        .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+      val assigned = sliced.join(broadcast(cents), "m")
+        .select(col("m"), col("sv"),
+          aggregate(col("cents"),
+            struct(lit(Double.NegativeInfinity).as("key"), lit(-1).as("cw_k")),
+            (acc, c) => {
+              // argmax of -d2 == argmin d2; strict > keeps the FIRST
+              // (lowest cw_k) on ties, matching ORDER BY d2, cw_k
+              val key = -squaredL2(col("sv"), c.getField("cw"))
+              when(key > acc.getField("key"),
+                struct(key.as("key"), c.getField("cw_k").as("cw_k")))
+                .otherwise(acc)
+            }).getField("cw_k").as("cw_k"))
+      // recompute in ONE static-width aggregation (subDim is a
+      // parameter, so the per-dimension decimal sums are columns — no
+      // explode, no second shuffle; identical exact arithmetic)
+      val sumCols = (0 until subDim).map(d =>
+        sum(element_at(col("sv"), d + 1).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+      cb = assigned.groupBy("m", "cw_k")
+        .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("m"), col("cw_k"),
+          array((0 until subDim).map(d =>
+            (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("cw"))
+    }
+    val cbDense = cb.select(col("m"),
+      (row_number().over(Window.partitionBy("m").orderBy("cw_k")) - 1).as("cw_k"),
+      col("cw"))
+    // encode: argmin d2 per (vector, subspace), ties to lowest code —
+    // the subspace pivot folds into the SAME aggregation (filtered
+    // struct-min per m; min ignores the other subspaces' nulls), so
+    // one shuffle produces one code row per vector
+    val enc = sliced.join(broadcast(cbDense), "m")
+      .select(col("vec_id"), col("m"), col("cw_k"),
+        squaredL2(col("sv"), col("cw")).as("d2"))
+    val codeCols = (0 until subspaces).map(m =>
+      min(when(col("m") === m, struct(col("d2"), col("cw_k"))))
+        .getField("cw_k").as(s"c$m"))
+    val codes = enc.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+    // per-query ADC lookup tables, code-ordered, same one-shuffle pivot
+    val qenc = sliced.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(cbDense), "m")
+      .select(col("query_id"), col("m"), col("cw_k"),
+        squaredL2(col("sv"), col("cw")).as("d2"))
+    val lutCols = (0 until subspaces).map(m =>
+      transform(array_sort(collect_list(when(col("m") === m,
+        struct(col("cw_k"), col("d2"))))), e => e.getField("d2")).as(s"lut_$m"))
+    val luts = qenc.groupBy("query_id").agg(lutCols.head, lutCols.tail: _*)
     val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
@@ -322,8 +414,10 @@ object Similarity {
     * iteration.
     *
     * Deterministic end-to-end (→ fully oracled): seeds are the first
-    * `k` vectors; assignment is argmax cosine with ties to the lowest
-    * centroid id; per-dimension means sum exact decimals
+    * `k` vectors; assignment is argmax cosine (`metric="cosine"`, the
+    * IVF coarse quantizer) or argmin squared L2 (`metric="l2"`, the
+    * textbook Lloyd used for PQ subspace codebooks), ties to the
+    * lowest centroid id; per-dimension means sum exact decimals
     * (order-independent across partitions) and divide once in double;
     * each new centroid is cast to float32 — the storage type a real
     * codebook uses — so every iteration's arithmetic is reproducible
@@ -331,7 +425,10 @@ object Similarity {
     * centroid whose cluster empties drops out, in both engines.
     *
     * Returns (c_id, c_vec: array<float>). */
-  def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+  def kmeans(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+      metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     var centroids = embeddings
       .where(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
@@ -353,7 +450,11 @@ object Similarity {
           aggregate(col("cents"),
             struct(lit(Double.NegativeInfinity).as("key"), lit(-1L).as("c_id")),
             (acc, c) => {
-              val cs = cosine(col("embedding"), c.getField("c_vec"))
+              // argmax key: cosine directly, or -d2 so argmax = argmin L2
+              val cs = metric match {
+                case "cosine" => cosine(col("embedding"), c.getField("c_vec"))
+                case "l2" => -squaredL2(col("embedding"), c.getField("c_vec"))
+              }
               val key = when(isnan(cs), lit(Double.PositiveInfinity)).otherwise(cs)
               when(key > acc.getField("key"),
                 struct(key.as("key"), c.getField("c_id").as("c_id")))

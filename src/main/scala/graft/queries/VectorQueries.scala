@@ -43,6 +43,13 @@ object VectorQueries {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // PQ over per-subspace k-means-TRAINED codebooks (L2 Lloyd, the
+    // real PQ training objective): the oracle replays all 4 subspaces'
+    // 2-iteration trajectories, the dense re-keying, and the ADC
+    // scoring — bit-exact end to end.
+    "knn_pq_trained" -> ((s, d) =>
+      Similarity.pqKnnTrained(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // IVF over a k-means-TRAINED codebook: 3 distributed Lloyd
     // iterations (broadcast assignment + decimal-exact mean recompute,
     // float32 centroids) — the oracle unrolls the same 3 iterations,
@@ -340,6 +347,80 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5"""
   }
 
+  /** knn_pq_trained oracle: for each of the 4 subspaces, slice the
+    * corpus, replay 2 L2-Lloyd iterations (argmin d2 ties-to-lowest,
+    * DECIMAL(25,15) means, REAL cast), re-key surviving codewords
+    * densely, then encode + per-query LUTs + ADC + top-k — the exact
+    * arithmetic of [[graft.operators.Similarity.pqKnnTrained]]. */
+  private lazy val pqTrainedOracle: String = {
+    val S = 4; val D = 16; val K = 16; val ITERS = 2
+    // strict left-to-right Σ(a_i-b_i)² over two D-length lists
+    def d2L(a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, ${D + 1}),
+            i -> (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) *
+                 (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))),
+            (acc, x) -> acc + x)"""
+    def subCtes(m: Int): String = {
+      val off = m * D
+      val iterCtes = (1 to ITERS).map { i =>
+        s"""a${m}_$i AS (
+              SELECT vec_id, sv, cw_k FROM (
+                SELECT s.vec_id, s.sv, c.cw_k,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY ${d2L("s.sv", "c.cw")} ASC, c.cw_k ASC) AS rn
+                FROM s$m s CROSS JOIN c${m}_${i - 1} c)
+              WHERE rn = 1),
+            c${m}_$i AS (
+              SELECT cw_k, list(CAST(cx AS REAL) ORDER BY dim) AS cw FROM (
+                SELECT cw_k, dim,
+                       CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+                         / count(*) AS cx
+                FROM (
+                  SELECT cw_k, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS dim,
+                         unnest(sv) AS x
+                  FROM a${m}_$i)
+                GROUP BY 1, 2)
+              GROUP BY cw_k)"""
+      }.mkString(",\n")
+      s"""s$m AS (
+            SELECT vec_id, list_transform(range(1, ${D + 1}), i -> embedding[$off + i]) AS sv
+            FROM embeddings),
+          c${m}_0 AS (SELECT vec_id AS cw_k, sv AS cw FROM s$m WHERE vec_id < $K),
+          $iterCtes,
+          ct$m AS (
+            SELECT row_number() OVER (ORDER BY cw_k) - 1 AS cw_k, cw
+            FROM c${m}_$ITERS),
+          code$m AS (
+            SELECT vec_id, cw_k AS c$m FROM (
+              SELECT s.vec_id, c.cw_k,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${d2L("s.sv", "c.cw")} ASC, c.cw_k ASC) AS rn
+              FROM s$m s CROSS JOIN ct$m c)
+            WHERE rn = 1),
+          lut$m AS (
+            SELECT query_id, list(d2v ORDER BY cw_k) AS lut_$m FROM (
+              SELECT s.vec_id AS query_id, c.cw_k, ${d2L("s.sv", "c.cw")} AS d2v
+              FROM s$m s CROSS JOIN ct$m c WHERE s.vec_id < 8)
+            GROUP BY query_id)"""
+    }
+    val codesJoin = (1 until S).map(m => s"JOIN code$m USING (vec_id)").mkString(" ")
+    val lutsJoin = (1 until S).map(m => s"JOIN lut$m USING (query_id)").mkString(" ")
+    val adc = (0 until S).map(m => s"lut_$m[c$m + 1]").mkString(" + ")
+    s"""WITH ${(0 until S).map(subCtes).mkString(",\n")},
+        codes AS (SELECT * FROM code0 $codesJoin),
+        luts AS (SELECT * FROM lut0 $lutsJoin),
+        scored AS (
+          SELECT query_id, vec_id, $adc AS adc_dist
+          FROM codes CROSS JOIN luts WHERE vec_id <> query_id),
+        ranked AS (
+          SELECT query_id, vec_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= 5"""
+  }
+
   // brute-force first-principles near-dup definition — the banded-LSH
   // operator must reproduce it exactly (recall ~1 by construction)
   private val neardupOracle =
@@ -420,6 +501,7 @@ object VectorQueries {
     "knn_lsh" -> lshOracle,
     "knn_lsh_mp" -> lshMultiProbeOracle,
     "knn_ivf_trained" -> ivfTrainedOracle,
+    "knn_pq_trained" -> pqTrainedOracle,
 
     "knn_ivf" ->
       s"""WITH c AS (

@@ -179,6 +179,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd SquaredL2 is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val hof = expr(
+      """aggregate(zip_with(a, b,
+           (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                     (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           0.0D, (acc, t) -> acc + t)""")
+    val pairs = e.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(e.limit(3).select($"embedding".as("b")))
+    val diff = pairs
+      .select(graft.functions.SquaredL2($"a", $"b").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
   test("kmeans: deterministic float32 centroids; zero iterations returns the seeds") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val seeds = Similarity.kmeans(e, k = 4, iters = 0)
