@@ -95,11 +95,15 @@ object CosineSimilarity {
 /** Σ (aᵢ−bᵢ)² over two `array<float>` columns — the PQ/k-means kernel,
   * with whole-stage codegen. Same rationale and arithmetic contract as
   * [[CosineSimilarity]]: elements widen float→double, the squared
-  * differences accumulate strictly left-to-right, so the value is
-  * bit-identical to the `zip_with`+`aggregate` HOF form (pinned by
-  * spec) and to DuckDB's `list_reduce` mirror. Length mismatch
-  * truncates to the shorter side, like `zip_with`'s null-padded tail
-  * after the callers' `coalesce`-free sum drops it. */
+  * differences accumulate strictly left-to-right, so for equal-length
+  * null-free arrays (every in-repo call site — uniform slices and
+  * codewords) the value is bit-identical to the `zip_with`+`aggregate`
+  * HOF form (pinned by spec) and to DuckDB's `list_reduce` mirror.
+  * Degenerate inputs DIFFER from the HOF form deliberately: length
+  * mismatch truncates to the shorter side and null elements read as
+  * 0.0f, where `aggregate` would poison the whole sum to NULL — a
+  * finite answer is the useful behavior for a distance kernel, but
+  * don't lean on HOF equivalence there. */
 case class SquaredL2(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -58,11 +58,12 @@ object AsOfJoin {
     * a streaming partition merge with O(1) per-key state instead of a
     * window buffer. Requires [[graft.plans.GraftExtensions]] on the
     * session (registered here imperatively, idempotent). Key/time
-    * columns must be resolved against the inputs (use `df("col")`). */
-  /** @param tolerance max allowed `leftTime - rightTime` (same integral
-    *                   unit as the time columns, epoch-µs by engine
-    *                   convention); a match older than the bound emits
-    *                   nulls like an unmatched row. */
+    * columns must be resolved against the inputs (use `df("col")`).
+    *
+    * @param tolerance max allowed `leftTime - rightTime` (same integral
+    *                  unit as the time columns, epoch-µs by engine
+    *                  convention); a match older than the bound emits
+    *                  nulls like an unmatched row. */
   def asOfNative(
       left: DataFrame,
       right: DataFrame,

@@ -166,10 +166,17 @@ object Similarity {
       embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
       subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
       iters: Int = 2, salts: Int = 32): DataFrame = {
+    // fail loudly on a mis-sized subspace grid: slice() past the array
+    // end silently yields short subvectors and the kernel would train
+    // on garbage (checked in-row — the dimension isn't in the schema)
+    val guarded = when(size(col("embedding")) === subspaces * subDim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"pqKnnTrained: embedding dimension must be $subspaces*$subDim = " +
+          s"${subspaces * subDim}, got "), size(col("embedding")).cast("string"))))
     // one row per (vector, subspace): the only wide pass over the data
     val sliced = embeddings.select(col("vec_id"),
       posexplode(array((0 until subspaces).map(m =>
-        slice(col("embedding"), m * subDim + 1, subDim)): _*)))
+        slice(guarded, m * subDim + 1, subDim)): _*)))
       .toDF("vec_id", "m", "sv")
     var cb = sliced.where(col("vec_id") < codebookSize)
       .select(col("m"), col("vec_id").cast("int").as("cw_k"), col("sv").as("cw"))
@@ -438,11 +445,12 @@ object Similarity {
       // aggregate HOF — the corpus is never shuffled to pick a
       // centroid (vs. a join + groupBy(vec_id), which re-shuffles all
       // n embeddings every iteration). Strict `>` over the ascending
-      // c_id scan keeps the FIRST best — the same tie-break as
-      // max_by(cos, -c_id) and the oracle's (cos DESC, c_id ASC).
-      // NaN cosines (zero vectors) normalize to +inf so they assign to
-      // the lowest c_id, matching NaN-greatest ordering both engines
-      // use in sorts.
+      // c_id scan keeps the FIRST best — the same tie-break as the
+      // oracle's (cos DESC, c_id ASC). A NaN cosine (zero-norm input)
+      // maps to -inf, mirroring DuckDB where 0.0/0.0 is NULL and NULL
+      // sorts LAST under ORDER BY DESC; the `acc.c_id == -1` clause
+      // still adopts the first centroid when EVERY key is -inf, which
+      // is the all-NULL tie both engines break to the lowest c_id.
       val centsRow = centroids
         .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
       val assigned = embeddings.crossJoin(broadcast(centsRow))
@@ -455,8 +463,8 @@ object Similarity {
                 case "cosine" => cosine(col("embedding"), c.getField("c_vec"))
                 case "l2" => -squaredL2(col("embedding"), c.getField("c_vec"))
               }
-              val key = when(isnan(cs), lit(Double.PositiveInfinity)).otherwise(cs)
-              when(key > acc.getField("key"),
+              val key = when(isnan(cs), lit(Double.NegativeInfinity)).otherwise(cs)
+              when(key > acc.getField("key") || acc.getField("c_id") === -1L,
                 struct(key.as("key"), c.getField("c_id").as("c_id")))
                 .otherwise(acc)
             }).getField("c_id").as("c_id"))

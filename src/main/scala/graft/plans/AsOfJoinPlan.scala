@@ -215,8 +215,14 @@ case class AsOfJoinExec(
           val matched = matchKey != null && keyOrd.compare(matchKey, lKey) == 0 &&
             (tol match {
               case None => true
-              case Some(t) => lTime != null && matchTime != null &&
-                lTime.asInstanceOf[Long] - matchTime.asInstanceOf[Long] <= t
+              case Some(t) => lTime != null && matchTime != null && {
+                // eligibility guarantees matchTime <= lTime, so the true
+                // gap is >= 0; a wrapped (negative) subtraction means the
+                // gap exceeds Long.MaxValue — reject instead of letting
+                // the overflowed value sneak under the bound
+                val gap = lTime.asInstanceOf[Long] - matchTime.asInstanceOf[Long]
+                gap >= 0 && gap <= t
+              }
             })
           if (matched) matchedRows += 1
           outRows += 1

@@ -101,6 +101,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol(100L).isEmpty)
   }
 
+  test("native as-of tolerance is overflow-safe at extreme time values") {
+    val left = Seq((1L, 100L, 2L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, Long.MinValue + 1)).toDF("rk", "rid", "rt")
+    // the true gap exceeds Long.MaxValue, so the raw subtraction wraps
+    // negative — the match must be rejected, not accepted via overflow
+    val got = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt",
+      tolerance = Some(Long.MaxValue))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).isEmpty)
+    // and without a tolerance the same extreme row still matches
+    val open = AsOfJoin.asOfNative(left, right, $"k", $"rk", $"t", $"rt")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(open(100L).contains(900L))
+  }
+
   test("native as-of tolerance rejects a non-bigint time axis loudly") {
     val left = Seq((1L, 10, 1L)).toDF("k", "t", "lv")    // t: int
     val right = Seq((1L, 9, 2L)).toDF("rk", "rt", "rv")  // rt: int

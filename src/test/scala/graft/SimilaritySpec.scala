@@ -210,6 +210,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a != seedRef)
   }
 
+  test("pqKnnTrained rejects a mis-sized subspace grid loudly") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Similarity.pqKnnTrained(e, subDim = 20).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("pqKnnTrained")), ex.toString)
+  }
+
   test("codegen'd band signatures are bit-identical to the HOF reference") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val both = e.select(

@@ -18,7 +18,8 @@ MODE="${1:-gate}"
 case "$MODE" in
   --quick) SF=/root/testdata/sf0.001; RUN_TESTS=0; RUN_BENCH=0 ;;
   --full)  SF=/root/testdata/sf0.01;  RUN_TESTS=1; RUN_BENCH=1 ;;
-  *)       SF=/root/testdata/sf0.01;  RUN_TESTS=1; RUN_BENCH=0 ;;
+  gate)    SF=/root/testdata/sf0.01;  RUN_TESTS=1; RUN_BENCH=0 ;;
+  *) echo "unknown mode '$MODE' (use --quick, --full, or no argument)"; exit 2 ;;
 esac
 
 # logs live OUTSIDE the verify output dir: check.py treats every entry
@@ -34,11 +35,13 @@ sbt -batch compile
 if [[ "$RUN_TESTS" == 1 ]]; then
   echo "== gate: sbt test =="
   if ! sbt -batch test > "$LOG" 2>&1; then
-    grep -E "\*\*\* FAILED|Failed tests|Tests:" "$LOG" | head -20
+    # grep must not abort the diagnostics under set -e when the log has
+    # no test lines (e.g. a compile error)
+    grep -E "\*\*\* FAILED|Failed tests|Tests:|error\]" "$LOG" | head -20 || true
     echo "TESTS FAILED (full log: $LOG)"
     exit 1
   fi
-  grep -hE "^\[info\] Tests:" "$LOG" | tail -20
+  grep -hE "^\[info\] Tests:" "$LOG" | tail -20 || true
 fi
 
 echo "== gate: verify @$SF =="
