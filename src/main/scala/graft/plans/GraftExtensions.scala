@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HyperplaneBandSignature, Md5SimHash64, MinHashSignature, ShingleSet, SimHash64}
+import graft.functions.{CosineSimilarity, GopherRepetition, HyperplaneBandSignature, Md5SimHash64, MinHashSignature, ShingleSet, SimHash64, SquaredL2}
 
 /** Engine extension wiring (SparkSessionExtensions): registers graft's
   * native Catalyst expressions as SQL functions, so `spark.sql` users
@@ -75,6 +75,19 @@ object GraftExtensions {
       require(args.length == 3, s"minhash_sig expects 3 arguments, got ${args.length}")
       MinHashSignature(args.head,
         litInt("minhash_sig", args(1), "n"), litInt("minhash_sig", args(2), "k"))
+    },
+    descriptor("squared_l2", classOf[SquaredL2],
+      "squared_l2(a, b) - squared euclidean distance of two float vectors " +
+        "(sequential double accumulation; codegen'd)") { args =>
+      require(args.length == 2, s"squared_l2 expects 2 arguments, got ${args.length}")
+      SquaredL2(args.head, args(1))
+    },
+    descriptor("gopher_repetition", classOf[GopherRepetition],
+      "gopher_repetition(text) - struct(total_2, uniq_2, top_2, total_3, uniq_3, " +
+        "top_3): per-row n-gram repetition counters for Gopher-style quality fractions") { args =>
+      require(args.length == 1,
+        s"gopher_repetition expects 1 argument, got ${args.length}")
+      GopherRepetition(args.head)
     },
     descriptor("hyperplane_band_sig", classOf[HyperplaneBandSignature],
       "hyperplane_band_sig(vec, planes_per_band, bands) - banded random-hyperplane " +

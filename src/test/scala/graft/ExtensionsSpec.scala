@@ -42,6 +42,22 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.functions.HyperplaneBandSignature($"embedding", 8, 1, 64).as("s"))
       .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toList).toMap
     assert(sqlSig == apiSig)
+    // round-5 kernels: squared_l2 + gopher_repetition
+    val sqlL2 = spark.sql(
+      """SELECT a.vec_id, squared_l2(a.embedding, b.embedding) AS d
+         FROM ext_vecs a JOIN ext_vecs b ON b.vec_id = 0""")
+      .as[(Long, Double)].collect().toMap
+    val apiL2 = e.crossJoin(e.where($"vec_id" === 0).select($"embedding".as("b")))
+      .select($"vec_id", graft.functions.SquaredL2($"embedding", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(sqlL2 == apiL2)
+    val sqlGr = spark.sql(
+      "SELECT doc_id, gopher_repetition(text).total_2 AS t2 FROM ext_docs")
+      .as[(Long, Option[Long])].collect().toMap
+    val apiGr = d.select($"doc_id",
+      graft.functions.GopherRepetition($"text").getField("total_2").as("t2"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(sqlGr == apiGr && sqlGr.values.flatten.exists(_ > 0))
   }
 
   test("shingle_set rejects a non-literal width") {
