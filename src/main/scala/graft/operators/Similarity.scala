@@ -239,6 +239,35 @@ object Similarity {
     saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
   }
 
+  /** Two-stage retrieval — THE production ANN serving shape: a cheap
+    * ADC shortlist ([[pqKnn]], `shortlist` candidates per query) is
+    * re-scored with the exact cosine and re-ranked to the final top-k.
+    * The coarse stage does the corpus-scale work (table lookups per
+    * candidate); the exact stage touches only `queries × shortlist`
+    * rows, so its cost is independent of corpus size. The shortlist
+    * is broadcast back against the corpus to fetch candidate vectors
+    * (no corpus shuffle), and the final window sorts ≤ shortlist rows
+    * per query — no salting needed at that size. */
+  def pqKnnRescore(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      shortlist: Int = 50, subspaces: Int = 4, subDim: Int = 16,
+      codebookSize: Int = 16, salts: Int = 32): DataFrame = {
+    val cand = pqKnn(embeddings, nQueries, shortlist, subspaces, subDim,
+      codebookSize, salts)
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val rescored = embeddings
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
   /** Binary-quantized kNN: every embedding compresses to its sign
     * bits, packed 64-per-long (dimension d → bit (d mod 64) of word
     * (d div 64), set iff vec[d] > 0) — 32× smaller than float32 — and

@@ -43,6 +43,13 @@ object VectorQueries {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // two-stage retrieval (the production serving shape): ADC
+    // shortlist of 50 per query, exact-cosine re-rank to top-5 — the
+    // exact stage's cost is independent of corpus size.
+    "knn_pq_rescore" -> ((s, d) =>
+      Similarity.pqKnnRescore(Tables.embeddings(s, d), nQueries = 8, k = 5,
+        shortlist = 50)),
+
     // PQ over per-subspace k-means-TRAINED codebooks (L2 Lloyd, the
     // real PQ training objective): the oracle replays all 4 subspaces'
     // 2-iteration trajectories, the dense re-keying, and the ADC
@@ -347,6 +354,43 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5"""
   }
 
+  /** Shared ADC CTE chain for the seed-codebook PQ oracles (knn_pq +
+    * knn_pq_rescore's shortlist stage): encode → per-query LUTs → ADC
+    * → `ranked` with the (adc ASC, vec_id ASC) total order. */
+  private lazy val pqAdcCtes: String = {
+    // sequential-double subspace squared distance, offset m*16
+    def d2Sql(m: Int, a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, 17),
+           i -> (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE)) *
+                (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE))),
+           (acc, x) -> acc + x)"""
+    val encD2 = (0 until 4).map(m => s"${d2Sql(m, "e.embedding", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val qD2 = (0 until 4).map(m => s"${d2Sql(m, "q.embedding", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val codeCols = (0 until 4).map(m => s"first(k ORDER BY d2_$m ASC, k ASC) AS c$m").mkString(", ")
+    val lutCols = (0 until 4).map(m => s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
+    val adc = (0 until 4).map(m => s"lut_$m[c$m + 1]").mkString(" + ")
+    s"""cb AS (
+          SELECT CAST(vec_id AS INT) AS k, embedding AS cw FROM embeddings WHERE vec_id < 16),
+        enc AS (
+          SELECT e.vec_id, cb.k,
+           $encD2
+          FROM embeddings e CROSS JOIN cb),
+        codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+        qenc AS (
+          SELECT q.vec_id AS query_id, cb.k,
+           $qD2
+          FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 8),
+        luts AS (SELECT query_id, $lutCols FROM qenc GROUP BY query_id),
+        scored AS (
+          SELECT query_id, vec_id, $adc AS adc_dist
+          FROM codes CROSS JOIN luts WHERE vec_id <> query_id),
+        ranked AS (
+          SELECT query_id, vec_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM scored)"""
+  }
+
   /** knn_pq_trained oracle: for each of the 4 subspaces, slice the
     * corpus, replay 2 L2-Lloyd iterations (argmin d2 ties-to-lowest,
     * DECIMAL(25,15) means, REAL cast), re-key surviving codewords
@@ -445,41 +489,29 @@ object VectorQueries {
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
 
-    "knn_pq" -> {
-      // sequential-double subspace squared distance, offset m*16
-      def d2Sql(m: Int, a: String, b: String) =
-        s"""list_reduce(list_transform(range(1, 17),
-             i -> (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE)) *
-                  (CAST(($a)[${m * 16} + i] AS DOUBLE) - CAST(($b)[${m * 16} + i] AS DOUBLE))),
-             (acc, x) -> acc + x)"""
-      val encD2 = (0 until 4).map(m => s"${d2Sql(m, "e.embedding", "cb.cw")} AS d2_$m").mkString(",\n             ")
-      val qD2 = (0 until 4).map(m => s"${d2Sql(m, "q.embedding", "cb.cw")} AS d2_$m").mkString(",\n             ")
-      val codeCols = (0 until 4).map(m => s"first(k ORDER BY d2_$m ASC, k ASC) AS c$m").mkString(", ")
-      val lutCols = (0 until 4).map(m => s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
-      val adc = (0 until 4).map(m => s"lut_$m[c$m + 1]").mkString(" + ")
-      s"""WITH cb AS (
-            SELECT CAST(vec_id AS INT) AS k, embedding AS cw FROM embeddings WHERE vec_id < 16),
-          enc AS (
-            SELECT e.vec_id, cb.k,
-             $encD2
-            FROM embeddings e CROSS JOIN cb),
-          codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
-          qenc AS (
-            SELECT q.vec_id AS query_id, cb.k,
-             $qD2
-            FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 8),
-          luts AS (SELECT query_id, $lutCols FROM qenc GROUP BY query_id),
-          scored AS (
-            SELECT query_id, vec_id, $adc AS adc_dist
-            FROM codes CROSS JOIN luts WHERE vec_id <> query_id),
-          ranked AS (
-            SELECT query_id, vec_id, adc_dist,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adc_dist ASC, vec_id ASC) AS rank
-            FROM scored)
+    "knn_pq" ->
+      s"""WITH $pqAdcCtes
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-          FROM ranked WHERE rank <= 5"""
-    },
+          FROM ranked WHERE rank <= 5""",
+
+    // two-stage retrieval: the SAME ADC ranking shortlists 50, the
+    // exact cosine re-ranks them to the final 5
+    "knn_pq_rescore" ->
+      s"""WITH $pqAdcCtes,
+          sl AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+          resc AS (
+            SELECT sl.query_id, sl.vec_id,
+                   ${cosSql("q.embedding", "e.embedding")} AS cos
+            FROM sl
+            JOIN embeddings q ON q.vec_id = sl.query_id
+            JOIN embeddings e ON e.vec_id = sl.vec_id),
+          rr AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM resc)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+          FROM rr WHERE rank <= 5""",
 
     "knn_binary" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

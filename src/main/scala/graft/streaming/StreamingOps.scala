@@ -77,6 +77,20 @@ object StreamingOps {
     left.withWatermark(leftTsCol, leftWatermark)
       .join(right.withWatermark(rightTsCol, rightWatermark), condition)
 
+  /** LEFT OUTER stream-stream join with the same dual-watermark +
+    * time-range bounds: a left row that never finds a match is still
+    * emitted (null right side) — but only once the watermark has
+    * passed its join window, because until then a matching right row
+    * could still arrive. Same state-eviction story as the inner form;
+    * the outer semantics cost nothing extra at scale, the null rows
+    * simply flush on watermark advance. */
+  def boundedStreamStreamJoinLeftOuter(
+      left: DataFrame, leftTsCol: String, leftWatermark: String,
+      right: DataFrame, rightTsCol: String, rightWatermark: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftWatermark)
+      .join(right.withWatermark(rightTsCol, rightWatermark), condition, "left_outer")
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)

@@ -355,13 +355,13 @@ class StreamingOpsSpec extends AnyFunSuite {
     val lmem = MemoryStream[(Long, Timestamp)]
     val rmem = MemoryStream[(Long, Timestamp)]
     // left_outer: unmatched left rows surface only once the watermark
-    // proves no in-range right row can still arrive
-    val outer = lmem.toDF().toDF("l_key", "l_ts")
-      .withWatermark("l_ts", "5 minutes")
-      .join(rmem.toDF().toDF("r_key", "r_ts").withWatermark("r_ts", "5 minutes"),
-        col("l_key") === col("r_key") &&
-          col("r_ts").between(expr("l_ts - interval 10 minutes"), col("l_ts")),
-        "left_outer")
+    // proves no in-range right row can still arrive — through the
+    // engine's own operator
+    val outer = StreamingOps.boundedStreamStreamJoinLeftOuter(
+      lmem.toDF().toDF("l_key", "l_ts"), "l_ts", "5 minutes",
+      rmem.toDF().toDF("r_key", "r_ts"), "r_ts", "5 minutes",
+      col("l_key") === col("r_key") &&
+        col("r_ts").between(expr("l_ts - interval 10 minutes"), col("l_ts")))
     val q = outer.select("l_key", "r_key")
       .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
     try {
