@@ -460,6 +460,14 @@ object Similarity {
     * bit-for-bit in DuckDB (`CAST AS REAL` rounds identically). A
     * centroid whose cluster empties drops out, in both engines.
     *
+    * The iterations chain lazily into one plan — at the validated
+    * iteration counts that is the cheapest shape (each sub-plan runs
+    * exactly once). Driving iters much higher would grow Catalyst
+    * analysis superlinearly; the cure is the same one
+    * `Dedup.connectedComponents` uses — localCheckpoint each round and
+    * unpersist superseded ones — traded away here to keep the trainer
+    * a pure lazy DataFrame function.
+    *
     * Returns (c_id, c_vec: array<float>). */
   def kmeans(
       embeddings: DataFrame, k: Int = 16, iters: Int = 3,
