@@ -135,6 +135,36 @@ object VectorQueries {
               .otherwise(lit(0L)))))
         .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("q"))),
 
+    // Count-Min Sketch frequency estimation — the mergeable
+    // heavy-hitters sketch, and unlike HLL/KLL it is FULLY ORACLED:
+    // buckets derive from md5 (byte-identical in every engine) and the
+    // counters are additive longs (commutative merge), so the whole
+    // sketch is deterministic. depth=4 × width=512 longs = 16 KB of
+    // state no matter how many rows stream through — the 100 TB story.
+    // Output: estimate vs exact for the probe ids; CMS never
+    // underestimates (asserted in SketchSpec).
+    "sketch_cms" -> ((s, d) => {
+      val depth = 4
+      val width = 512
+      val e = Tables.events(s, d).select(col("user_id"))
+      def bucket(dd: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(dd.cast("string"), lit(":"), u.cast("string"))),
+          1, 8), 16, 10).cast("long") % width
+      val depths = explode(array((0 until depth).map(i => lit(i)): _*)).as("d")
+      val counters = e.select(col("user_id"), depths)
+        .select(col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+      val probes = e.where(col("user_id") < 20).distinct()
+        .select(col("user_id"), depths)
+        .select(col("user_id"), col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+      val exact = e.where(col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      counters.join(broadcast(probes), Seq("d", "bucket"))
+        .groupBy("user_id").agg(min(col("c")).as("cms_est"))
+        .join(broadcast(exact), "user_id")
+        .select(col("user_id"), col("cms_est"), col("exact_n"))
+    }),
+
     "sketch_hll" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -566,6 +596,31 @@ object VectorQueries {
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",
+
+    // the CMS is deterministic end to end (md5 buckets + additive
+    // counters), so unlike the HLL/KLL sketches it hash-verifies
+    "sketch_cms" ->
+      """WITH e AS (SELECT user_id FROM events),
+         ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         buck AS (
+           SELECT d, user_id,
+                  CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+           FROM e CROSS JOIN ds),
+         counters AS (SELECT d, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT user_id FROM e WHERE user_id < 20),
+         pb AS (
+           SELECT p.user_id, ds.d,
+                  CAST(('0x' || substring(md5(CAST(ds.d AS VARCHAR) || ':' ||
+                    CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+           FROM probes p CROSS JOIN ds),
+         est AS (
+           SELECT user_id, CAST(min(c) AS BIGINT) AS cms_est
+           FROM pb JOIN counters USING (d, bucket) GROUP BY user_id),
+         ex AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+           FROM e WHERE user_id < 20 GROUP BY 1)
+         SELECT user_id, cms_est, exact_n FROM est JOIN ex USING (user_id)""",
 
     "emb_quantize" ->
       """WITH m AS (

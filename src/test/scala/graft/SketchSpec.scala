@@ -45,6 +45,21 @@ class SketchSpec extends AnyFunSuite {
         s"est=$est exact=$exact rse=$rse")
     }
 
+    test(s"sketch_cms: never underestimates; tight at 16KB state [$sf]") {
+      val rows = SparkEntry.queries("sketch_cms")(spark, dir)
+        .select($"user_id", $"cms_est", $"exact_n").as[(Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (u, est, exact) =>
+        assert(est >= exact, s"CMS underestimated user $u: $est < $exact")
+        // depth 4 × width 512 over this cardinality: collisions add at
+        // most a few strangers' counts — the estimate stays in the
+        // same order of magnitude (loose sanity bound, not the 2en/w
+        // Markov bound, which holds with prob 1-exp(-4) per probe)
+        assert(est <= exact + (rows.map(_._3).sum / 64),
+          s"CMS estimate implausibly inflated for $u: est=$est exact=$exact")
+      }
+    }
+
     test(s"sketch_quantiles: rank error ≤ n/accuracy per quantile [$sf]") {
       val qs = SparkEntry.queries("sketch_quantiles")(spark, dir).collect()
       assert(qs.nonEmpty)
