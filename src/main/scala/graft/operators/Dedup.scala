@@ -354,6 +354,27 @@ object Dedup {
     }
   }
 
+  /** Canonical-survivor selection — the decision step that turns a
+    * near-dup pair list into per-cluster keep/drop actions: label
+    * components via [[connectedComponents]], then keep ONE member per
+    * cluster — the highest [[TextFunctions.qualityScore]], ties to
+    * the lowest doc_id. The tie-break rides inside the max_by key as
+    * a lexicographic (quality, -doc_id) struct, so the pick is
+    * deterministic and map-side-combinable — no window over the
+    * corpus, and only clustered docs join the quality column. */
+  def keepBest(pairs: DataFrame, documents: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .join(documents.select(col("doc_id"), qualityScore(col("text")).as("quality")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(
+          struct(col("doc_id"), col("quality")),
+          struct(col("quality"), -col("doc_id"))).as("best"))
+      .select(
+        col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
+        col("n_members"), col("best.quality").as("best_quality"))
+
   /** Release the cached blocks behind a localCheckpoint'ed frame once
     * a later round supersedes it. localCheckpoint truncates lineage —
     * unpersisted blocks are unrecoverable — so this must only run on
@@ -385,16 +406,16 @@ object Dedup {
         explode(col("sh")).as("shingle"))
 
   /** Per-pair intersection counts from an inverted shingle index, in
-    * ONE pass: bucket by shingle (single shuffle), emit each bucket's
-    * doc pairs, count per pair. A self-join formulation would compute
-    * the (expensive) shingle index once per join branch — Spark plan
-    * branches do not share work — and shuffle it twice; this shape
-    * computes and shuffles it exactly once. Bucket pair fan-out is
-    * O(df²) per shingle, so shingle width must keep df small (see
-    * [[ngramJaccard]]). */
-  private def pairIntersections(inv: DataFrame): DataFrame = {
+    * ONE pass: bucket by shingle (plus any extra blocking columns —
+    * a single shuffle), emit each bucket's doc pairs, count per pair.
+    * A self-join formulation would compute the (expensive) shingle
+    * index once per join branch — Spark plan branches do not share
+    * work — and shuffle it twice; this shape computes and shuffles it
+    * exactly once. Bucket pair fan-out is O(df²) per shingle, so
+    * shingle width must keep df small (see [[ngramJaccard]]). */
+  private def pairIntersections(inv: DataFrame, blockCols: Seq[String]): DataFrame = {
     val buckets = inv
-      .groupBy("shingle", "lang", "len_band")
+      .groupBy("shingle", blockCols: _*)
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
       .where(size(col("ids")) >= 2)
     val sorted = array_sort(col("ids"))
@@ -422,12 +443,41 @@ object Dedup {
       documents: DataFrame,
       shingleN: Int = 5,
       threshold: Double = 0.35): DataFrame =
-    pairIntersections(shingleIndex(documents, shingleN))
+    pairIntersections(shingleIndex(documents, shingleN), Seq("lang", "len_band"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+
+  /** Asymmetric near-dup: n-gram containment C(A,B) =
+    * |A ∩ B| / min(|A|, |B|) — catches a short document wholly
+    * embedded in a longer one, a case symmetric Jaccard dilutes below
+    * any usable threshold (J ≤ |A|/|B| however perfect the overlap).
+    * Same single-shuffle inverted-index shape as [[ngramJaccard]], but
+    * deliberately WITHOUT the (lang, length-band) blocking: length
+    * blocking is exactly what containment must not assume (the whole
+    * point is pairs of very different sizes), so buckets key on the
+    * shingle alone and the output is the exact brute-force definition.
+    * Docs with no shingles (shorter than n tokens) have no containment
+    * relation and are absent, as in the oracle. */
+  def ngramContainment(
+      documents: DataFrame,
+      shingleN: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val inv = documents
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleSet(col("text"), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    pairIntersections(inv, Seq.empty)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("a_n"), col("b_n")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
 
   /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
     * frequencies: candidate generation only indexes each document's

@@ -263,6 +263,78 @@ object TextQueries {
           round(terms.map(termScore).reduce(_ + _), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // pairwise near-dup → ONE canonical survivor per duplicate
+    // cluster: connected components over the exact n-gram-Jaccard
+    // pair graph, then keep the highest-quality member (ties → lowest
+    // doc_id) — the decision step that turns a pair list into
+    // keep/drop actions. Shape at scale: the pair graph is tiny
+    // relative to the corpus (bounded by dup density), the quality
+    // join touches only clustered docs, and the survivor pick is one
+    // map-side-combinable max_by per cluster — no corpus-wide window.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(
+        Dedup.ngramJaccard(docs, shingleN = 5, threshold = 0.35), docs)
+    }),
+
+    // asymmetric near-dup: 5-gram containment |A∩B| / min(|A|,|B|) —
+    // the short-doc-inside-long-doc case Jaccard cannot catch.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d), shingleN = 5, threshold = 0.5)
+        .select(col("a_id"), col("b_id"),
+          round(col("containment"), 6).as("containment"))),
+
+    // unigram-LM fluency proxy: mean corpus frequency of the
+    // document's tokens, in parts-per-million — the cheap stand-in
+    // for perplexity filtering (a doc of common words scores high, a
+    // doc of rare junk scores low). All sums are integers (token
+    // counts), so partition merge order cannot perturb the result;
+    // the only FP ops are one multiply and one divide at the end,
+    // identically ordered in the oracle. Shape at 100 TB: token
+    // frequencies via map-side-combinable count, corpus total as a
+    // broadcast one-row frame, one shuffle-join on token.
+    "text_unigram_fluency" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = freq.agg(sum("c").cast("long").as("n_total"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(sum("c").as("sum_c"), count(lit(1)).as("n_tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round((col("sum_c").cast("double") * lit(1000000.0)) /
+            (col("n_tok").cast("double") * col("n_total").cast("double")), 6)
+            .as("fluency_ppm"))
+    }),
+
+    // the full preprocessing pipeline as ONE declarative query:
+    // quality filter → language ID keep → exact dedup (keep lowest
+    // doc_id per identical text) → 20% deterministic sample →
+    // per-language survivor counts. Every stage is an
+    // already-oracled primitive; composing them in one plan lets
+    // Catalyst fuse the three scans-worth of filters into a single
+    // pass over the corpus, with the only shuffles being the dedup
+    // hash partition and the final tiny aggregation.
+    "pipeline_pretrain" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(xxhash64(col("text")))
+      Tables.documents(s, d)
+        .where(qualityScore(col("text")) >= 0.5)
+        .withColumn("plang", langId(col("text")))
+        .where(col("plang") =!= "und")
+        .withColumn("keep_id", min("doc_id").over(w))
+        .where(col("doc_id") === col("keep_id"))
+        .where(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L)) < 20)
+        .withColumn("n_toks", tokenCount(col("text")).cast("long"))
+        // survivors per SOURCE language (the synthetic corpus is
+        // English-shaped in every lang, so the predicted label would
+        // collapse to one group; the gate above still exercises the
+        // langid stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     }))
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
@@ -271,6 +343,47 @@ object TextQueries {
     s"""list_distinct(CASE WHEN len($tokensSql) >= $n
         THEN [array_to_string(($tokensSql)[i:i+${n - 1}], ' ') for i in range(1, len($tokensSql) - ${n - 2})]
         ELSE [] END)"""
+
+  // TextFunctions.qualityScore mirrored in DuckDB — shared by the
+  // text_quality, dedup_keep_best and pipeline_pretrain oracles
+  private val qualitySql =
+    s"""round((
+          least(CAST(len($tokensSql) AS DOUBLE) / 64.0, 1.0) +
+          least(CAST(len(list_filter($tokensSql,
+                  t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+                / len($tokensSql) * 4.0, 1.0) +
+          greatest(1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / length(text) * 10.0, 0.0)
+        ) / 3.0, 6)"""
+
+  // TextFunctions.langId's scoring CASE over the function-word hit
+  // counts — the `counts` CTE below must provide en/es/fr/de_score +
+  // has_han (see text_langid); shared with pipeline_pretrain
+  private val langCaseSql =
+    """CASE WHEN has_han THEN 'zh'
+            WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+            WHEN es_score >= fr_score AND es_score >= de_score AND es_score > 0 THEN 'es'
+            WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+            WHEN de_score > 0 THEN 'de'
+            ELSE 'und' END"""
+
+  // the language hit-count columns over a CTE exposing `t` (padded
+  // lowercased text) — extra pass-through columns go in `carry`
+  private def langCountsSql(carry: String) =
+    s"""SELECT $carry,
+          (len(string_split(t, ' the ')) - 1) + (len(string_split(t, ' a ')) - 1) +
+          (len(string_split(t, ' of ')) - 1) + (len(string_split(t, ' and ')) - 1) +
+          (len(string_split(t, ' to ')) - 1) + (len(string_split(t, ' is ')) - 1) AS en_score,
+          (len(string_split(t, ' el ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+          (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' y ')) - 1) +
+          (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' en ')) - 1) AS es_score,
+          (len(string_split(t, ' le ')) - 1) + (len(string_split(t, ' la ')) - 1) +
+          (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' et ')) - 1) +
+          (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' est ')) - 1) AS fr_score,
+          (len(string_split(t, ' der ')) - 1) + (len(string_split(t, ' die ')) - 1) +
+          (len(string_split(t, ' das ')) - 1) + (len(string_split(t, ' und ')) - 1) +
+          (len(string_split(t, ' ist ')) - 1) AS de_score,
+          length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_han"""
 
   // brute-force first-principles definition of n-gram Jaccard pairs —
   // shared by the inverted-index and the prefix-filtered implementations
@@ -410,70 +523,20 @@ object TextQueries {
           FROM documents""",
 
     "text_quality" ->
-      s"""SELECT doc_id, round((
-            least(CAST(len($tokensSql) AS DOUBLE) / 64.0, 1.0) +
-            least(CAST(len(list_filter($tokensSql,
-                    t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
-                  / len($tokensSql) * 4.0, 1.0) +
-            greatest(1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                  / length(text) * 10.0, 0.0)
-          ) / 3.0, 6) AS quality FROM documents""",
+      s"""SELECT doc_id, $qualitySql AS quality FROM documents""",
 
     "text_langid" ->
       s"""WITH scored AS (
             SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t, text FROM documents),
-          counts AS (
-            SELECT doc_id, lang,
-              (len(string_split(t, ' the ')) - 1) + (len(string_split(t, ' a ')) - 1) +
-              (len(string_split(t, ' of ')) - 1) + (len(string_split(t, ' and ')) - 1) +
-              (len(string_split(t, ' to ')) - 1) + (len(string_split(t, ' is ')) - 1) AS en_score,
-              (len(string_split(t, ' el ')) - 1) + (len(string_split(t, ' la ')) - 1) +
-              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' y ')) - 1) +
-              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' en ')) - 1) AS es_score,
-              (len(string_split(t, ' le ')) - 1) + (len(string_split(t, ' la ')) - 1) +
-              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' et ')) - 1) +
-              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' est ')) - 1) AS fr_score,
-              (len(string_split(t, ' der ')) - 1) + (len(string_split(t, ' die ')) - 1) +
-              (len(string_split(t, ' das ')) - 1) + (len(string_split(t, ' und ')) - 1) +
-              (len(string_split(t, ' ist ')) - 1) AS de_score,
-              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_han
-            FROM scored)
-          SELECT doc_id, lang,
-            CASE WHEN has_han THEN 'zh'
-                 WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
-                 WHEN es_score >= fr_score AND es_score >= de_score AND es_score > 0 THEN 'es'
-                 WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
-                 WHEN de_score > 0 THEN 'de'
-                 ELSE 'und' END AS predicted_lang
+          counts AS (${langCountsSql("doc_id, lang")} FROM scored)
+          SELECT doc_id, lang, $langCaseSql AS predicted_lang
           FROM counts""",
 
     "text_langid_confusion" ->
       s"""WITH scored AS (
             SELECT lang, ' ' || lower(text) || ' ' AS t, text FROM documents),
-          counts AS (
-            SELECT lang,
-              (len(string_split(t, ' the ')) - 1) + (len(string_split(t, ' a ')) - 1) +
-              (len(string_split(t, ' of ')) - 1) + (len(string_split(t, ' and ')) - 1) +
-              (len(string_split(t, ' to ')) - 1) + (len(string_split(t, ' is ')) - 1) AS en_score,
-              (len(string_split(t, ' el ')) - 1) + (len(string_split(t, ' la ')) - 1) +
-              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' y ')) - 1) +
-              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' en ')) - 1) AS es_score,
-              (len(string_split(t, ' le ')) - 1) + (len(string_split(t, ' la ')) - 1) +
-              (len(string_split(t, ' de ')) - 1) + (len(string_split(t, ' et ')) - 1) +
-              (len(string_split(t, ' que ')) - 1) + (len(string_split(t, ' est ')) - 1) AS fr_score,
-              (len(string_split(t, ' der ')) - 1) + (len(string_split(t, ' die ')) - 1) +
-              (len(string_split(t, ' das ')) - 1) + (len(string_split(t, ' und ')) - 1) +
-              (len(string_split(t, ' ist ')) - 1) AS de_score,
-              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_han
-            FROM scored)
-          SELECT lang,
-            CASE WHEN has_han THEN 'zh'
-                 WHEN en_score >= es_score AND en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
-                 WHEN es_score >= fr_score AND es_score >= de_score AND es_score > 0 THEN 'es'
-                 WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
-                 WHEN de_score > 0 THEN 'de'
-                 ELSE 'und' END AS predicted_lang,
-            count(*) AS n
+          counts AS (${langCountsSql("lang")} FROM scored)
+          SELECT lang, $langCaseSql AS predicted_lang, count(*) AS n
           FROM counts GROUP BY 1, 2""",
 
     "text_fingerprint" ->
@@ -575,5 +638,86 @@ object TextQueries {
                       coalesce(max(CASE WHEN tok = 'join' THEN tscore END), 0.0) +
                       coalesce(max(CASE WHEN tok = 'stream' THEN tscore END), 0.0), 6) AS bm25
          FROM scored GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+
+    // same recursive-CTE component labelling as dedup_clusters, then
+    // the survivor pick mirrored as a window rank (DuckDB's arg_max
+    // rejects struct ordering keys, so the tie-break is spelled as
+    // ORDER BY quality DESC, doc_id ASC)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pr AS ($ngramOracle),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          reach AS (
+            SELECT doc_id, doc_id AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id),
+          clus AS (
+            SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY doc_id),
+          q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+          r AS (
+            SELECT cluster_id, c.doc_id AS doc_id, quality,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, c.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM clus c JOIN q ON c.doc_id = q.doc_id)
+          SELECT cluster_id, doc_id AS keep_doc_id,
+                 CAST(n_members AS BIGINT) AS n_members, quality AS best_quality
+          FROM r WHERE rn = 1""",
+
+    // brute-force containment definition: the engine's inverted index
+    // only skips zero-intersection pairs, which cannot pass the
+    // threshold — so the outputs are identical by construction
+    "dedup_containment" ->
+      s"""WITH base AS (SELECT doc_id, ${shingleSetSql(5)} AS sh FROM documents),
+          sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM base WHERE len(sh) > 0),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   least(a.n_sh, b.n_sh) AS c
+            FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+          SELECT a_id, b_id, round(c, 6) AS containment FROM p WHERE c >= 0.5""",
+
+    "text_unigram_fluency" ->
+      """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq),
+         per AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_c, count(*) AS n_tok
+           FROM toks JOIN freq USING (tok) GROUP BY doc_id)
+         SELECT doc_id,
+                round((CAST(sum_c AS DOUBLE) * 1000000.0) /
+                      (CAST(n_tok AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS fluency_ppm
+         FROM per CROSS JOIN tot""",
+
+    // each stage is the already-oracled primitive, composed in the
+    // same order as the Spark plan: quality gate → langid (drop
+    // 'und') → exact-text dedup keep-first → 20% hash sample →
+    // per-language counts
+    "pipeline_pretrain" ->
+      s"""WITH passq AS (
+            SELECT doc_id, lang, text FROM documents WHERE $qualitySql >= 0.5),
+          scored AS (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t FROM passq),
+          counts AS (${langCountsSql("doc_id, lang, text")} FROM scored),
+          langed AS (
+            SELECT doc_id, lang, text, $langCaseSql AS plang FROM counts),
+          ded AS (
+            SELECT doc_id, lang, text FROM (
+              SELECT doc_id, lang, text,
+                     min(doc_id) OVER (PARTITION BY text) AS keep_id
+              FROM langed WHERE plang <> 'und')
+            WHERE doc_id = keep_id),
+          samp AS (
+            SELECT * FROM ded
+            WHERE ((doc_id % 1000003) * 2654435761) % 100 < 20)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens
+          FROM samp GROUP BY lang""")
 }

@@ -126,6 +126,38 @@ class DedupSpec extends AnyFunSuite {
       s"leaked checkpoint blocks: $before persistent RDDs before, $after after")
   }
 
+  test("containment finds a short doc embedded in a long one that jaccard misses") {
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, short), (2L, long), (3L, other))
+    val got = Dedup.ngramContainment(d, shingleN = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // all 3 of short's shingles appear in long → containment = 1.0,
+    // while jaccard = 3/43 ≈ 0.07 — and the length difference would
+    // have put the pair in different len_bands, which is why
+    // containment must not reuse the jaccard blocking
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(math.abs(got.head._3 - 1.0) < 1e-12)
+    val j = Dedup.ngramJaccard(d, shingleN = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(j.isEmpty)
+  }
+
+  test("keepBest keeps the highest-quality member per cluster, ties to lowest id") {
+    // quality's length term grows with token count, so the 40-token
+    // doc 4 outranks its 10-token partner 3; docs 1/2 are identical
+    // (equal quality) → the tie breaks to doc_id 1
+    val t1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val t4 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, t1), (2L, t1), (3L, t1), (4L, t4))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = Dedup.keepBest(pairs, d)
+      .select("cluster_id", "keep_doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (3L, 4L, 2L)))
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)
