@@ -579,6 +579,44 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** Semantic deduplication (SemDeDup-style): k-means-cluster the
+    * embedding space with the in-engine [[kmeans]] trainer, then keep
+    * ONE representative per cluster — the member closest to its
+    * centroid (max cosine, ties → lowest vec_id). Near-duplicate
+    * *meanings* land in the same cluster even when their token
+    * overlap is zero, which is the gap all the text-hash dedup
+    * families share.
+    *
+    * Scale shape: training is [[kmeans]] (one broadcast-assignment
+    * pass + one map-side-combinable mean recompute per iteration);
+    * the final assignment is the same broadcast join + max_by as
+    * [[ivfKnnWith]] (shuffle ≈ n rows, never n×K); the survivor pick
+    * is one map-side-combinable max_by per cluster. Nothing touches
+    * the driver; the whole trajectory is deterministic, so the DuckDB
+    * oracle replays it bit-for-bit. */
+  def semanticDedup(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    val centroids = kmeans(embeddings, k, iters)
+    val assigned = embeddings
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("c_id"),
+        cosine(col("embedding"), col("c_vec")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("c_id"), col("c_cos")),
+        struct(col("c_cos"), (-col("c_id")).cast("double"))).as("a"))
+      .select(col("vec_id"), col("a.c_id").as("c_id"), col("a.c_cos").as("cos"))
+    assigned
+      .groupBy("c_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(
+          struct(col("vec_id"), col("cos")),
+          struct(col("cos"), -col("vec_id"))).as("keep"))
+      .select(col("c_id"), col("keep.vec_id").as("keep_vec_id"),
+        col("n_members"), round(col("keep.cos"), 6).as("keep_cos"))
+  }
+
   /** Brute-force near-dup definition: all pairs within a label block.
     * Exact by construction; the correctness baseline the banded-LSH
     * operator is verified against. Only safe when blocks are small —

@@ -74,6 +74,13 @@ object VectorQueries {
     // The headline operator is the banded-LSH one; the brute-force
     // definition is kept as its own oracled query so both the scale
     // path and the exactness baseline are hash-checked.
+    // semantic dedup: one representative per k-means cluster of the
+    // embedding space — catches near-duplicate MEANINGS with zero
+    // token overlap. Same trained trajectory as knn_ivf_trained, so
+    // the oracle replays training + assignment + survivor pick.
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), k = 16, iters = 3)),
+
     "neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.35)),
 
@@ -330,7 +337,7 @@ object VectorQueries {
     * engine's float32 cast) — then the standard IVF probe against the
     * trained table. Every centroid of every iteration must agree
     * bit-for-bit or the final ranks drift. */
-  private lazy val ivfTrainedOracle: String = {
+  private lazy val lloydCtes: String = {
     def assign(i: Int, cent: String) =
       s"""a$i AS (
             SELECT vec_id, embedding, c_id FROM (
@@ -351,18 +358,25 @@ object VectorQueries {
                 FROM a$i)
               GROUP BY 1, 2)
             GROUP BY c_id)"""
-    s"""WITH c0 AS (
+    // af carries the winning cosine alongside the assignment — the IVF
+    // probe ignores it, the semantic-dedup survivor pick needs it
+    s"""c0 AS (
           SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
         ${assign(1, "c0")}, ${recompute(1)},
         ${assign(2, "c1")}, ${recompute(2)},
         ${assign(3, "c2")}, ${recompute(3)},
         af AS (
-          SELECT vec_id, embedding, c_id FROM (
+          SELECT vec_id, embedding, c_id, cos FROM (
             SELECT e.vec_id, e.embedding, c.c_id,
+                   ${cosSql("e.embedding", "c.c_vec")} AS cos,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
             FROM embeddings e CROSS JOIN c3 c)
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+  }
+
+  private lazy val ivfTrainedOracle: String =
+    s"""WITH $lloydCtes,
         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         qa AS (
           SELECT q.query_id, q.qv, c.c_id,
@@ -382,7 +396,21 @@ object VectorQueries {
           FROM cand)
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
         FROM ranked WHERE rank <= 5"""
-  }
+
+  /** dedup_semantic oracle: the SAME Lloyd trajectory as
+    * [[ivfTrainedOracle]] (shared `lloydCtes`), then per cluster the
+    * member with the best assignment cosine (ties → lowest vec_id). */
+  private lazy val semanticDedupOracle: String =
+    s"""WITH $lloydCtes,
+        r AS (
+          SELECT c_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY c_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY c_id) AS nm
+          FROM af)
+        SELECT c_id, vec_id AS keep_vec_id, CAST(nm AS BIGINT) AS n_members,
+               round(cos, 6) AS keep_cos
+        FROM r WHERE rn = 1"""
 
   /** Shared ADC CTE chain for the seed-codebook PQ oracles (knn_pq +
     * knn_pq_rescore's shortlist stage): encode → per-query LUTs → ADC
@@ -564,6 +592,7 @@ object VectorQueries {
     "knn_lsh_mp" -> lshMultiProbeOracle,
     "knn_ivf_trained" -> ivfTrainedOracle,
     "knn_pq_trained" -> pqTrainedOracle,
+    "dedup_semantic" -> semanticDedupOracle,
 
     "knn_ivf" ->
       s"""WITH c AS (

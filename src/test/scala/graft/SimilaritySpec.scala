@@ -229,6 +229,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("semantic dedup partitions the corpus: members sum to n, survivors belong") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val n = e.count()
+    val got = Similarity.semanticDedup(e, k = 8, iters = 2)
+      .select("c_id", "keep_vec_id", "n_members")
+      .as[(Long, Long, Long)].collect()
+    // every vector lands in exactly one cluster, one survivor each
+    assert(got.map(_._3).sum == n)
+    assert(got.map(_._1).distinct.length == got.length)
+    // the survivor's own assignment must be its cluster: re-derive the
+    // assignment and check membership
+    val centroids = Similarity.kmeans(e, k = 8, iters = 2)
+    val assign = e.join(org.apache.spark.sql.functions.broadcast(centroids))
+      .select($"vec_id", $"c_id",
+        graft.functions.CosineSimilarity($"embedding", $"c_vec").as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.max_by($"c_id",
+        org.apache.spark.sql.functions.struct($"cos", (-$"c_id").cast("double"))).as("c_id"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (c, keep, _) =>
+      assert(assign(keep) == c, s"survivor $keep not in cluster $c")
+    }
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
