@@ -479,6 +479,46 @@ object Dedup {
       .select("a_id", "b_id", "containment")
   }
 
+  /** Chunk-level exact dedup — the paragraph / exact-substring dedup
+    * of C4/RefinedWeb-style pipelines, expressed over the testdata's
+    * single-line documents by treating every non-overlapping run of
+    * `chunkTokens` tokens as one "paragraph". The corpus-wide FIRST
+    * occurrence of each distinct chunk (ordered by doc_id, then chunk
+    * position) survives; every document is then reassembled from its
+    * surviving chunks in order. Documents whose every chunk appeared
+    * earlier vanish entirely, as in line-level dedup of a crawl.
+    *
+    * Scale shape: chunking is row-local (`transform` over a sequence —
+    * zero shuffle); first-occurrence is `min(struct(doc_id, pos))` per
+    * chunk — a map-side-combinable aggregation, NOT a window over the
+    * chunk key, so a boilerplate chunk repeated across the corpus
+    * combines to one row per map task instead of funnelling through a
+    * single window partition; reassembly is one more combinable
+    * aggregation on doc_id. Two skew-proof shuffles total. */
+  def chunkDedup(documents: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = documents
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          c => array_join(slice(toks, c * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val survivors = chunks
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_idx").as("chunk_idx"),
+        col("chunk"))
+    survivors
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select("doc_id", "clean_text", "n_kept")
+  }
+
   /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
     * frequencies: candidate generation only indexes each document's
     * prefix — its ⌊(1−t)·|sh|⌋+1 globally-*rarest* shingles (rarity =

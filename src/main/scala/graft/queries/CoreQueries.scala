@@ -236,6 +236,18 @@ object CoreQueries {
         .select("c_custkey", "c_name")
     }),
 
+    // runtime-filter shape: a 2 KB Bloom filter broadcast over the
+    // probe side drops non-matching rows BEFORE the exact semi join's
+    // shuffle — no false negatives, so the result is identical to the
+    // plain semi join (the oracle). At 100 TB this is the difference
+    // between shuffling the fact table and shuffling its survivors.
+    "q_bloom_semi_join" -> ((s, d) =>
+      graft.operators.Bloom.semiJoinPrefiltered(
+          Tables.customer(s, d).select("c_custkey", "c_name"), "c_custkey",
+          Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          "o_custkey", words = 256, k = 3)
+        .select("c_custkey", "c_name")),
+
     "q_anti_join" -> ((s, d) => {
       // right side restricted (urgent + big) so the anti set is
       // non-empty at every SF — an unfiltered right side matches every
@@ -620,6 +632,13 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+
+    // the bloom prefilter cannot drop true matches, so the exact semi
+    // join IS the full specification of the operator's output
+    "q_bloom_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')""",
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -42,6 +42,29 @@ object SqlQueries {
          WHERE c_custkey IN (SELECT o_custkey FROM orders
                              WHERE o_orderpriority = '1-URGENT')""")),
 
+    // LATERAL correlated subquery (SQL:1999 lateral derived table,
+    // Spark 3.4+/DuckDB both native): per-nation top-2 customers by
+    // account balance — the "top-n per outer row" idiom without a
+    // window over the whole table.
+    "q_lateral" -> ((s, d) => withViews(s, d, "nation", "customer")(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""")),
+
+    // UNPIVOT (wide → long): per-priority order stats melted to
+    // (priority, metric, value) rows — the relational dual of q_pivot.
+    "q_unpivot" -> ((s, d) => withViews(s, d, "orders")(
+      """WITH agg AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS DOUBLE) AS n_orders,
+                  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+                  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, metric, value
+         FROM agg UNPIVOT (value FOR metric IN (n_orders, min_price, max_price))""")),
+
     "q_pivot" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy((col("user_id") % 10).as("user_bucket"))
@@ -151,6 +174,28 @@ object SqlQueries {
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders
                              WHERE o_orderpriority = '1-URGENT')""",
+
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""",
+
+    // UNION ALL melt — the portable spelling of UNPIVOT (DuckDB's
+    // UNPIVOT clause exists but the UNION form needs no dialect care)
+    "q_unpivot" ->
+      """WITH agg AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS DOUBLE) AS n_orders,
+                  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+                  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+         UNION ALL
+         SELECT o_orderpriority, 'min_price', min_price FROM agg
+         UNION ALL
+         SELECT o_orderpriority, 'max_price', max_price FROM agg""",
 
     "q_pivot" ->
       """SELECT user_id % 10 AS user_bucket,

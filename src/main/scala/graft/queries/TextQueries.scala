@@ -63,6 +63,37 @@ object TextQueries {
       Dedup.connectedComponents(
         Dedup.ngramJaccard(Tables.documents(s, d), shingleN = 5, threshold = 0.35))),
 
+    // chunk-level (paragraph-analogue) exact dedup: corpus-wide
+    // first-occurrence per 10-token chunk, docs reassembled from
+    // surviving chunks — the line/paragraph dedup of crawl pipelines.
+    "dedup_chunks" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), chunkTokens = 10)),
+
+    // per-domain cap (CommonCrawl-style: at most N pages per host so
+    // no domain dominates the training mix): top-10 docs per source by
+    // (quality desc, doc_id). Two-phase salted windows — the partial
+    // pass caps each (source, salt) slice at 10, so a monster domain
+    // never funnels through one window task; both phases share one
+    // total order, making the result identical to a single window.
+    "text_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 10; val salts = 8
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"))
+      val ord = Seq(col("quality").desc, col("doc_id").asc)
+      val wPartial = Window
+        .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(salts)))
+        .orderBy(ord: _*)
+      val w = Window.partitionBy("source").orderBy(ord: _*)
+      scored
+        .withColumn("pr", row_number().over(wPartial))
+        .where(col("pr") <= cap)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= cap)
+        .select("source", "doc_id", "rk", "quality")
+    }),
+
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -680,6 +711,37 @@ object TextQueries {
                    least(a.n_sh, b.n_sh) AS c
             FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
           SELECT a_id, b_id, round(c, 6) AS containment FROM p WHERE c >= 0.5""",
+
+    // first principles: chunk (1-based inclusive list slices = Spark
+    // slice semantics), rank occurrences by (doc_id, chunk_idx), keep
+    // rank 1, reassemble in chunk order
+    "dedup_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (
+           SELECT doc_id, ci AS chunk_idx,
+                  array_to_string(t[ci*10+1 : ci*10+10], ' ') AS chunk
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(
+               0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS ci)),
+         keep AS (
+           SELECT doc_id, chunk_idx, chunk FROM (
+             SELECT doc_id, chunk_idx, chunk,
+                    row_number() OVER (PARTITION BY chunk
+                                       ORDER BY doc_id, chunk_idx) AS rn
+             FROM ch)
+           WHERE rn = 1)
+         SELECT doc_id,
+                string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+                count(*) AS n_kept
+         FROM keep GROUP BY doc_id""",
+
+    "text_source_cap" ->
+      s"""SELECT source, doc_id, CAST(rk AS INT) AS rk, quality FROM (
+            SELECT source, doc_id, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id ASC) AS rk
+            FROM (SELECT doc_id, source, $qualitySql AS quality FROM documents))
+          WHERE rk <= 10""",
 
     "text_unigram_fluency" ->
       """WITH toks AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.Similarity
+import graft.operators.{Bloom, Similarity}
 
 /** Similarity-search + sketch + multimodal query surface (SURVEY.md
   * §2.3). The DuckDB oracle reproduces cosine scores bit-exactly: both
@@ -104,6 +104,29 @@ object VectorQueries {
           posexplode(transform(col("embedding"), x => x.cast("double") / col("n"))))
         .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("u"))),
 
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: the
+    // dimensionality-reduction front end of a large-scale ANN build
+    // (shrinks the shuffle/memory footprint 4× before indexing).
+    // Row-local (zero shuffle); the seeded LCG matrix is closed-form
+    // integer arithmetic, so the oracle regenerates it exactly, and
+    // each output cell is a strict left-to-right dot product from 0.0
+    // — the same IEEE-exact recipe as the cosine oracles.
+    "emb_random_projection" -> ((s, d) => {
+      val inDim = 64; val outDim = 16
+      val mat: Seq[Seq[Double]] = (0 until outDim).map(i => (0 until inDim).map(j =>
+        (((1103515245L * (j * outDim + i) + 12345L) % 2001L) - 1000L).toDouble / 1000.0))
+      val m = typedLit(mat)
+      Tables.embeddings(s, d).select(
+          col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(outDim - 1)), i =>
+            aggregate(
+              zip_with(col("embedding"), element_at(m, (i + 1).cast("int")),
+                (x, r) => x.cast("double") * r),
+              lit(0.0), (acc, p) => acc + p))))
+        .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
+          col("col").as("v"))
+    }),
+
     "emb_label_centroid_dist" -> ((s, d) => {
       // centroid per label via posexplode + per-dim mean. Deterministic
       // by construction (→ oracled): the mean sums exact decimals
@@ -170,6 +193,51 @@ object VectorQueries {
         .groupBy("user_id").agg(min(col("c")).as("cms_est"))
         .join(broadcast(exact), "user_id")
         .select(col("user_id"), col("cms_est"), col("exact_n"))
+    }),
+
+    // heavy hitters via the CMS: candidates = the distinct keys (the
+    // production shape runs the cheap distinct as the same single
+    // pass), keep keys whose ESTIMATE clears the threshold. CMS never
+    // underestimates, so the output is a superset of the true heavy
+    // hitters — and being fully deterministic, the exact superset is
+    // itself hash-verified, estimates included.
+    "sketch_cms_heavy" -> ((s, d) => {
+      val depth = 4
+      val width = 512
+      val e = Tables.events(s, d).select(col("user_id"))
+      def bucket(dd: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(dd.cast("string"), lit(":"), u.cast("string"))),
+          1, 8), 16, 10).cast("long") % width
+      val depths = explode(array((0 until depth).map(i => lit(i)): _*)).as("d")
+      val counters = e.select(col("user_id"), depths)
+        .select(col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+      val candidates = e.distinct()
+        .select(col("user_id"), depths)
+        .select(col("user_id"), col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+      counters.join(broadcast(candidates), Seq("d", "bucket"))
+        .groupBy("user_id").agg(min(col("c")).as("cms_est"))
+        .where(col("cms_est") >= 75)
+        .select(col("user_id"), col("cms_est"))
+    }),
+
+    // Bloom membership accounting: deterministic md5 bit positions →
+    // the whole filter (build + probe) is hash-verified by the oracle,
+    // like sketch_cms. bf_maybe ⊇ exact_in always (no false
+    // negatives); the gap rows ARE the false positives, so the
+    // sketch's approximation is itself under oracle.
+    "sketch_bloom" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val bits = Bloom.build(urgent, "o_custkey", words = 256, k = 3)
+      Bloom.maybeContains(
+          Tables.customer(s, d).select(col("c_custkey")),
+          "c_custkey", bits, "bf_maybe", words = 256, k = 3)
+        .join(urgent.select(col("o_custkey").as("c_custkey"),
+          lit(true).as("hit")), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("bf_maybe"),
+          coalesce(col("hit"), lit(false)).as("exact_in"))
     }),
 
     "sketch_hll" -> ((s, d) =>
@@ -651,6 +719,58 @@ object VectorQueries {
            FROM e WHERE user_id < 20 GROUP BY 1)
          SELECT user_id, cms_est, exact_n FROM est JOIN ex USING (user_id)""",
 
+    "sketch_cms_heavy" ->
+      """WITH e AS (SELECT user_id FROM events),
+         ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         buck AS (
+           SELECT d, user_id,
+                  CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+           FROM e CROSS JOIN ds),
+         counters AS (SELECT d, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT user_id FROM e),
+         cb AS (
+           SELECT p.user_id, ds.d,
+                  CAST(('0x' || substring(md5(CAST(ds.d AS VARCHAR) || ':' ||
+                    CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket
+           FROM cand p CROSS JOIN ds),
+         est AS (
+           SELECT user_id, CAST(min(c) AS BIGINT) AS cms_est
+           FROM cb JOIN counters USING (d, bucket) GROUP BY user_id)
+         SELECT user_id, cms_est FROM est WHERE cms_est >= 75""",
+
+    // same md5 bit-position formula as the engine: pos =
+    // int(md5(seed:key)[1..8], 16) % (256*63), word = pos // 63,
+    // mask = 1 << (pos % 63); membership = all 3 bits set (63 usable
+    // bits per lane — DuckDB's checked shift rejects 1 << 63)
+    "sketch_bloom" ->
+      """WITH uk AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+         seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+         bpos AS (
+           SELECT CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+             CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16128 AS pos
+           FROM uk CROSS JOIN seeds),
+         bits AS (
+           SELECT CAST(pos // 63 AS INT) AS word,
+                  bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+           FROM bpos GROUP BY 1),
+         ppos AS (
+           SELECT c_custkey, seed,
+                  CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16128 AS pos
+           FROM customer CROSS JOIN seeds),
+         hits AS (
+           SELECT c_custkey,
+                  (coalesce(bits, 0) &
+                   (1::BIGINT << CAST(pos % 63 AS INT))) <> 0 AS hit
+           FROM ppos LEFT JOIN bits ON CAST(pos // 63 AS INT) = word),
+         maybe AS (
+           SELECT c_custkey, bool_and(hit) AS bf_maybe FROM hits GROUP BY 1)
+         SELECT c_custkey, bf_maybe,
+                (c_custkey IN (SELECT o_custkey FROM uk)) AS exact_in
+         FROM maybe""",
+
     "emb_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,
@@ -759,5 +879,21 @@ object VectorQueries {
           SELECT vec_id,
                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
                  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)) AS u
-          FROM n""")
+          FROM n""",
+
+    // regenerate the LCG matrix cell-by-cell (pure BIGINT arithmetic,
+    // then one exact /1000.0 IEEE division) and reduce each output dim
+    // strictly left-to-right from the first product — the engine seeds
+    // its fold with 0.0, and 0.0 + x == x in IEEE, so the two
+    // accumulation orders are identical
+    "emb_random_projection" ->
+      """WITH outs AS (SELECT unnest(generate_series(0, 15)) AS out_dim)
+         SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+                list_reduce(
+                  list_transform(generate_series(0, 63), j ->
+                    CAST(embedding[j + 1] AS DOUBLE) *
+                    (CAST(((1103515245::BIGINT * (j * 16 + out_dim) + 12345)
+                           % 2001) - 1000 AS DOUBLE) / 1000.0)),
+                  (a, b) -> a + b) AS v
+         FROM embeddings CROSS JOIN outs""")
 }

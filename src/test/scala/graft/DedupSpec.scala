@@ -158,6 +158,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L), (3L, 4L, 2L)))
   }
 
+  test("chunk dedup keeps corpus-wide first occurrence, reassembles in order") {
+    // doc1 = [a b][c d]; doc2 = [c d][e f] (first chunk duplicates
+    // doc1's second); doc3 duplicates doc1 entirely → vanishes
+    val d = docs((1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d"))
+    val got = Dedup.chunkDedup(d, chunkTokens = 2)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a b c d", 2L), (2L, "e f", 1L)))
+  }
+
+  test("chunk dedup dedups within a document too, trailing chunk may be short") {
+    // "x y x y z": chunks [x y][x y][z] → second [x y] is a within-doc
+    // dup of chunk 0; the 1-token tail chunk survives
+    val d = docs((1L, "x y x y z"))
+    val got = Dedup.chunkDedup(d, chunkTokens = 2)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "x y z", 2L)))
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)

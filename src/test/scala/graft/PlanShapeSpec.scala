@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** Scale-critical plan-shape assertions: these lock in the physical
   * properties that make the engine viable at 100 TB — filter/column
@@ -185,6 +186,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       "row-local kernel got shuffled on a key:\n" + p.take(1200))
     assert(!p.contains("Window"), "unexpected window:\n" + p.take(1200))
+  }
+
+  test("emb_random_projection is row-local: no exchange, no aggregate node") {
+    // each output dim is an in-row dot product against a literal
+    // matrix — any shuffle or aggregation here means the JL front-end
+    // stopped being the free pre-pass it exists to be
+    val p = finalPlan("emb_random_projection")
+    assert(!p.contains("hashpartitioning"),
+      "JL projection shuffled:\n" + p.take(1200))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      "JL projection aggregates:\n" + p.take(1200))
+  }
+
+  test("q_bloom_semi_join probes through broadcasts; no sort-merge join") {
+    // the bloom's whole value is never shuffling the probe side until
+    // after the bits have filtered it; all joins here must broadcast
+    val p = finalPlan("q_bloom_semi_join")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("text_source_cap two-phase salted cap equals one global window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val want = d.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10).select("source", "doc_id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val got = SparkEntry.queries("text_source_cap")(spark, TestSpark.sfDir)
+      .select("source", "doc_id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && want.nonEmpty)
   }
 
   test("ref decode chains evaluate each from_json exactly once per row") {
