@@ -413,6 +413,71 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
     }),
 
+    // -- event-sequence analytics ----------------------------------------
+    // ordered-firsts funnel signup → click → purchase: one combinable
+    // aggregation on user_id (conditional min per stage), stage k
+    // counts only if its first occurrence strictly follows stage k-1's.
+    "events_funnel" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min(when(col("event_type") === "click", col("ts"))).as("t2"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count_if(col("t1").isNotNull).as("n_signup"),
+          count_if(col("t1").isNotNull && col("t2") > col("t1")).as("n_signup_click"),
+          count_if(col("t1").isNotNull && col("t2") > col("t1") &&
+            col("t3") > col("t2")).as("n_full_funnel"))),
+
+    // event-type transition matrix (Markov bigrams): per-user lag over
+    // the (ts, event_id) total order, then a count per (from, to) pair
+    // — per-user windows are bounded, the final agg is tiny.
+    "events_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Tukey-fence outlier detection per group: exact quartiles, flag
+    // values outside [q1 - 1.5·IQR, q3 + 1.5·IQR]. The 5-row stats
+    // frame broadcasts back — the event scan is never shuffled.
+    "q_outlier_iqr" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      e.join(broadcast(stats), "event_type")
+        .where(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+          col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(min("value"), 6).as("min_outlier"),
+          round(max("value"), 6).as("max_outlier"))
+    }),
+
+    // PageRank over the symmetrized customer↔supplier purchase graph
+    // (an edge per lineitem, both directions; parallel edges = weight).
+    // 3 integer-scaled iterations — the whole trajectory is exact, so
+    // the oracle unrolls it with the same `//` arithmetic. Top-20 by
+    // final rank (tie-free: node_id asc).
+    "graph_pagerank" -> ((s, d) => {
+      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+      val edges = e0.select(col("c").as("src"), col("sp").as("dst"))
+        .union(e0.select(col("sp").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("pr").desc, col("node_id").asc)
+        .limit(20)
+    }),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -707,6 +772,72 @@ object CoreQueries {
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
          FROM lineitem GROUP BY l_returnflag""",
+
+    // epoch_us ⇔ Spark's µs timestamps: comparisons happen on the
+    // same integer microsecond axis on both engines
+    "events_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup'
+                           THEN epoch_us(ts) END) AS t1,
+                  min(CASE WHEN event_type = 'click'
+                           THEN epoch_us(ts) END) AS t2,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS t3
+           FROM events GROUP BY user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+                CAST(count(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_signup,
+                CAST(count(*) FILTER (t1 IS NOT NULL AND t2 > t1) AS BIGINT)
+                  AS n_signup_click,
+                CAST(count(*) FILTER (t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+                  AS BIGINT) AS n_full_funnel
+         FROM f""",
+
+    "events_transitions" ->
+      """SELECT from_type, to_type, count(*) AS n FROM (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC)
+                    AS from_type,
+                  event_type AS to_type
+           FROM events)
+         WHERE from_type IS NOT NULL GROUP BY 1, 2""",
+
+    "q_outlier_iqr" ->
+      """WITH stats AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+         SELECT event_type, count(*) AS n_outliers,
+                round(min(value), 6) AS min_outlier,
+                round(max(value), 6) AS max_outlier
+         FROM events JOIN stats USING (event_type)
+         WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5
+         GROUP BY event_type""",
+
+    "graph_pagerank" -> {
+      def iter(prev: String): String =
+        s"""SELECT n.node_id,
+              CAST(150000000000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node_id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+              FROM edges e JOIN $prev p ON e.src = p.node_id
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst) i ON n.node_id = i.node_id"""
+      s"""WITH e0 AS (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS (SELECT c AS src, sp AS dst FROM e0
+                    UNION ALL SELECT sp, c FROM e0),
+          nodes AS (SELECT DISTINCT x AS node_id FROM (
+            SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
+          outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          pr0 AS (SELECT node_id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+          it1 AS (${iter("pr0")}),
+          it2 AS (${iter("it1")}),
+          it3 AS (${iter("it2")})
+          SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
+    },
 
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
