@@ -413,6 +413,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
     }),
 
+    // SCD2 upsert (lakehouse dimension versioning): apply an updates
+    // batch to a dimension, closing the previous version (is_current =
+    // false) and appending the new one. One equi-join on the key + a
+    // union — the merge never touches unchanged rows beyond the join
+    // probe, which is the MERGE INTO shape at scale. Updates here are
+    // derived deterministically (every 7th customer re-priced) so the
+    // whole versioned output is oracle-checkable.
+    "q_scd2" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val updates = dim.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"))
+      val v1 = dim
+        .join(updates.select(col("c_custkey"), lit(true).as("chg")),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"), lit(1).as("version"),
+          col("c_acctbal"), col("c_mktsegment"),
+          coalesce(!col("chg"), lit(true)).as("is_current"))
+      val v2 = updates.select(col("c_custkey"), lit(2).as("version"),
+        col("c_acctbal"), col("c_mktsegment"), lit(true).as("is_current"))
+      v1.unionByName(v2)
+    }),
+
     // -- event-sequence analytics ----------------------------------------
     // ordered-firsts funnel signup → click → purchase: one combinable
     // aggregation on user_id (conditional min per stage), stage k
@@ -772,6 +797,17 @@ object CoreQueries {
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_scd2" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+                  'UPDATED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0)
+         SELECT c_custkey, 1 AS version, c_acctbal, c_mktsegment,
+                (c_custkey % 7 <> 0) AS is_current
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, 2, c_acctbal, c_mktsegment, true FROM upd""",
 
     // epoch_us ⇔ Spark's µs timestamps: comparisons happen on the
     // same integer microsecond axis on both engines

@@ -141,6 +141,32 @@ object StreamingOps {
       }
   }
 
+  /** Streaming Count-Min sketch: the CMS counter matrix maintained as
+    * a streaming aggregation — each input key increments its `depth`
+    * md5-derived (d, bucket) cells, so the streaming STATE is the
+    * sketch itself and is bounded at depth×width rows NO MATTER how
+    * many distinct keys the stream carries (the whole point of
+    * sketching an unbounded stream; a plain streaming
+    * `groupBy(key).count()` would grow state linearly forever). Same
+    * bucket formula as the batch `sketch_cms` query, so a snapshot of
+    * this state is interchangeable with the batch-built sketch —
+    * StreamingOpsSpec pins that equivalence across micro-batches. */
+  def streamingCms(
+      keyed: DataFrame,
+      keyCol: String = "user_id",
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    val depths = explode(array((0 until depth).map(i => lit(i)): _*)).as("d")
+    keyed
+      .select(col(keyCol).as("k"), depths)
+      .select(col("d"),
+        (conv(substring(md5(concat(col("d").cast("string"), lit(":"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long") % width)
+          .as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
   case class KeyedValue(key: Long, value: Double)
   case class RunningMax(key: Long, max: Double)
 

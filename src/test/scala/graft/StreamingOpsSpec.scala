@@ -87,6 +87,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS state equals the batch-built sketch after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val df = mem.toDF().toDF("user_id")
+    val q = StreamingOps.streamingCms(df, depth = 4, width = 32)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    def batchCms(keys: Seq[Long]) = {
+      import spark.implicits._
+      StreamingOps.streamingCms(keys.toDF("user_id"), depth = 4, width = 32)
+        .as[(Int, Long, Long)].collect().toSet
+    }
+    try {
+      val b1 = Seq(1L, 2L, 2L, 3L, 7L, 7L, 7L)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("cms_out").as[(Int, Long, Long)].collect().toSet ==
+        batchCms(b1))
+      // second micro-batch: counters must ACCUMULATE (state carries),
+      // matching one batch sketch over the union of both batches
+      val b2 = Seq(2L, 9L, 9L, 1L)
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batchCms(b1 ++ b2))
+      // state is bounded by depth x width, not by key cardinality
+      assert(streamed.size <= 4 * 32)
+    } finally q.stop()
+  }
+
   test("complete output mode re-emits the full aggregate each batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
