@@ -22,33 +22,63 @@ import org.apache.spark.sql.functions._
   * ops, nothing driver-side. Dangling nodes (outdeg 0) keep the base
   * rank and simply stop propagating — their mass is dropped, the
   * usual simplification for sink-heavy graphs.
+  *
+  * Storage protocol (same as [[Dedup.connectedComponents]]): the edge
+  * list — often an expensive join upstream — plus nodes/outdeg are
+  * localCheckpoint'ed ONCE, each round's ranks are checkpointed and
+  * the superseded round released immediately, and every base relation
+  * is released before returning — the result frame is itself
+  * materialized, so nothing dangles. Without this, Spark's
+  * no-plan-sharing rule re-evaluates the edge subplan ~4× per
+  * iteration (inbound join, outdeg, nodes twice).
   */
 object Graph {
 
   private val SCALE = 1000000000000L // rank 1.0
   private val BASE = 150000000000L // (1 - d) · SCALE, d = 0.85
 
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** `edges(src, dst)` is a directed multigraph — parallel edges act
     * as weight. Returns (node_id, pr) with pr scaled by 1e12. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node_id"))
-      .union(edges.select(col("dst").as("node_id")))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
       .distinct()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var pr = nodes.withColumn("pr", lit(SCALE))
-    for (_ <- 1 to iters) {
-      val contrib = pr
-        .join(outdeg, pr("node_id") === outdeg("src"))
-        .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
-      val inbound = edges
-        .join(contrib, edges("src") === contrib("u"))
-        .groupBy(col("dst").as("node_id"))
-        .agg(sum(col("c")).as("s"))
-      pr = nodes
-        .join(inbound, Seq("node_id"), "left")
-        .select(col("node_id"),
-          (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(SCALE)).localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = pr
+          .join(outdeg, pr("node_id") === outdeg("src"))
+          .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
+        val inbound = e
+          .join(contrib, e("src") === contrib("u"))
+          .groupBy(col("dst").as("node_id"))
+          .agg(sum(col("c")).as("s"))
+        val next = nodes
+          .join(inbound, Seq("node_id"), "left")
+          .select(col("node_id"),
+            (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+          .localCheckpoint(true)
+        unpersistLocalCheckpoint(pr)
+        pr = next
+      }
+      pr
+    } finally {
+      // the returned ranks are materialized — the base relations are
+      // never read again, success or failure
+      unpersistLocalCheckpoint(e)
+      unpersistLocalCheckpoint(nodes)
+      unpersistLocalCheckpoint(outdeg)
     }
-    pr
   }
 }
