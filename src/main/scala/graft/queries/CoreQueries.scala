@@ -413,6 +413,16 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
     }),
 
+    // equal-width binning (feature discretization): width_bucket with
+    // exact bin edges (500000/10 = 50000 — representable), per-bin
+    // counts + ranges in one combinable aggregation.
+    "q_width_bucket" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(expr("width_bucket(o_totalprice, 0.0, 500000.0, 10)").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))),
+
     // SCD2 upsert (lakehouse dimension versioning): apply an updates
     // batch to a dimension, closing the previous version (is_current =
     // false) and appending the new one. One equi-join on the key + a
@@ -797,6 +807,20 @@ object CoreQueries {
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
          FROM lineitem GROUP BY l_returnflag""",
+
+    // DuckDB lacks width_bucket; the mirror replays Spark's exact
+    // arithmetic — floor((v - lo) / ((hi - lo) / n)) + 1 with 0 / n+1
+    // out-of-range buckets — on the same doubles (50000-wide bins are
+    // exactly representable, so edge placement is identical)
+    "q_width_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 500000.0 THEN 11
+                     ELSE CAST(floor((o_totalprice - 0.0) /
+                          ((500000.0 - 0.0) / 10)) AS BIGINT) + 1 END AS bin,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi
+         FROM orders GROUP BY 1""",
 
     "q_scd2" ->
       """WITH upd AS (

@@ -167,6 +167,31 @@ object StreamingOps {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming Bloom filter: like [[streamingCms]], the filter's word
+    * lanes ARE the streaming aggregation state — `bit_or` is
+    * commutative and idempotent, so replayed or reordered micro-
+    * batches cannot corrupt the bits, and state is bounded at `words`
+    * rows however many keys stream past. A snapshot is interchangeable
+    * with [[graft.operators.Bloom.build]]'s batch filter (same md5 /
+    * 63-bit-lane layout) and probes with
+    * [[graft.operators.Bloom.maybeContains]] unchanged. */
+  def streamingBloom(
+      keyed: DataFrame,
+      keyCol: String = "user_id",
+      words: Int = 64,
+      k: Int = 3): DataFrame = {
+    val seeds = explode(array((0 until k).map(i => lit(i)): _*)).as("seed")
+    keyed
+      .select(col(keyCol).as("bf_key"), seeds)
+      .select((conv(substring(md5(concat(col("seed").cast("string"), lit(":"),
+        col("bf_key").cast("string"))), 1, 8), 16, 10).cast("long") % (words * 63))
+        .as("pos"))
+      .select((col("pos") / 63).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 63).cast("int")).as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("bits"))
+  }
+
   case class KeyedValue(key: Long, value: Double)
   case class RunningMax(key: Long, max: Double)
 

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 import graft.streaming.StreamingOps
 
@@ -114,6 +115,31 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(streamed == batchCms(b1 ++ b2))
       // state is bounded by depth x width, not by key cardinality
       assert(streamed.size <= 4 * 32)
+    } finally q.stop()
+  }
+
+  test("streaming Bloom state equals the batch-built filter and probes correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bloom
+    val mem = MemoryStream[Long]
+    val df = mem.toDF().toDF("user_id")
+    val q = StreamingOps.streamingBloom(df, words = 16, k = 3)
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L, 1L) // replayed key 1: bit_or is idempotent
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_out")
+      val batch = Bloom.build((1L to 5L).toDF("user_id"), "user_id",
+        words = 16, k = 3)
+      assert(streamed.as[(Int, Long)].collect().toSet ==
+        batch.as[(Int, Long)].collect().toSet)
+      // the snapshot probes through the batch-side probe path unchanged
+      val probed = Bloom.maybeContains((1L to 5L).toDF("k"), "k",
+        streamed, "maybe", words = 16, k = 3)
+      assert(probed.where(!col("maybe")).count() == 0)
     } finally q.stop()
   }
 
