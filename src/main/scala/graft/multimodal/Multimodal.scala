@@ -40,6 +40,24 @@ case class ImageFeatures(
     px00_r: Int,
     pxlast_b: Int)
 
+/** A fixture audio asset: WAV-encoded (PCM16LE mono) payload plus its
+  * declared sample geometry. */
+case class AudioAsset(
+    asset_id: Long, n_samples: Int, sample_rate: Int, payload: Array[Byte])
+
+/** Features decoded from real WAV bytes: exact integer statistics
+  * (mean amplitude divides once in double) plus first/last probe
+  * samples, so a byte-order- or channel-confused decode cannot pass. */
+case class AudioFeatures(
+    asset_id: Long,
+    n_samples: Long,
+    sample_rate: Int,
+    mean_amp: Double,
+    energy: Long,
+    first_s: Int,
+    last_s: Int,
+    peak_abs: Int)
+
 /** Multimodal-column plumbing (SURVEY.md §2.3 north star).
   *
   * Two feature paths share the same per-partition decode seam:
@@ -185,6 +203,83 @@ object Multimodal {
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
           (img.getRGB(0, 0) >> 16) & 0xff,
           img.getRGB(w - 1, h - 1) & 0xff)
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture audio, one clip per document:
+    * n_samples = id%400 + 100 at 8 kHz, and every PCM16 sample is the
+    * closed form
+    *
+    *   s(i) = ((id·37 + i·101) mod 65536) − 32768
+    *
+    * WAV PCM is uncompressed, so encode→decode is bit-exact and the
+    * oracle recomputes every decoded statistic from the formula. The
+    * encoder is the JDK's `javax.sound.sampled` WAVE writer (no audio
+    * hardware involved — pure container framing), running inside the
+    * same per-partition codec seam as [[imageAssets]]. */
+  def audioAssets(spark: SparkSession, documents: DataFrame): Dataset[AudioAsset] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (col("doc_id") % 400 + 100).cast("int").as("n_samples"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 37 + i * 101) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          AudioAsset(id, n, 8000, out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * WAV container (format block honored, not assumed — the asserts
+    * would catch a stereo or 8-bit misread), samples reconstruct from
+    * little-endian PCM16, and the features are exact integer sums
+    * (|s| ≤ 2¹⁵, n ≤ 500 ⇒ energy < 2⁴⁰ ≪ 2⁶³) with one double
+    * division for the mean — IEEE-identical to the oracle's
+    * CAST(sum AS DOUBLE)/n. Per-partition decode, same 100 TB shape
+    * as [[decodeImageFeatures]]. */
+  def decodeAudioFeatures(
+      spark: SparkSession, assets: Dataset[AudioAsset]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected decoded format $fmt for ${a.asset_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        require(n > 0, s"empty decode for asset ${a.asset_id}")
+        var i = 0
+        var sum = 0L; var energy = 0L; var peak = 0
+        var firstS = 0; var lastS = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          if (i == 0) firstS = s
+          if (i == n - 1) lastS = s
+          sum += s
+          energy += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        AudioFeatures(a.asset_id, n.toLong, fmt.getSampleRate.toInt,
+          sum.toDouble / n, energy, firstS, lastS, peak)
       }
     }
   }

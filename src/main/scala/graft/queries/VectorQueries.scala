@@ -287,6 +287,14 @@ object VectorQueries {
       Multimodal.decodeImageFeatures(s,
         Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()),
 
+    // REAL audio codec path, the WAV analogue of mm_decode: JDK
+    // javax.sound encodes deterministic PCM16 fixtures and decodes
+    // them back inside mapPartitions; the oracle recomputes every
+    // statistic from the closed-form sample formula.
+    "mm_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(s,
+        Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()),
+
     // frame sampling summarized per asset. Oracled: DuckDB cannot
     // slice BLOBs, but frame count and byte totals are pure arithmetic
     // over octet_length — the oracle recomputes them from first
@@ -820,6 +828,27 @@ object VectorQueries {
            FROM scored)
          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
          FROM ranked WHERE rank <= 3""",
+
+    // the decoded features are recomputed from the closed-form sample
+    // formula — the clip IS the formula; a garbled WAV round trip
+    // (byte order, container offsets, channel count) hash-mismatches
+    "mm_audio_decode" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(doc_id % 400 + 100 AS INT) AS n FROM documents),
+         smp AS (
+           SELECT asset_id, n, i,
+                  ((asset_id*37 + i*101) % 65536) - 32768 AS s
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i))
+         SELECT asset_id,
+                CAST(n AS BIGINT) AS n_samples,
+                8000 AS sample_rate,
+                CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / n AS mean_amp,
+                CAST(sum(s*s) AS BIGINT) AS energy,
+                CAST(min(CASE WHEN i = 0 THEN s END) AS INT) AS first_s,
+                CAST(min(CASE WHEN i = n - 1 THEN s END) AS INT) AS last_s,
+                CAST(max(abs(s)) AS INT) AS peak_abs
+         FROM smp GROUP BY asset_id, n""",
 
     // the decoded features are recomputed from the closed-form pixel
     // formula — no byte access needed: the image IS the formula

@@ -69,6 +69,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.pxlast_b == ((5 * 29 + (w - 1) * 3 + (h - 1) * 19) % 256))
   }
 
+  test("audioAssets emits real WAV bytes; javax.sound decode reproduces the samples") {
+    val clips = Multimodal.audioAssets(spark,
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"))
+      .filter($"asset_id".isin(1L, 7L, 42L)).collect()
+    assert(clips.nonEmpty)
+    clips.foreach { a =>
+      // RIFF/WAVE magic proves a real container writer ran
+      assert(new String(a.payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(a.payload.slice(8, 12), "US-ASCII") == "WAVE")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      assert(ais.getFormat.getSampleRate == 8000f &&
+        ais.getFormat.getChannels == 1)
+      val bytes = ais.readAllBytes()
+      assert(bytes.length == a.n_samples * 2)
+      // every PCM16 sample round-trips the closed form
+      for (i <- 0 until a.n_samples) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        assert(s == ((a.asset_id * 37 + i * 101) % 65536 - 32768).toInt, s"s($i)")
+      }
+    }
+  }
+
+  test("decodeAudioFeatures: decoded statistics match a by-hand sample walk") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .filter($"doc_id" === 5L)
+    val feats = Multimodal.decodeAudioFeatures(
+      spark, Multimodal.audioAssets(spark, docs)).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    val n = 5 % 400 + 100
+    val ss = (0 until n).map(i => ((5L * 37 + i * 101) % 65536 - 32768).toInt)
+    assert(f.n_samples == n.toLong && f.sample_rate == 8000)
+    assert(f.mean_amp == ss.map(_.toLong).sum.toDouble / n)
+    assert(f.energy == ss.map(s => s.toLong * s).sum)
+    assert(f.first_s == ss.head && f.last_s == ss.last)
+    assert(f.peak_abs == ss.map(math.abs).max)
+  }
+
   test("frame sampling covers the payload with the configured stride") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 64)
     val one = frames.filter($"asset_id" === 1L).count()
