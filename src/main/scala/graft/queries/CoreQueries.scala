@@ -413,6 +413,20 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
     }),
 
+    // lambda higher-order functions over arrays (exists / forall /
+    // filter / aggregate) — the codegen-friendly in-row alternative to
+    // exploding and re-aggregating.
+    "q_hof" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+        .select(
+          col("p_partkey"),
+          exists(col("toks"), t => length(t) > 6).as("has_long"),
+          forall(col("toks"), t => length(t) > 2).as("all_gt2"),
+          size(filter(col("toks"), t => t.contains("a"))).as("n_with_a"),
+          aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+            .as("total_len"))),
+
     // equal-width binning (feature discretization): width_bucket with
     // exact bin edges (500000/10 = 50000 — representable), per-bin
     // counts + ranges in one combinable aggregation.
@@ -807,6 +821,17 @@ object CoreQueries {
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_hof" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+         SELECT p_partkey,
+                len(list_filter(toks, t -> length(t) > 6)) > 0 AS has_long,
+                len(list_filter(toks, t -> length(t) <= 2)) = 0 AS all_gt2,
+                CAST(len(list_filter(toks, t -> contains(t, 'a'))) AS INT)
+                  AS n_with_a,
+                CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
+                  AS total_len
+         FROM t""",
 
     // DuckDB lacks width_bucket; the mirror replays Spark's exact
     // arithmetic — floor((v - lo) / ((hi - lo) / n)) + 1 with 0 / n+1
