@@ -28,6 +28,18 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pagerank releases every superseded checkpoint; only the result stays") {
+    // base relations (edges/nodes/outdeg) and superseded rounds must
+    // unpersist — same storage-flatness contract as connectedComponents
+    val edges = (1L to 100L).map(i => (i, i % 10)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pr = Graph.pageRank(edges, iters = 3)
+    pr.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"leaked checkpoint blocks: $before persistent RDDs before, $after after")
+  }
+
   test("pagerank with zero iterations returns the base rank everywhere") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val pr = Graph.pageRank(edges, iters = 0).as[(Long, Long)].collect().toMap

@@ -188,6 +188,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "unexpected window:\n" + p.take(1200))
   }
 
+  test("dedup_chunks: combinable min-struct agg, no window on the chunk key") {
+    // a boilerplate chunk repeated corpus-wide must combine map-side;
+    // a row_number window over the chunk key would funnel its whole
+    // occurrence list through one task
+    val p = finalPlan("dedup_chunks")
+    assert(!p.contains("Window"), "window on chunk key:\n" + p.take(1200))
+    assert(p.contains("partial_"), "first-occurrence agg lost its map-side partial")
+  }
+
   test("emb_random_projection is row-local: no exchange, no aggregate node") {
     // each output dim is an in-row dot product against a literal
     // matrix — any shuffle or aggregation here means the JL front-end
