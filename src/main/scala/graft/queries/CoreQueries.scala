@@ -413,6 +413,32 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"))
     }),
 
+    // Z-order (Morton) clustering key: interleave the bits of two
+    // 10-bit dimensions so rows close in BOTH dimensions land close in
+    // the sort order — the data-layout trick behind multi-dimensional
+    // file skipping (cluster-by-zvalue ⇒ each file covers a small
+    // rectangle, so min/max stats prune on either predicate). The key
+    // is pure in-row bit arithmetic (codegen'd, zero shuffle); the
+    // query emits per-z-range min/max envelopes — exactly the file
+    // statistics a z-ordered writer would produce — showing each
+    // range stays tight in both dimensions at once.
+    "q_zorder" -> ((s, d) => {
+      val custBits = pmod(col("o_custkey"), lit(1024))
+      val priceBits = expr("width_bucket(o_totalprice, 0.0, 500000.0, 1022)")
+      val z = expr(
+        s"""aggregate(sequence(0, 9), 0L, (acc, b) ->
+              acc + shiftleft(shiftright(x_dim, b) % 2, 2 * b)
+                  + shiftleft(shiftright(y_dim, b) % 2, 2 * b + 1))""")
+      Tables.orders(s, d)
+        .withColumn("x_dim", custBits)
+        .withColumn("y_dim", priceBits)
+        .withColumn("zval", z)
+        .groupBy((col("zval") / 16384).cast("long").as("z_range"))
+        .agg(count(lit(1)).as("n"),
+          min("x_dim").as("min_x"), max("x_dim").as("max_x"),
+          min("y_dim").as("min_y"), max("y_dim").as("max_y"))
+    }),
+
     // lambda higher-order functions over arrays (exists / forall /
     // filter / aggregate) — the codegen-friendly in-row alternative to
     // exploding and re-aggregating.
@@ -821,6 +847,25 @@ object CoreQueries {
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_zorder" ->
+      """WITH t AS (
+           SELECT o_custkey % 1024 AS x_dim,
+                  CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 500000.0 THEN 1023
+                       ELSE CAST(floor(o_totalprice / (500000.0 / 1022))
+                            AS BIGINT) + 1 END AS y_dim
+           FROM orders),
+         z AS (
+           SELECT x_dim, y_dim,
+                  CAST(list_sum(list_transform(generate_series(0, 9), b ->
+                    (((x_dim >> b) % 2) << (2*b)) +
+                    (((y_dim >> b) % 2) << (2*b + 1)))) AS BIGINT) AS zval
+           FROM t)
+         SELECT CAST(zval // 16384 AS BIGINT) AS z_range, count(*) AS n,
+                min(x_dim) AS min_x, max(x_dim) AS max_x,
+                min(y_dim) AS min_y, max(y_dim) AS max_y
+         FROM z GROUP BY 1""",
 
     "q_hof" ->
       """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
