@@ -366,6 +366,27 @@ object TextQueries {
         // langid stage)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    }),
+
+    // BPE tokenizer training: 6 merge rounds over the word-frequency
+    // vocabulary (ONE corpus pass, then every iteration is vocab-
+    // sized — the property that makes tokenizer training tractable at
+    // 100 TB). Oracle re-derives the identical merge trajectory with
+    // an independent formulation (windows + alternating match islands
+    // instead of the engine's greedy fold).
+    "text_bpe_vocab" -> ((s, d) =>
+      graft.operators.Bpe.learn(Tables.documents(s, d), merges = 6)),
+
+    // the inference half: the learned merge table folds into one
+    // broadcast row and every document is re-tokenized IN-ROW (seed
+    // chars → 6 merges, greedy left-to-right per word) — a
+    // zero-shuffle map over the corpus. token_str is the full fused
+    // token sequence, so the oracle check is symbol-exact.
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bpe.encode(docs, graft.operators.Bpe.learn(docs, merges = 6))
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("token_str"))
     }))
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
@@ -437,7 +458,94 @@ object TextQueries {
                round(CAST(i AS DOUBLE) / (a_n + b_n - i), 6) AS jaccard
         FROM inter WHERE CAST(i AS DOUBLE) / (a_n + b_n - i) >= 0.35"""
 
+  /** BPE merge-trajectory CTE chain, steps 1..k. Independent
+    * re-derivation of [[graft.operators.Bpe.learn]]: instead of the
+    * engine's greedy accumulator fold, each round marks match
+    * positions with a window `lead`, groups consecutive matches into
+    * islands, and merges at alternating island offsets — the
+    * closed-form of greedy left-to-right (overlaps only arise when
+    * l = r, and there the leftmost of each island pair wins in both
+    * formulations). Exposes `b$s`(l, r, cnt) per step and `toks$k`
+    * (word, wcount, pos, tok) as the final symbol table. */
+  private def bpeCtes(k: Int): String = {
+    def step(s: Int): String = {
+      val prev = s"toks${s - 1}"
+      s"""p$s AS (
+            SELECT tok AS l, nxt AS r, CAST(sum(wcount) AS BIGINT) AS cnt
+            FROM (SELECT wcount, tok,
+                    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                  FROM $prev)
+            WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          b$s AS (SELECT l, r, cnt FROM p$s ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          mk$s AS (
+            SELECT word, wcount, pos, tok, bl, br,
+                   COALESCE(tok = bl AND
+                     lead(tok) OVER (PARTITION BY word ORDER BY pos) = br,
+                     FALSE) AS mt
+            FROM $prev CROSS JOIN (SELECT l AS bl, r AS br FROM b$s)),
+          isl$s AS (
+            SELECT word, wcount, pos, tok, bl, br, mt,
+                   CASE WHEN mt THEN pos - row_number()
+                     OVER (PARTITION BY word, mt ORDER BY pos) END AS isl
+            FROM mk$s),
+          ms$s AS (
+            SELECT word, wcount, pos, tok, bl, br,
+                   CASE WHEN mt AND (row_number()
+                       OVER (PARTITION BY word, mt, isl ORDER BY pos) % 2) = 1
+                     THEN TRUE ELSE FALSE END AS mstart
+            FROM isl$s),
+          toks$s AS (
+            SELECT word, wcount,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                   CASE WHEN mstart THEN bl || br ELSE tok END AS tok
+            FROM (SELECT *, lag(mstart)
+                    OVER (PARTITION BY word ORDER BY pos) AS pm
+                  FROM ms$s)
+            WHERE NOT COALESCE(pm, FALSE))"""
+    }
+    s"""words AS (
+          SELECT w AS word, count(*) AS wcount FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        toks0 AS (
+          SELECT word, wcount, CAST(generate_subscripts(cs, 1) AS BIGINT) AS pos,
+                 unnest(cs) AS tok
+          FROM (SELECT word, wcount,
+                  list_transform(range(length(word)),
+                    i -> substr(word, CAST(i + 1 AS INT), 1)) AS cs
+                FROM words)),
+        ${(1 to k).map(step).mkString(",\n")}"""
+  }
+
+  private lazy val bpeVocabOracle: String =
+    s"""WITH ${bpeCtes(6)}
+        ${(1 to 6).map(s =>
+          s"SELECT CAST($s AS INT) AS step, l AS m_left, r AS m_right, cnt AS pair_count FROM b$s")
+          .mkString("\nUNION ALL ")}"""
+
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH ${bpeCtes(6)},
+        wtoks AS (
+          SELECT word, list(tok ORDER BY pos) AS toks
+          FROM toks6 GROUP BY word),
+        docw AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(text), '[^a-z0-9]+') AS ws
+                FROM documents)),
+        enc AS (
+          SELECT d.doc_id, flatten(list(w.toks ORDER BY d.pos)) AS tokens
+          FROM (SELECT * FROM docw WHERE word <> '') d
+          JOIN wtoks w USING (word)
+          GROUP BY d.doc_id)
+        SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+               array_to_string(tokens, ' ') AS token_str
+        FROM enc"""
+
   def oracles: Map[String, String] = Map(
+    "text_bpe_vocab" -> bpeVocabOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
