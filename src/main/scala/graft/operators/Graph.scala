@@ -81,4 +81,50 @@ object Graph {
       unpersistLocalCheckpoint(outdeg)
     }
   }
+
+  /** Per-node triangle counts over an undirected simple graph
+    * `und(a, b)` (canonical: a < b, distinct). Degree-ordered
+    * orientation (Chiba–Nishizeki / the standard MapReduce triangle
+    * recipe, public): every edge is directed from its
+    * (degree, id)-smaller endpoint, wedges are built only at a
+    * node's OUT-neighbors, and each triangle is found exactly once —
+    * at its (degree, id)-minimal vertex.
+    *
+    * Why this survives 100× data: the naive wedge join explodes on
+    * hubs (Σ deg² — a celebrity node with degree 10⁶ contributes
+    * 10¹² wedges). Orientation caps every out-degree at O(√E)
+    * (arboricity bound), so wedge volume is Σ outdeg² ≤ E·√E
+    * worst-case and near-linear on real skewed graphs — the hub's
+    * edges all point INTO it and generate no wedges there. Plan
+    * shape: two degree joins (keyed on the edge endpoints), one
+    * self-join on the oriented source, one closure semi-probe
+    * against the canonical edge set, one combinable count — no
+    * windows, nothing driver-side, every shuffle keyed on node or
+    * edge ids. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // orient from the (deg, id)-smaller endpoint; ids are unique so
+    // the order is total even between equal-degree endpoints
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    // wedges at the apex: unordered out-neighbor pairs (id-ordered so
+    // the closure probe hits the canonical a<b edge directly)
+    val o1 = oriented.select(col("src"), col("dst").as("u"))
+    val o2 = oriented.select(col("src"), col("dst").as("v"))
+    val wedges = o1.join(o2, Seq("src")).where(col("u") < col("v"))
+    val tris = wedges
+      .join(und, col("u") === col("a") && col("v") === col("b"))
+      .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy("node_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

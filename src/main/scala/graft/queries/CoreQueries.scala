@@ -553,6 +553,24 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // triangle counting over the part co-purchase graph (edge = two
+    // parts share an order). Engine side uses degree-ordered
+    // orientation — wedge volume bounded by Σ outdeg² ≤ E·√E, immune
+    // to hub blowup; the oracle brute-forces the x<y<z enumeration,
+    // an independent formulation. Top-20 by triangle count, tie-free.
+    "graph_triangles" -> ((s, d) => {
+      val os = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val und = os.as("x")
+        .join(os.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      graft.operators.Graph.triangleCounts(und)
+        .orderBy(col("n_triangles").desc, col("node_id").asc)
+        .limit(20)
+    }),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -968,6 +986,23 @@ object CoreQueries {
           it3 AS (${iter("it2")})
           SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
     },
+
+    "graph_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         und AS (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pernode AS (
+           SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT unnest([x, y, z]) AS node_id FROM tri)
+           GROUP BY node_id)
+         SELECT node_id, n_triangles FROM pernode
+         ORDER BY n_triangles DESC, node_id ASC LIMIT 20""",
 
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey,

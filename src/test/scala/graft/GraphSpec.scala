@@ -45,4 +45,41 @@ class GraphSpec extends AnyFunSuite {
     val pr = Graph.pageRank(edges, iters = 0).as[(Long, Long)].collect().toMap
     assert(pr.values.toSet == Set(1000000000000L))
   }
+
+  /** Plain-Scala triangle enumeration — the definition. */
+  private def refTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tris = for {
+      x <- nodes; y <- nodes if x < y && edges((x, y))
+      z <- nodes if y < z && edges((y, z)) && edges((x, z))
+    } yield Seq(x, y, z)
+    tris.flatten.groupBy(identity).map { case (n, occ) => n -> occ.size.toLong }
+  }
+
+  test("triangle counts match brute force, including around a hub") {
+    // hub 0 connected to 1..10; ring closures 1-2,2-3,...,9-10 give
+    // 9 triangles through the hub; plus an isolated triangle 20-21-22
+    // and a triangle-free pendant edge 30-31
+    val edgeSet: Set[(Long, Long)] =
+      (1L to 10L).map(i => (0L, i)).toSet ++
+        (1L to 9L).map(i => (i, i + 1)).toSet ++
+        Set((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L))
+    val und = edgeSet.toSeq.toDF("a", "b")
+    val got = Graph.triangleCounts(und).as[(Long, Long)].collect().toMap
+    assert(got == refTriangles(edgeSet))
+    assert(got(0L) == 9L) // the hub sits on all ring triangles
+    assert(got(20L) == 1L && got(21L) == 1L && got(22L) == 1L)
+    assert(!got.contains(30L) && !got.contains(31L))
+  }
+
+  test("triangle counts are partitioning-invariant") {
+    val edges = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 31 + b * 17) % 5 == 0
+    } yield (a, b)).toDF("a", "b")
+    val x = Graph.triangleCounts(edges).as[(Long, Long)].collect().toSet
+    val y = Graph.triangleCounts(edges.repartition(17))
+      .as[(Long, Long)].collect().toSet
+    assert(x == y && x.nonEmpty)
+  }
 }
