@@ -368,6 +368,42 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     }),
 
+    // Contiguous global ID assignment (shard-stable row numbering for
+    // training-data manifests) WITHOUT the scale-killer
+    // `row_number() OVER (ORDER BY ...)` single-partition window:
+    // quantile bucket boundaries (one tiny agg) -> monotone bucket
+    // per row (in-row scan of the broadcast boundary array) ->
+    // per-bucket window + bucket-offset cumsum over B rows. The final
+    // ids are INDEPENDENT of where the approximate boundaries land —
+    // bucketing is monotone in the unique total-order key, so
+    // offset+local_rank always reproduces the exact global
+    // row_number; percentile drift only shifts work between buckets.
+    "text_global_ids" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nBuckets = 32
+      // ascending k  ==  (n_chars DESC, doc_id ASC); doc_id is unique
+      // so the order is total. n_chars·1e10 stays far inside int64
+      // for any plausible document (bound guarded in the operator
+      // docstring sense: 1e8-char docs would need a wider multiplier).
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") - col("n_chars") * lit(10000000000L)).as("k"))
+      val bounds = docs.agg(percentile_approx(col("k"),
+        array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*),
+        lit(10000)).as("bs"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("k"),
+          aggregate(col("bs"), lit(0),
+            (acc, bd) => acc + when(col("k") > bd, 1).otherwise(0)).as("bucket"))
+      val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("c"))
+      // B rows: the one legitimately single-partition window
+      val offsets = counts.select(col("bucket"),
+        (sum("c").over(Window.orderBy("bucket")) - col("c")).as("off"))
+      bucketed.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"),
+          (col("off") + row_number().over(
+            Window.partitionBy("bucket").orderBy("k"))).as("global_id"))
+    }),
+
     // BPE tokenizer training: 6 merge rounds over the word-frequency
     // vocabulary (ONE corpus pass, then every iteration is vocab-
     // sized — the property that makes tokenizer training tractable at
@@ -544,6 +580,11 @@ object TextQueries {
         FROM enc"""
 
   def oracles: Map[String, String] = Map(
+    "text_global_ids" ->
+      """SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+             AS global_id
+         FROM documents""",
     "text_bpe_vocab" -> bpeVocabOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     "dedup_exact" ->

@@ -232,6 +232,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("text_global_ids ranks the corpus inside buckets, never one partition") {
+    val p = finalPlan("text_global_ids")
+    val rnWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    assert(rnWindows.nonEmpty, "no row_number window found:\n" + p.take(800))
+    // the partition spec must lead with the bucket column — a global
+    // row_number (empty partition spec) would funnel the corpus
+    // through one task
+    rnWindows.foreach(l =>
+      assert(l.contains("windowspecdefinition(bucket#"),
+        s"corpus window not partitioned by bucket: $l"))
+  }
+
   test("ref decode chains evaluate each from_json exactly once per row") {
     // without the OptimizerBarrier, predicate pushdown duplicates the
     // whole envelope→unbase64→customer chain once per filter conjunct
