@@ -618,6 +618,28 @@ object CoreQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k").isNotNull)),
 
+    // Spark 4 VARIANT (open-format semi-structured type): documents
+    // nested JSON built from typed columns, parsed to VARIANT, and
+    // read back with typed-path extraction — plus the real `props`
+    // JSON column and a try_variant_get miss. The oracle computes the
+    // same values STRAIGHT from the columns (no JSON round trip), so
+    // the check proves parse_json/variant_get round-trip fidelity for
+    // bigint, string and double, and SQL-null semantics for absent
+    // paths.
+    "q_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("vj", parse_json(to_json(struct(
+          struct(col("event_type").as("type"), col("user_id").as("uid")).as("meta"),
+          array(col("value"), col("value") * 2).as("vals")))))
+        .withColumn("vp", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          variant_get(col("vj"), "$.meta.uid", "bigint").as("uid"),
+          variant_get(col("vj"), "$.meta.type", "string").as("etype"),
+          round(variant_get(col("vj"), "$.vals[1]", "double"), 6).as("v2"),
+          variant_get(col("vp"), "$.k", "int").as("k"),
+          try_variant_get(col("vp"), "$.missing", "int").as("missing"))),
+
     "q_json_agg" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -1097,6 +1119,13 @@ object CoreQueries {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+
+    "q_variant" ->
+      """SELECT event_id, user_id AS uid, event_type AS etype,
+           round(value * 2, 6) AS v2,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(NULL AS INT) AS missing
+         FROM events""",
 
     "q_json_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
