@@ -42,7 +42,11 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val wall0 = System.nanoTime()
     val cpu0 = osBean.getProcessCpuTime
+    // dev-only: restrict to a comma-separated subset for fast iteration
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val passes = (1 to 3).map { _ =>
       ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     }

@@ -101,30 +101,53 @@ object Graph {
     * against the canonical edge set, one combinable count — no
     * windows, nothing driver-side, every shuffle keyed on node or
     * edge ids. */
-  def triangleCounts(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val withDeg = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-    // orient from the (deg, id)-smaller endpoint; ids are unique so
-    // the order is total even between equal-degree endpoints
-    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = withDeg.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-    // wedges at the apex: unordered out-neighbor pairs (id-ordered so
-    // the closure probe hits the canonical a<b edge directly)
-    val o1 = oriented.select(col("src"), col("dst").as("u"))
-    val o2 = oriented.select(col("src"), col("dst").as("v"))
-    val wedges = o1.join(o2, Seq("src")).where(col("u") < col("v"))
-    val tris = wedges
-      .join(und, col("u") === col("a") && col("v") === col("b"))
-      .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
-    tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
-      .groupBy("node_id")
-      .agg(count(lit(1)).as("n_triangles"))
+  def triangleCounts(undRaw: DataFrame): DataFrame = {
+    // The edge relation is read FOUR times (degree count, two degree
+    // joins, closure probe) and the oriented form twice — Spark plan
+    // branches never share work, so without materialization the
+    // upstream edge construction (often an expensive join) re-runs
+    // per branch. Same protocol as pageRank: checkpoint, release on
+    // every path.
+    val und = undRaw.select(col("a"), col("b")).localCheckpoint(true)
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // shuffle_hash on the degree side: the node relation is |V| rows
+      // vs |E| edges, and a hash build avoids sorting the edge list
+      // twice (SMJ would; neither side is broadcast-safe at scale)
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da"))
+          .hint("shuffle_hash"), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db"))
+          .hint("shuffle_hash"), "b")
+      // orient from the (deg, id)-smaller endpoint; ids are unique so
+      // the order is total even between equal-degree endpoints
+      val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint(true)
+      try {
+        // wedges at the apex: unordered out-neighbor pairs (id-ordered
+        // so the closure probe hits the canonical a<b edge directly)
+        val o1 = oriented.select(col("src"), col("dst").as("u"))
+        val o2 = oriented.select(col("src"), col("dst").as("v"))
+        // hash joins throughout the wedge pipeline: the wedge stream
+        // is O(Σ outdeg²) rows — a sort-merge closure probe would
+        // SORT it; a shuffle-hash join builds on the |E|-row edge set
+        // and streams the wedges unsorted
+        val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
+          .where(col("u") < col("v"))
+        val tris = wedges
+          .join(und.hint("shuffle_hash"),
+            col("u") === col("a") && col("v") === col("b"))
+          .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
+        tris
+          .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+          .groupBy("node_id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .localCheckpoint(true)
+      } finally unpersistLocalCheckpoint(oriented)
+    } finally unpersistLocalCheckpoint(und)
   }
 }

@@ -559,12 +559,18 @@ object CoreQueries {
     // to hub blowup; the oracle brute-forces the x<y<z enumeration,
     // an independent formulation. Top-20 by triangle count, tie-free.
     "graph_triangles" -> ((s, d) => {
-      val os = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val und = os.as("x")
-        .join(os.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
+      // co-occurrence edges WITHOUT a self-join: group parts per order
+      // (one shuffle), expand unordered pairs in-row, distinct. A
+      // self-join formulation reads+distincts the (order, part)
+      // relation twice (plan branches share nothing) and shuffles the
+      // pair multiset besides.
+      val und = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
       graft.operators.Graph.triangleCounts(und)
         .orderBy(col("n_triangles").desc, col("node_id").asc)

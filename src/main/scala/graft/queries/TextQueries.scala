@@ -368,6 +368,51 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     }),
 
+    // RAG-style sliding-window chunking: fixed window of W=30 tokens,
+    // stride S=20 (10-token overlap), last chunk ragged. Entirely
+    // in-row (sequence -> slice per start offset) — zero shuffle, the
+    // chunker runs inside the corpus scan at any scale. The token
+    // array is pinned to ONE evaluation per row with evalOnce:
+    // sequence-length, the slice lambda and size() all reference it,
+    // and CollapseProject would otherwise inline the split 3×.
+    "text_chunk_sliding" -> ((s, d) => {
+      val W = 30; val S = 20
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.OptimizerBarrier.evalOnce(
+            split(lower(col("text")), "\\s+")).as("tk"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              ceil(greatest(size(col("tk")) - W, lit(0)) / lit(S.toDouble))
+                .cast("int")),
+            i => slice(col("tk"), i * S + 1, lit(W)))))
+        .toDF("doc_id", "chunk_id", "ctoks")
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("start_tok"),
+          size(col("ctoks")).as("n_ctoks"),
+          array_join(col("ctoks"), " ").as("chunk_text"))
+    }),
+
+    // per-source adaptive quality gate: keep documents at or above
+    // their own source's exact median quality — the dynamic-threshold
+    // filter crawl pipelines use so a uniformly-low domain cannot
+    // flood the kept set. Exact interpolated percentile per group
+    // (source-count rows) broadcast back against the corpus; one
+    // combinable aggregation + one broadcast join.
+    "text_adaptive_quality" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+      val thresholds = scored.groupBy("source")
+        .agg(expr("percentile(quality, 0.5)").as("p50"))
+      scored.join(broadcast(thresholds), "source")
+        .where(col("quality") >= col("p50"))
+        .select(col("doc_id"), col("source"),
+          round(col("quality"), 6).as("quality"),
+          round(col("p50"), 6).as("source_p50"))
+    }),
+
     // Contiguous global ID assignment (shard-stable row numbering for
     // training-data manifests) WITHOUT the scale-killer
     // `row_number() OVER (ORDER BY ...)` single-partition window:
@@ -580,6 +625,35 @@ object TextQueries {
         FROM enc"""
 
   def oracles: Map[String, String] = Map(
+    "text_chunk_sliding" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+           FROM documents),
+         n AS (SELECT doc_id, tk, len(tk) AS nt FROM toks),
+         starts AS (
+           SELECT doc_id, tk,
+                  CAST(unnest(range(0,
+                    1 + CAST(ceil(greatest(nt - 30, 0) / 20.0) AS INT))) AS INT)
+                    AS chunk_id
+           FROM n)
+         SELECT doc_id, chunk_id, CAST(chunk_id * 20 AS INT) AS start_tok,
+                CAST(len(ct) AS INT) AS n_ctoks,
+                array_to_string(ct, ' ') AS chunk_text
+         FROM (SELECT doc_id, chunk_id,
+                 tk[chunk_id * 20 + 1 : chunk_id * 20 + 30] AS ct
+               FROM starts)""",
+
+    "text_adaptive_quality" ->
+      s"""WITH scored AS (
+            SELECT doc_id, source, $qualitySql AS quality FROM documents),
+          th AS (
+            SELECT source, quantile_cont(quality, 0.5) AS p50
+            FROM scored GROUP BY source)
+          SELECT doc_id, source, round(quality, 6) AS quality,
+                 round(p50, 6) AS source_p50
+          FROM scored JOIN th USING (source)
+          WHERE quality >= p50""",
+
     "text_global_ids" ->
       """SELECT doc_id,
            CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
