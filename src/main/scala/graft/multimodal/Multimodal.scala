@@ -139,6 +139,11 @@ object Multimodal {
         (col("doc_id") % 12 + 8).cast("int").as("height"))
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
+        // default ImageIO stream cache is a TEMP FILE per image —
+        // per-row disk churn that compounds across a run; these
+        // payloads are small, so cache in memory (JVM-global, set
+        // once per partition = once per executor in practice)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -179,6 +184,7 @@ object Multimodal {
       spark: SparkSession, assets: Dataset[ImageAsset]): Dataset[ImageFeatures] = {
     import spark.implicits._
     assets.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory stream cache
       rows.map { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.payload))
