@@ -460,22 +460,31 @@ object Similarity {
     * bit-for-bit in DuckDB (`CAST AS REAL` rounds identically). A
     * centroid whose cluster empties drops out, in both engines.
     *
-    * The iterations chain lazily into one plan — at the validated
-    * iteration counts that is the cheapest shape (each sub-plan runs
-    * exactly once). Driving iters much higher would grow Catalyst
-    * analysis superlinearly; the cure is the same one
-    * `Dedup.connectedComponents` uses — localCheckpoint each round and
-    * unpersist superseded ones — traded away here to keep the trainer
-    * a pure lazy DataFrame function.
+    * Each round is localCheckpoint'ed and the superseded round
+    * released (the `Dedup.connectedComponents` protocol): with the
+    * static-width per-dimension sums the per-round plan is wide, and
+    * chaining rounds lazily made Catalyst re-analysis — not execution
+    * — the dominant cost (measured ~2× the run time at iters=3).
+    * Checkpoint blocks are k rows each, so the storage cost is nil;
+    * the returned centroid table stays materialized for the caller.
     *
     * Returns (c_id, c_vec: array<float>). */
   def kmeans(
       embeddings: DataFrame, k: Int = 16, iters: Int = 3,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine", dims: Int = 64): DataFrame = {
     require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
-    var centroids = embeddings
+    // fail loudly on a mis-sized vector: element_at past the array end
+    // yields NULL and the decimal sums would silently skip it (same
+    // guard discipline as pqKnnTrained)
+    val emb = embeddings.select(col("vec_id"),
+      when(size(col("embedding")) === dims, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"kmeans: embedding dimension must be $dims, got "),
+          size(col("embedding")).cast("string")))).as("embedding"))
+    var centroids = emb
       .where(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // assignment is IN-ROW: the (tiny) centroid table folds into ONE
       // broadcast row sorted by c_id, and each vector scans it with an
@@ -490,7 +499,7 @@ object Similarity {
       // is the all-NULL tie both engines break to the lowest c_id.
       val centsRow = centroids
         .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
-      val assigned = embeddings.crossJoin(broadcast(centsRow))
+      val assigned = emb.crossJoin(broadcast(centsRow))
         .select(col("vec_id"), col("embedding"),
           aggregate(col("cents"),
             struct(lit(Double.NegativeInfinity).as("key"), lit(-1L).as("c_id")),
@@ -505,19 +514,33 @@ object Similarity {
                 struct(key.as("key"), c.getField("c_id").as("c_id")))
                 .otherwise(acc)
             }).getField("c_id").as("c_id"))
-      centroids = assigned
-        .select(col("c_id"), posexplode(col("embedding"))).toDF("c_id", "dim", "x")
-        .groupBy("c_id", "dim")
-        .agg((sum(col("x").cast("double")
-            .cast(org.apache.spark.sql.types.DecimalType(25, 15))).cast("double")
-          / count(lit(1))).as("cx"))
+      // recompute in ONE static-width aggregation (same shape as
+      // pqKnnTrained): per-dimension decimal sums as columns — no
+      // explode of n×dims rows, no second shuffle; the DECIMAL(25,15)
+      // sums are order-independent so the result is bit-identical to
+      // the explode+double-groupBy form the oracle unrolls
+      val sumCols = (0 until dims).map(d =>
+        sum(element_at(col("embedding"), d + 1).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+      val next = assigned
         .groupBy("c_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cx")))),
-          v => v.getField("cx").cast("float")).as("c_vec"))
+        .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("c_id"),
+          array((0 until dims).map(d =>
+            (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
+        .localCheckpoint(true)
+      unpersistCheckpoint(centroids)
+      centroids = next
     }
     centroids
   }
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its
     * nearest of `nCentroids` centroids, then answer each query by
