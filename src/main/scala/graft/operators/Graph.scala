@@ -128,26 +128,33 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
         .localCheckpoint(true)
       try {
-        // wedges at the apex: unordered out-neighbor pairs (id-ordered
-        // so the closure probe hits the canonical a<b edge directly)
-        val o1 = oriented.select(col("src"), col("dst").as("u"))
-        val o2 = oriented.select(col("src"), col("dst").as("v"))
-        // hash joins throughout the wedge pipeline: the wedge stream
-        // is O(Σ outdeg²) rows — a sort-merge closure probe would
-        // SORT it; a shuffle-hash join builds on the |E|-row edge set
-        // and streams the wedges unsorted
-        val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
-          .where(col("u") < col("v"))
-        val tris = wedges
-          .join(und.hint("shuffle_hash"),
-            col("u") === col("a") && col("v") === col("b"))
-          .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
-        tris
-          .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
-          .groupBy("node_id")
-          .agg(count(lit(1)).as("n_triangles"))
-          .localCheckpoint(true)
+        trianglePlan(und, oriented).localCheckpoint(true)
       } finally unpersistLocalCheckpoint(oriented)
     } finally unpersistLocalCheckpoint(und)
+  }
+
+  /** The wedge-and-closure pipeline over materialized inputs —
+    * factored out so plan-shape tests can pin the join strategies
+    * (the public entry checkpoints its result, which hides the joins
+    * from the final plan). */
+  private[graft] def trianglePlan(und: DataFrame, oriented: DataFrame): DataFrame = {
+    // wedges at the apex: unordered out-neighbor pairs (id-ordered
+    // so the closure probe hits the canonical a<b edge directly)
+    val o1 = oriented.select(col("src"), col("dst").as("u"))
+    val o2 = oriented.select(col("src"), col("dst").as("v"))
+    // hash joins throughout the wedge pipeline: the wedge stream
+    // is O(Σ outdeg²) rows — a sort-merge closure probe would
+    // SORT it; a shuffle-hash join builds on the |E|-row edge set
+    // and streams the wedges unsorted
+    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
+      .where(col("u") < col("v"))
+    val tris = wedges
+      .join(und.hint("shuffle_hash"),
+        col("u") === col("a") && col("v") === col("b"))
+      .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy("node_id")
+      .agg(count(lit(1)).as("n_triangles"))
   }
 }

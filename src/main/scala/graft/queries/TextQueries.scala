@@ -368,6 +368,33 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     }),
 
+    // temperature-flattened mixture sampling (the multilingual-T5
+    // recipe, α = 0.5): per-source keep rate 0.2·√(n_max/n_s) clamped
+    // to 1 — small sources are up-weighted relative to their share so
+    // the head domain cannot drown them. Membership is the same
+    // deterministic multiplicative hash as the other samplers; sqrt
+    // and one multiply are IEEE-exact cross-engine. Two tiny
+    // broadcast-joined aggregates; the corpus is scanned once and
+    // never shuffled.
+    "text_mixture_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val nmax = sizes.agg(max("n_total").as("n_max"))
+      val rates = sizes.crossJoin(broadcast(nmax))
+        .select(col("source"), col("n_total"),
+          least(lit(1.0),
+            lit(0.2) * sqrt(col("n_max").cast("double") / col("n_total")))
+            .as("rate"))
+      docs.join(broadcast(rates), "source")
+        .where((pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(100000L)).cast("double") / 100000.0) < col("rate"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(broadcast(rates), "source")
+        .select(col("source"), col("n_total"),
+          round(col("rate"), 6).as("rate"), col("n_kept"))
+    }),
+
     // RAG-style sliding-window chunking: fixed window of W=30 tokens,
     // stride S=20 (10-token overlap), last chunk ragged. Entirely
     // in-row (sequence -> slice per start offset) — zero shuffle, the
@@ -625,6 +652,24 @@ object TextQueries {
         FROM enc"""
 
   def oracles: Map[String, String] = Map(
+    "text_mixture_sample" ->
+      """WITH sizes AS (
+           SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+         nm AS (SELECT max(n_total) AS n_max FROM sizes),
+         rates AS (
+           SELECT source, n_total,
+                  least(1.0, 0.2 * sqrt(CAST(n_max AS DOUBLE) / n_total)) AS rate
+           FROM sizes CROSS JOIN nm),
+         kept AS (
+           SELECT d.source, count(*) AS n_kept
+           FROM documents d JOIN rates r USING (source)
+           WHERE CAST(((d.doc_id % 1000003) * 2654435761) % 100000 AS DOUBLE)
+                   / 100000.0 < r.rate
+           GROUP BY d.source)
+         SELECT source, n_total, round(rate, 6) AS rate,
+                CAST(n_kept AS BIGINT) AS n_kept
+         FROM kept JOIN rates USING (source)""",
+
     "text_chunk_sliding" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk

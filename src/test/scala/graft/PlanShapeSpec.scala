@@ -232,6 +232,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("graph_triangles never sorts the wedge stream") {
+    // the O(sum outdeg^2) wedge stream must flow through hash joins;
+    // a sort-merge closure probe would sort tens of millions of rows
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+      .localCheckpoint(true)
+    val oriented = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val qe = graft.operators.Graph.trianglePlan(und, oriented).queryExecution
+    qe.toRdd.count()
+    val p = qe.executedPlan.toString
+    // AQE may legitimately promote the tiny test inputs to broadcast;
+    // the invariant is hash-family joins and NO sort of the stream
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "closure/wedge joins lost their hash-join shape:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "wedge pipeline regressed to sort-merge:\n" + p.take(800))
+  }
+
   test("text_global_ids ranks the corpus inside buckets, never one partition") {
     val p = finalPlan("text_global_ids")
     val rnWindows = p.linesIterator
