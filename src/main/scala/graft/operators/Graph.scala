@@ -128,33 +128,47 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
         .localCheckpoint(true)
       try {
-        trianglePlan(und, oriented).localCheckpoint(true)
+        trianglePlan(oriented).localCheckpoint(true)
       } finally unpersistLocalCheckpoint(oriented)
     } finally unpersistLocalCheckpoint(und)
   }
 
-  /** The wedge-and-closure pipeline over materialized inputs —
-    * factored out so plan-shape tests can pin the join strategies
-    * (the public entry checkpoints its result, which hides the joins
-    * from the final plan). */
-  private[graft] def trianglePlan(und: DataFrame, oriented: DataFrame): DataFrame = {
-    // wedges at the apex: unordered out-neighbor pairs (id-ordered
-    // so the closure probe hits the canonical a<b edge directly)
-    val o1 = oriented.select(col("src"), col("dst").as("u"))
-    val o2 = oriented.select(col("src"), col("dst").as("v"))
-    // hash joins throughout the wedge pipeline: the wedge stream
-    // is O(Σ outdeg²) rows — a sort-merge closure probe would
-    // SORT it; a shuffle-hash join builds on the |E|-row edge set
-    // and streams the wedges unsorted
-    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
-      .where(col("u") < col("v"))
-    val tris = wedges
-      .join(und.hint("shuffle_hash"),
-        col("u") === col("a") && col("v") === col("b"))
-      .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
+  /** The edge-iterator closure over the materialized oriented edge
+    * list — factored out so plan-shape tests can pin the join
+    * strategies (the public entry checkpoints its result, which hides
+    * the joins from the final plan).
+    *
+    * For a triangle x<y<z (in (deg,id) order) the oriented edges are
+    * x→y, x→z, y→z, so it is found EXACTLY once: at edge (x,y), as
+    * z ∈ out(x) ∩ out(y). Joining each edge with the two adjacency
+    * lists and intersecting IN-ROW replaces the O(Σ outdeg²)
+    * wedge-row shuffle with two |E|-row hash joins — the intersection
+    * work is the same asymptotically but runs inside codegen with no
+    * per-wedge row overhead, and nothing wider than an adjacency list
+    * (≤ O(√E) entries by orientation) ever moves. */
+  private[graft] def trianglePlan(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("src").as("u_"), col("nbrs").as("nu"))
+        .hint("shuffle_hash"), col("src") === col("u_"))
+      .join(adj.select(col("src").as("v_"), col("nbrs").as("nv"))
+        .hint("shuffle_hash"), col("dst") === col("v_"), "left")
+      .select(col("src").as("u"), col("dst").as("v"),
+        array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
+      .where(size(col("ws")) > 0)
+    // per-node contributions in ONE pass (a 3-way union would
+    // re-evaluate the join pipeline per branch): the edge endpoints
+    // contribute |ws| each, every common neighbor one
     tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
-      .groupBy("node_id")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(explode(concat(
+        array(
+          struct(col("u").as("node_id"), size(col("ws")).cast("long").as("c")),
+          struct(col("v").as("node_id"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"),
+          w => struct(w.as("node_id"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.node_id").as("node_id"))
+      .agg(sum(col("e.c")).as("n_triangles"))
   }
 }

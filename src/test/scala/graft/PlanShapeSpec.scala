@@ -233,14 +233,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("graph_triangles never sorts the wedge stream") {
-    // the O(sum outdeg^2) wedge stream must flow through hash joins;
-    // a sort-merge closure probe would sort tens of millions of rows
+    // the adjacency joins must stay hash-family; a sort-merge shape
+    // would sort the edge stream (and its attached neighbor lists)
     import spark.implicits._
-    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
-      .localCheckpoint(true)
     val oriented = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
       .localCheckpoint(true)
-    val qe = graft.operators.Graph.trianglePlan(und, oriented).queryExecution
+    val qe = graft.operators.Graph.trianglePlan(oriented).queryExecution
     qe.toRdd.count()
     val p = qe.executedPlan.toString
     // AQE may legitimately promote the tiny test inputs to broadcast;
