@@ -74,26 +74,37 @@ object Bpe {
               (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
           .groupBy(col("p.l").as("m_left"), col("p.r").as("m_right"))
           .agg(sum(col("wcount")).as("pair_count"))
-        // singleton argmax, total tie order: count DESC, pair ASC
+        // singleton argmax, total tie order: count DESC, pair ASC.
+        // A corpus that exhausts adjacent pairs before `merges`
+        // rounds would make this aggregate all-NULL (and the oracle's
+        // LIMIT 1 empty) — fail loudly instead of diverging.
         val best = pairCounts
           .agg(min_by(
             struct(col("m_left"), col("m_right"), col("pair_count")),
             struct(negate(col("pair_count")), col("m_left"), col("m_right")))
             .as("m"))
-          .select(lit(step).as("step"), col("m.m_left").as("m_left"),
+          .select(lit(step).as("step"),
+            when(col("m").isNull, raise_error(lit(
+              s"Bpe.learn: no adjacent pairs left at merge step $step — " +
+                "lower `merges` for this corpus")))
+              .otherwise(col("m.m_left")).as("m_left"),
             col("m.m_right").as("m_right"), col("m.pair_count").as("pair_count"))
           .localCheckpoint(true)
         merged += best
-        val next = vocab.crossJoin(broadcast(best))
-          .select(col("word"), col("wcount"),
-            applyMerge(col("toks"), col("m_left"), col("m_right")).as("toks"))
-          .localCheckpoint(true)
-        unpersistLocalCheckpoint(vocab)
-        vocab = next
+        // the last learned merge is never applied — its application
+        // would only be read by a (nonexistent) next round
+        if (step < merges) {
+          val next = vocab.crossJoin(broadcast(best))
+            .select(col("word"), col("wcount"),
+              applyMerge(col("toks"), col("m_left"), col("m_right")).as("toks"))
+            .localCheckpoint(true)
+          Storage.unpersistLocalCheckpoint(vocab)
+          vocab = next
+        }
       }
       merged.result().reduce(_ unionAll _)
     } finally {
-      unpersistLocalCheckpoint(vocab)
+      Storage.unpersistLocalCheckpoint(vocab)
     }
   }
 
@@ -150,10 +161,4 @@ object Bpe {
       .select(col("doc_id"), size(col("tokens")).as("n_tokens"), col("tokens"))
   }
 
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 }

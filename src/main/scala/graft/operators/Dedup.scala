@@ -337,7 +337,7 @@ object Dedup {
         converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
         // `next` is eagerly materialized and the convergence check has
         // run — nothing references the superseded round's blocks anymore
-        unpersistLocalCheckpoint(labels)
+        Storage.unpersistLocalCheckpoint(labels)
         labels = next.select("doc_id", "cluster_id")
         it += 1
       }
@@ -349,8 +349,8 @@ object Dedup {
       // on failure (non-convergence or a mid-loop job error) the last
       // round's labels must be released too — a caller that catches
       // and retries with a larger budget must not strand blocks
-      unpersistLocalCheckpoint(edges)
-      if (!converged) unpersistLocalCheckpoint(labels)
+      Storage.unpersistLocalCheckpoint(edges)
+      if (!converged) Storage.unpersistLocalCheckpoint(labels)
     }
   }
 
@@ -379,12 +379,6 @@ object Dedup {
     * a later round supersedes it. localCheckpoint truncates lineage —
     * unpersisted blocks are unrecoverable — so this must only run on
     * frames nothing references anymore. */
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** (doc, shingle) inverted index with per-doc set size. The size
     * derives from the ALIASED set in a second projection before the

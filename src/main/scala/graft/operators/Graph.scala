@@ -37,12 +37,6 @@ object Graph {
   private val SCALE = 1000000000000L // rank 1.0
   private val BASE = 150000000000L // (1 - d) · SCALE, d = 0.85
 
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** `edges(src, dst)` is a directed multigraph — parallel edges act
     * as weight. Returns (node_id, pr) with pr scaled by 1e12. */
@@ -69,16 +63,16 @@ object Graph {
           .select(col("node_id"),
             (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
           .localCheckpoint(true)
-        unpersistLocalCheckpoint(pr)
+        Storage.unpersistLocalCheckpoint(pr)
         pr = next
       }
       pr
     } finally {
       // the returned ranks are materialized — the base relations are
       // never read again, success or failure
-      unpersistLocalCheckpoint(e)
-      unpersistLocalCheckpoint(nodes)
-      unpersistLocalCheckpoint(outdeg)
+      Storage.unpersistLocalCheckpoint(e)
+      Storage.unpersistLocalCheckpoint(nodes)
+      Storage.unpersistLocalCheckpoint(outdeg)
     }
   }
 
@@ -129,8 +123,8 @@ object Graph {
         .localCheckpoint(true)
       try {
         trianglePlan(oriented).localCheckpoint(true)
-      } finally unpersistLocalCheckpoint(oriented)
-    } finally unpersistLocalCheckpoint(und)
+      } finally Storage.unpersistLocalCheckpoint(oriented)
+    } finally Storage.unpersistLocalCheckpoint(und)
   }
 
   /** The edge-iterator closure over the materialized oriented edge
@@ -152,11 +146,12 @@ object Graph {
     val tris = oriented
       .join(adj.select(col("src").as("u_"), col("nbrs").as("nu"))
         .hint("shuffle_hash"), col("src") === col("u_"))
+      // inner join: an edge whose dst has no out-list cannot close a
+      // triangle (ws would be empty and filtered below anyway)
       .join(adj.select(col("src").as("v_"), col("nbrs").as("nv"))
-        .hint("shuffle_hash"), col("dst") === col("v_"), "left")
+        .hint("shuffle_hash"), col("dst") === col("v_"))
       .select(col("src").as("u"), col("dst").as("v"),
-        array_intersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
+        array_intersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
     // per-node contributions in ONE pass (a 3-way union would
     // re-evaluate the join pipeline per branch): the edge endpoints

@@ -529,18 +529,12 @@ object Similarity {
           array((0 until dims).map(d =>
             (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
         .localCheckpoint(true)
-      unpersistCheckpoint(centroids)
+      Storage.unpersistLocalCheckpoint(centroids)
       centroids = next
     }
     centroids
   }
 
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its
     * nearest of `nCentroids` centroids, then answer each query by
@@ -618,8 +612,9 @@ object Similarity {
     * the driver; the whole trajectory is deterministic, so the DuckDB
     * oracle replays it bit-for-bit. */
   def semanticDedup(
-      embeddings: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
-    val centroids = kmeans(embeddings, k, iters)
+      embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val centroids = kmeans(embeddings, k, iters, dims = dims)
     val assigned = embeddings
       .join(broadcast(centroids))
       .select(col("vec_id"), col("c_id"),

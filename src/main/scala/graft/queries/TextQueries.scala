@@ -454,11 +454,18 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val nBuckets = 32
       // ascending k  ==  (n_chars DESC, doc_id ASC); doc_id is unique
-      // so the order is total. n_chars·1e10 stays far inside int64
-      // for any plausible document (bound guarded in the operator
-      // docstring sense: 1e8-char docs would need a wider multiplier).
+      // so the order is total. The packing needs 0 <= doc_id < 1e10
+      // (or ids bleed across n_chars levels) and n_chars < ~9.2e8
+      // (int64 headroom) — guarded loudly, not assumed: surrogate ids
+      // from monotonically_increasing_id can exceed 1e10 at scale.
       val docs = Tables.documents(s, d).select(col("doc_id"),
-        (col("doc_id") - col("n_chars") * lit(10000000000L)).as("k"))
+        (when(col("doc_id") >= 0L && col("doc_id") < 10000000000L &&
+            col("n_chars") < 920000000L, col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("text_global_ids: key out of packed domain (doc_id, n_chars) = ("),
+            col("doc_id").cast("string"), lit(", "),
+            col("n_chars").cast("string"), lit(")"))))
+          - col("n_chars") * lit(10000000000L)).as("k"))
       val bounds = docs.agg(percentile_approx(col("k"),
         array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*),
         lit(10000)).as("bs"))
