@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -307,4 +308,121 @@ case class GopherRepetition(child: Expression)
 object GopherRepetition {
   def apply(text: Column): Column =
     Bridge.column(GopherRepetition(Bridge.expression(text)))
+}
+
+/** Single-pass BPE encoder: lowercase-alnum word split, per-word
+  * character seed, then every merge of the (broadcast one-row) merge
+  * table applied in learning order under the greedy left-to-right
+  * rule — the whole inference loop of
+  * [[graft.operators.Bpe.encode]] as ONE JVM scan per row instead of
+  * k interpreted `aggregate`-HOF passes per word (the prior
+  * formulation's cost was lambda-interpretation per symbol × merge ×
+  * word). Same tokenization as the trainer
+  * (`split(lower(text), "[^a-z0-9]+")` via the same UTF8String.split
+  * the built-in uses — words are pure ASCII alnum, so seed symbols
+  * are single bytes), same pending-symbol greedy semantics as
+  * [[graft.operators.Bpe.applyMerge]] (l == r overlaps resolve
+  * left-first). Bit-parity with the HOF form is pinned by BpeSpec.
+  *
+  * `merges`: array<struct<step:int, m_left:string, m_right:string>>,
+  * any order — sorted by step here so callers can hand it the raw
+  * `collect_list` row. */
+case class BpeEncode(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(s: StructType, _))
+        if s.length == 3 && s(0).dataType == IntegerType &&
+          s(1).dataType == StringType && s(2).dataType == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "bpe_encode expects (string, array<struct<step int, m_left string, " +
+          s"m_right string>>), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(text: Any, mergesAny: Any): Any = {
+    // parse + step-sort the (tiny, broadcast) merge table
+    val arr = mergesAny.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val step = new Array[Int](k)
+    val ml = new Array[UTF8String](k)
+    val mr = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) {
+      val m = arr.getStruct(i, 3)
+      step(i) = m.getInt(0)
+      ml(i) = m.getUTF8String(1)
+      mr(i) = m.getUTF8String(2)
+      i += 1
+    }
+    i = 1
+    while (i < k) { // insertion sort: k is the merge count (tiny)
+      val (s0, l0, r0) = (step(i), ml(i), mr(i))
+      var j = i - 1
+      while (j >= 0 && step(j) > s0) {
+        step(j + 1) = step(j); ml(j + 1) = ml(j); mr(j + 1) = mr(j)
+        j -= 1
+      }
+      step(j + 1) = s0; ml(j + 1) = l0; mr(j + 1) = r0
+      i += 1
+    }
+    val fused = Array.tabulate(k)(j => UTF8String.concat(ml(j), mr(j)))
+
+    val ws = text.asInstanceOf[UTF8String].toLowerCase.split(BpeEncode.SEP, -1)
+    val out = new java.util.ArrayList[AnyRef]
+    var w = 0
+    while (w < ws.length) {
+      val word = ws(w)
+      val nb = word.numBytes()
+      if (nb > 0) {
+        // seed: one symbol per character — the word survived an
+        // [^a-z0-9]+ split, so every char is one ASCII byte
+        val bytes = word.getBytes
+        var toks = new Array[UTF8String](nb)
+        var c = 0
+        while (c < nb) { toks(c) = UTF8String.fromBytes(bytes, c, 1); c += 1 }
+        var n = nb
+        var m = 0
+        while (m < k && n > 1) {
+          val l = ml(m); val r = mr(m); val f = fused(m)
+          // greedy left-to-right: one pending (not-yet-emitted) symbol;
+          // pending l followed by r emits the fusion and clears it
+          val nxt = new Array[UTF8String](n)
+          var nn = 0
+          var pend: UTF8String = null
+          var t = 0
+          while (t < n) {
+            val tok = toks(t)
+            if (pend != null && pend.equals(l) && tok.equals(r)) {
+              nxt(nn) = f; nn += 1; pend = null
+            } else {
+              if (pend != null) { nxt(nn) = pend; nn += 1 }
+              pend = tok
+            }
+            t += 1
+          }
+          if (pend != null) { nxt(nn) = pend; nn += 1 }
+          toks = nxt; n = nn
+          m += 1
+        }
+        var e = 0
+        while (e < n) { out.add(toks(e)); e += 1 }
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeEncode {
+  private val SEP: UTF8String = UTF8String.fromString("[^a-z0-9]+")
+  def apply(text: Column, merges: Column): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text), Bridge.expression(merges)))
 }

@@ -63,6 +63,7 @@ object Bpe {
         split(col("word"), "(?!^)(?=.)").as("toks"))
       .localCheckpoint(true)
     val merged = Seq.newBuilder[DataFrame]
+    val bests = Seq.newBuilder[DataFrame]
     try {
       for (step <- 1 to merges) {
         // in-row adjacent pairs -> one combinable weighted count
@@ -77,8 +78,10 @@ object Bpe {
         // singleton argmax, total tie order: count DESC, pair ASC.
         // A corpus that exhausts adjacent pairs before `merges`
         // rounds would make this aggregate all-NULL (and the oracle's
-        // LIMIT 1 empty) — fail loudly instead of diverging.
-        val best = pairCounts
+        // LIMIT 1 empty) — fail loudly instead of diverging. Lazy
+        // here: it materializes inside the SAME job as the next vocab
+        // round (broadcast subtree), not as its own checkpoint job.
+        val bestLazy = pairCounts
           .agg(min_by(
             struct(col("m_left"), col("m_right"), col("pair_count")),
             struct(negate(col("pair_count")), col("m_left"), col("m_right")))
@@ -89,20 +92,36 @@ object Bpe {
                 "lower `merges` for this corpus")))
               .otherwise(col("m.m_left")).as("m_left"),
             col("m.m_right").as("m_right"), col("m.pair_count").as("pair_count"))
-          .localCheckpoint(true)
-        merged += best
         // the last learned merge is never applied — its application
         // would only be read by a (nonexistent) next round
-        if (step < merges) {
-          val next = vocab.crossJoin(broadcast(best))
-            .select(col("word"), col("wcount"),
-              applyMerge(col("toks"), col("m_left"), col("m_right")).as("toks"))
-            .localCheckpoint(true)
-          Storage.unpersistLocalCheckpoint(vocab)
-          vocab = next
-        }
+        val best =
+          if (step < merges) {
+            // ONE materializing job per round: the argmax computes in
+            // the broadcast subtree, the merge applies in the main
+            // scan, and the chosen pair rides along as carried
+            // columns — then lifting the per-step merge row back out
+            // is a trivial limit over the in-memory blocks (the prior
+            // formulation paid a second full vocab-aggregation job
+            // per round just to checkpoint that one row).
+            val nextMeta = vocab.crossJoin(broadcast(bestLazy))
+              .select(col("word"), col("wcount"),
+                applyMerge(col("toks"), col("m_left"), col("m_right")).as("toks"),
+                col("step"), col("m_left"), col("m_right"), col("pair_count"))
+              .localCheckpoint(true)
+            Storage.unpersistLocalCheckpoint(vocab)
+            vocab = nextMeta.select(col("word"), col("wcount"), col("toks"))
+            nextMeta
+              .select(col("step"), col("m_left"), col("m_right"), col("pair_count"))
+              .limit(1).localCheckpoint(true)
+          } else bestLazy.localCheckpoint(true)
+        merged += best
+        bests += best
       }
-      merged.result().reduce(_ unionAll _)
+      // materialize the merge table ONCE, then release every per-step
+      // singleton — callers hold exactly one k-row block, not k+1
+      val out = merged.result().reduce(_ unionAll _).localCheckpoint(true)
+      bests.result().foreach(Storage.unpersistLocalCheckpoint)
+      out
     } finally {
       Storage.unpersistLocalCheckpoint(vocab)
     }
@@ -140,7 +159,11 @@ object Bpe {
     * merge table folds into one broadcast row of structs scanned with
     * a nested HOF), so encoding is a ZERO-shuffle map over the corpus
     * — the property that lets a trained tokenizer run inside the
-    * scan at 100 TB. Returns (doc_id, n_tokens, tokens). */
+    * scan at 100 TB. Returns (doc_id, n_tokens, tokens).
+    *
+    * This HOF form is the executable REFERENCE semantics; production
+    * encoding is [[encodeFast]] (identical plan shape, single-pass
+    * kernel — BpeSpec pins bit-parity between the two). */
   def encode(documents: DataFrame, mergeTable: DataFrame): DataFrame = {
     // merges as ONE broadcast row, sorted by step
     val ms = mergeTable
@@ -158,6 +181,22 @@ object Bpe {
             (toks, m) => applyMerge(
               toks, m.getField("m_left"), m.getField("m_right")))))
           .as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"), col("tokens"))
+  }
+
+  /** [[encode]] with the per-word merge loop compiled into ONE
+    * JVM scan per document ([[graft.functions.BpeEncode]]) instead of
+    * k interpreted `aggregate`-HOF passes per word — same broadcast
+    * merge row, same zero-shuffle plan, same output bit-for-bit
+    * (BpeSpec parity), ~interpreter-overhead× faster per row. */
+  def encodeFast(documents: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable
+      .agg(collect_list(
+        struct(col("step"), col("m_left"), col("m_right"))).as("ms"))
+    documents
+      .crossJoin(broadcast(ms))
+      .select(col("doc_id"),
+        graft.functions.BpeEncode(col("text"), col("ms")).as("tokens"))
       .select(col("doc_id"), size(col("tokens")).as("n_tokens"), col("tokens"))
   }
 

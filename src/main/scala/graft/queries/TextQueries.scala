@@ -495,11 +495,14 @@ object TextQueries {
     // the inference half: the learned merge table folds into one
     // broadcast row and every document is re-tokenized IN-ROW (seed
     // chars → 6 merges, greedy left-to-right per word) — a
-    // zero-shuffle map over the corpus. token_str is the full fused
-    // token sequence, so the oracle check is symbol-exact.
+    // zero-shuffle map over the corpus, with the whole per-word merge
+    // loop as ONE single-pass kernel (BpeEncode expression; the
+    // interpreted-HOF reference form stays parity-pinned in BpeSpec).
+    // token_str is the full fused token sequence, so the oracle check
+    // is symbol-exact.
     "text_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.operators.Bpe.encode(docs, graft.operators.Bpe.learn(docs, merges = 6))
+      graft.operators.Bpe.encodeFast(docs, graft.operators.Bpe.learn(docs, merges = 6))
         .select(col("doc_id"), col("n_tokens"),
           concat_ws(" ", col("tokens")).as("token_str"))
     }))
@@ -654,9 +657,13 @@ object TextQueries {
           FROM (SELECT * FROM docw WHERE word <> '') d
           JOIN wtoks w USING (word)
           GROUP BY d.doc_id)
-        SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
-               array_to_string(tokens, ' ') AS token_str
-        FROM enc"""
+        -- driven from documents (LEFT JOIN) so a token-less document
+        -- round-trips as (0, '') exactly like the engine's empty
+        -- token array, instead of dropping out of the inner join
+        SELECT doc_id,
+               CAST(coalesce(len(tokens), 0) AS INT) AS n_tokens,
+               coalesce(array_to_string(tokens, ' '), '') AS token_str
+        FROM documents LEFT JOIN enc USING (doc_id)"""
 
   def oracles: Map[String, String] = Map(
     "text_mixture_sample" ->

@@ -73,15 +73,55 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(1L) == Seq("b", "a", "b", "c"))
   }
 
+  test("encodeFast kernel is bit-parity with the HOF reference encode") {
+    // adversarial edge cases: l==r overlap chains, token-less docs,
+    // merge chains where a fused symbol feeds a later merge, unicode
+    // separators, digits
+    val edge = Seq(
+      (100L, ""), (101L, "!!! ??? ..."), (102L, "aaaa aaa aa a"),
+      (103L, "abab baba ab ba"), (104L, "a1b2c3 123 abc"),
+      (105L, "héllo wörld 日本"), (106L, "xyz " * 50),
+      (107L, "The Quick BROWN fox-jumps_over 42 dogs!"))
+      .toDF("doc_id", "text")
+    val real = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(edge, real.limit(200))) {
+      val merges = Bpe.learn(
+        docs.where(length(trim($"text")) > lit(0)).limit(200), merges = 4)
+      val slow = Bpe.encode(docs, merges)
+        .select($"doc_id", $"n_tokens", $"tokens")
+        .as[(Long, Int, Seq[String])].collect().sortBy(_._1)
+      val fast = Bpe.encodeFast(docs, merges)
+        .select($"doc_id", $"n_tokens", $"tokens")
+        .as[(Long, Int, Seq[String])].collect().sortBy(_._1)
+      assert(fast.length == slow.length)
+      fast.zip(slow).foreach { case (f, s) =>
+        assert(f == s, s"kernel/HOF divergence at doc ${s._1}: $f vs $s")
+      }
+    }
+  }
+
+  test("encodeFast sorts an unordered merge table by step") {
+    val docs = Seq((0L, "abab cd ab")).toDF("doc_id", "text")
+    // hand-built merge table, deliberately out of order: step 2 fuses
+    // (ab, ab) which only exists if step 1 (a, b) ran first
+    val merges = Seq((2, "ab", "ab", 1L), (1, "a", "b", 3L))
+      .toDF("step", "m_left", "m_right", "pair_count")
+    val enc = Bpe.encodeFast(docs, merges)
+      .select($"tokens").as[Seq[String]].head()
+    assert(enc == Seq("abab", "c", "d", "ab"))
+  }
+
   test("learn leaves no persisted vocab rounds behind (storage flat)") {
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(100)
     val before = spark.sparkContext.getPersistentRDDs.size
     val m = Bpe.learn(docs, merges = 3)
     m.collect() // materialize result
     val after = spark.sparkContext.getPersistentRDDs.size
-    // only the k merge singletons (and the returned union's inputs)
-    // may remain; the k vocab rounds must have been released
-    assert(after - before <= 3,
-      s"expected <=3 retained RDDs (merge singletons), got ${after - before}")
+    // learn pre-materializes its k-row merge table and releases every
+    // per-step singleton and vocab round: exactly ONE tiny block may
+    // remain (the returned table itself)
+    assert(after - before <= 1,
+      s"expected <=1 retained RDD (the merge table), got ${after - before}")
   }
 }
