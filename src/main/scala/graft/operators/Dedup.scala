@@ -375,11 +375,6 @@ object Dedup {
         col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
         col("n_members"), col("best.quality").as("best_quality"))
 
-  /** Release the cached blocks behind a localCheckpoint'ed frame once
-    * a later round supersedes it. localCheckpoint truncates lineage —
-    * unpersisted blocks are unrecoverable — so this must only run on
-    * frames nothing references anymore. */
-
   /** (doc, shingle) inverted index with per-doc set size. The size
     * derives from the ALIASED set in a second projection before the
     * explode: `size(sh)` inline next to `explode(sh)` would evaluate

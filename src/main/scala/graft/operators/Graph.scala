@@ -39,40 +39,63 @@ object Graph {
 
 
   /** `edges(src, dst)` is a directed multigraph — parallel edges act
-    * as weight. Returns (node_id, pr) with pr scaled by 1e12. */
+    * as weight. Returns (node_id, pr) with pr scaled by 1e12.
+    *
+    * Two layout decisions keep the per-round cost to ONE moving
+    * relation:
+    *  - the edge list is hash-partitioned on `src` BEFORE its one-time
+    *    checkpoint — `localCheckpoint` preserves `outputPartitioning`
+    *    through `LogicalRDD`, so every round's inbound join reuses the
+    *    edge layout and only the |V|-row contrib side shuffles;
+    *  - node set and out-degree fold into ONE relation (`nodeInfo`,
+    *    outdeg 0 = dangling) that rides INSIDE the rank state, so the
+    *    old per-round rank⋈outdeg join disappears — contrib is a pure
+    *    projection of the previous round. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst").as("node_id")))
-      .distinct()
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one pass over e: every edge contributes (src, 1) + (dst, 0);
+    // partitioned on node_id so the per-round reattach join lines up
+    // with the inbound aggregation's layout
+    val nodeInfo = e
+      .select(explode(array(
+        struct(col("src").as("node_id"), lit(1L).as("o")),
+        struct(col("dst").as("node_id"), lit(0L).as("o")))).as("x"))
+      .groupBy(col("x.node_id").as("node_id"))
+      .agg(sum(col("x.o")).as("outdeg"))
       .localCheckpoint(true)
-    var pr = nodes.withColumn("pr", lit(SCALE)).localCheckpoint(true)
+    // round 0 shares nodeInfo's blocks — only successor rounds own
+    // their checkpoint (and are safe to release when superseded)
+    var pr = nodeInfo.withColumn("pr", lit(SCALE))
+    var prOwned = false
     try {
       for (_ <- 1 to iters) {
         val contrib = pr
-          .join(outdeg, pr("node_id") === outdeg("src"))
+          .where(col("outdeg") > 0)
           .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
         val inbound = e
-          .join(contrib, e("src") === contrib("u"))
+          .join(contrib.hint("shuffle_hash"), e("src") === contrib("u"))
           .groupBy(col("dst").as("node_id"))
           .agg(sum(col("c")).as("s"))
-        val next = nodes
+        val next = nodeInfo
           .join(inbound, Seq("node_id"), "left")
-          .select(col("node_id"),
+          .select(col("node_id"), col("outdeg"),
             (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
           .localCheckpoint(true)
-        Storage.unpersistLocalCheckpoint(pr)
+        if (prOwned) Storage.unpersistLocalCheckpoint(pr)
         pr = next
+        prOwned = true
       }
-      pr
+      // iters == 0: materialize the base ranks before the finally
+      // releases the nodeInfo blocks they'd otherwise recompute from
+      if (!prOwned) pr = pr.localCheckpoint(true)
+      pr.select(col("node_id"), col("pr"))
     } finally {
       // the returned ranks are materialized — the base relations are
       // never read again, success or failure
       Storage.unpersistLocalCheckpoint(e)
-      Storage.unpersistLocalCheckpoint(nodes)
-      Storage.unpersistLocalCheckpoint(outdeg)
+      Storage.unpersistLocalCheckpoint(nodeInfo)
     }
   }
 
@@ -96,10 +119,9 @@ object Graph {
     * windows, nothing driver-side, every shuffle keyed on node or
     * edge ids. */
   def triangleCounts(undRaw: DataFrame): DataFrame = {
-    // The edge relation is read FOUR times (degree count, two degree
-    // joins, closure probe) and the oriented form twice — Spark plan
-    // branches never share work, so without materialization the
-    // upstream edge construction (often an expensive join) re-runs
+    // The edge relation is read twice (degree count + orientation) —
+    // Spark plan branches never share work, so without materialization
+    // the upstream edge construction (often an expensive join) re-runs
     // per branch. Same protocol as pageRank: checkpoint, release on
     // every path.
     val und = undRaw.select(col("a"), col("b")).localCheckpoint(true)
@@ -120,37 +142,44 @@ object Graph {
       val oriented = withDeg.select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      // the oriented ADJACENCY is the relation read twice (edge stream
+      // + closure side), so it is what gets materialized — oriented
+      // edges flow straight into the groupBy, un-checkpointed
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         .localCheckpoint(true)
       try {
-        trianglePlan(oriented).localCheckpoint(true)
-      } finally Storage.unpersistLocalCheckpoint(oriented)
+        trianglePlan(adj).localCheckpoint(true)
+      } finally Storage.unpersistLocalCheckpoint(adj)
     } finally Storage.unpersistLocalCheckpoint(und)
   }
 
-  /** The edge-iterator closure over the materialized oriented edge
-    * list — factored out so plan-shape tests can pin the join
-    * strategies (the public entry checkpoints its result, which hides
-    * the joins from the final plan).
+  /** The edge-iterator closure over the materialized oriented
+    * adjacency `adj(src, nbrs)` (nbrs sorted ascending) — factored out
+    * so plan-shape tests can pin the join strategies (the public entry
+    * checkpoints its result, which hides the joins from the final
+    * plan).
     *
     * For a triangle x<y<z (in (deg,id) order) the oriented edges are
     * x→y, x→z, y→z, so it is found EXACTLY once: at edge (x,y), as
-    * z ∈ out(x) ∩ out(y). Joining each edge with the two adjacency
-    * lists and intersecting IN-ROW replaces the O(Σ outdeg²)
-    * wedge-row shuffle with two |E|-row hash joins — the intersection
-    * work is the same asymptotically but runs inside codegen with no
-    * per-wedge row overhead, and nothing wider than an adjacency list
-    * (≤ O(√E) entries by orientation) ever moves. */
-  private[graft] def trianglePlan(oriented: DataFrame): DataFrame = {
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tris = oriented
-      .join(adj.select(col("src").as("u_"), col("nbrs").as("nu"))
-        .hint("shuffle_hash"), col("src") === col("u_"))
+    * z ∈ out(x) ∩ out(y). The oriented edge stream is just the
+    * EXPLODED adjacency, so each edge row (u,v) arrives with out(u)
+    * already attached — one hash join (against out(v)) closes the
+    * wedge, half the joins of the edges⋈adj⋈adj form. The in-row
+    * intersection replaces the O(Σ outdeg²) wedge-row shuffle; the
+    * shuffled payload (each edge carrying its out(u) list into the
+    * join) is the same Σ outdeg² bound the wedge stream had, amortized
+    * into arrays, and nothing wider than an adjacency list (≤ O(√E)
+    * entries by orientation) ever moves. */
+  private[graft] def trianglePlan(adj: DataFrame): DataFrame = {
+    val tris = adj
+      .select(col("src").as("u"), col("nbrs").as("nu"),
+        explode(col("nbrs")).as("v"))
       // inner join: an edge whose dst has no out-list cannot close a
       // triangle (ws would be empty and filtered below anyway)
       .join(adj.select(col("src").as("v_"), col("nbrs").as("nv"))
-        .hint("shuffle_hash"), col("dst") === col("v_"))
-      .select(col("src").as("u"), col("dst").as("v"),
+        .hint("shuffle_hash"), col("v") === col("v_"))
+      .select(col("u"), col("v"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
     // per-node contributions in ONE pass (a 3-way union would

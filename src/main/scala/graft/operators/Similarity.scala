@@ -465,8 +465,15 @@ object Similarity {
     * static-width per-dimension sums the per-round plan is wide, and
     * chaining rounds lazily made Catalyst re-analysis — not execution
     * — the dominant cost (measured ~2× the run time at iters=3).
-    * Checkpoint blocks are k rows each, so the storage cost is nil;
-    * the returned centroid table stays materialized for the caller.
+    * The round state is the ONE-row sorted centroid array (the form
+    * the next round's broadcast assignment consumes anyway), so the
+    * recompute-and-collect is a single job per round — keeping the
+    * state k-row and re-aggregating it into the broadcast row cost an
+    * extra 2-stage job per round, pure scheduling latency at any SF.
+    * Checkpoint blocks are one row each, so the storage cost is nil;
+    * the returned centroid table stays materialized for the caller
+    * (callers release it once consumed — Storage
+    * .unpersistLocalCheckpoint walks to the underlying block).
     *
     * Returns (c_id, c_vec: array<float>). */
   def kmeans(
@@ -476,16 +483,23 @@ object Similarity {
     // fail loudly on a mis-sized vector: element_at past the array end
     // yields NULL and the decimal sums would silently skip it (same
     // guard discipline as pqKnnTrained)
+    // The guarded projection is materialized ONCE and every round
+    // reads the in-memory blocks — without this, each iteration
+    // re-runs the upstream scan (+ any exchange feeding it). Caching
+    // the training input is the standard iterative-trainer trade
+    // (Spark MLlib's KMeans does the same); released before return.
     val emb = embeddings.select(col("vec_id"),
       when(size(col("embedding")) === dims, col("embedding"))
         .otherwise(raise_error(concat(
           lit(s"kmeans: embedding dimension must be $dims, got "),
           size(col("embedding")).cast("string")))).as("embedding"))
-    var centroids = emb
-      .where(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var centsRow = emb
+      .where(col("vec_id") < k)
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("c_id"), col("embedding").as("c_vec")))).as("cents"))
+      .localCheckpoint(true)
+    try for (_ <- 1 to iters) {
       // assignment is IN-ROW: the (tiny) centroid table folds into ONE
       // broadcast row sorted by c_id, and each vector scans it with an
       // aggregate HOF — the corpus is never shuffled to pick a
@@ -497,8 +511,6 @@ object Similarity {
       // sorts LAST under ORDER BY DESC; the `acc.c_id == -1` clause
       // still adopts the first centroid when EVERY key is -inf, which
       // is the all-NULL tie both engines break to the lowest c_id.
-      val centsRow = centroids
-        .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
       val assigned = emb.crossJoin(broadcast(centsRow))
         .select(col("vec_id"), col("embedding"),
           aggregate(col("cents"),
@@ -528,11 +540,15 @@ object Similarity {
         .select(col("c_id"),
           array((0 until dims).map(d =>
             (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
+        // fold straight into next round's broadcast form — one job
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
         .localCheckpoint(true)
-      Storage.unpersistLocalCheckpoint(centroids)
-      centroids = next
-    }
-    centroids
+      Storage.unpersistLocalCheckpoint(centsRow)
+      centsRow = next
+    } finally Storage.unpersistLocalCheckpoint(emb)
+    centsRow
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.c_id").as("c_id"), col("c.c_vec").as("c_vec"))
   }
 
 

@@ -1,9 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Dev profiling harness: time arbitrary stages of a query at a given
-  * scale factor. Not part of the driver contract. */
+  * scale factor. Not part of the driver contract. Round 6 focus: the
+  * iterative tail (kmeans / pagerank / triangles / BPE) + q_cube. */
 object Profile {
   def time[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -12,9 +14,13 @@ object Profile {
     r
   }
 
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val what = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "all")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,34 +30,170 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions._
 
-    val docs = graft.Tables.documents(spark, sfDir)
-    time("docs.count")(docs.count())
-    time("tokens explode")(
-      docs.select(explode(tokens(col("text")))).write.format("noop").mode("overwrite").save())
-    time("shingleSet(5)")(
-      docs.select(shingleSet(col("text"), 5)).write.format("noop").mode("overwrite").save())
-    time("shingle explode")(
-      docs.select(explode(shingleSet(col("text"), 5))).write.format("noop").mode("overwrite").save())
-    val inv = docs.select(
-      col("doc_id"), col("lang"),
-      (col("n_chars") / lit(200)).cast("long").as("len_band"),
-      shingleSet(col("text"), 5).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .select(col("doc_id"), col("lang"), col("len_band"), col("n_sh"),
-        explode(col("sh")).as("shingle"))
-    time("inv count")(println("  inv rows = " + inv.count()))
-    val a = inv.select(col("shingle"), col("lang"), col("len_band"),
-      col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-    val b = inv.select(col("shingle"), col("lang"), col("len_band"),
-      col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-    val joined = a.join(b, Seq("shingle", "lang", "len_band"))
-      .where(col("a_id") < col("b_id"))
-    time("pair join count")(println("  pair rows = " + joined.count()))
-    time("full ngramJaccard")(
-      graft.operators.Dedup.ngramJaccard(docs).write.format("noop").mode("overwrite").save())
+    def run(tag: String)(body: => Unit): Unit =
+      if (what == "all" || what.split(",").contains(tag)) body
+
+    run("kmeans") {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      time("emb count")(e.count())
+      for (i <- 1 to 3) {
+        val c = time(s"kmeans i3 #$i")(
+          graft.operators.Similarity.kmeans(e, k = 16, iters = 3))
+        time(s"  consume #$i")(noop(c))
+        graft.operators.Storage.unpersistLocalCheckpoint(c)
+      }
+      val cents = graft.operators.Similarity.kmeans(e, k = 16, iters = 3)
+      time("ivfKnnWith tail")(noop(
+        graft.operators.Similarity.ivfKnnWith(e, cents, 8, 5, 4)))
+      graft.operators.Storage.unpersistLocalCheckpoint(cents)
+      time("semanticDedup full")(noop(
+        graft.operators.Similarity.semanticDedup(e, k = 16, iters = 3)))
+    }
+
+    run("graph") {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val ord = graft.Tables.orders(spark, sfDir)
+      for (i <- 1 to 3) {
+        val e0 = ord.select("o_orderkey", "o_custkey")
+          .join(li.select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        val edges = e0.select(col("c").as("src"), col("sp").as("dst"))
+          .union(e0.select(col("sp").as("src"), col("c").as("dst")))
+        val pr = time(s"pageRank i3 #$i")(
+          graft.operators.Graph.pageRank(edges, iters = 3))
+        time(s"  pr consume #$i")(noop(pr.orderBy(col("pr").desc).limit(20)))
+        graft.operators.Storage.unpersistLocalCheckpoint(pr)
+      }
+      val und = li
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+      time("und construction")(noop(und))
+      val undCk = und.localCheckpoint(true)
+      time("und count")(println("  |und| = " + undCk.count()))
+      for (i <- 1 to 3) {
+        val t = time(s"triangleCounts #$i")(
+          graft.operators.Graph.triangleCounts(undCk))
+        time(s"  tri consume #$i")(noop(t))
+        graft.operators.Storage.unpersistLocalCheckpoint(t)
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(undCk)
+    }
+
+    run("bpe") {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val m = time("bpe learn m6")(graft.operators.Bpe.learn(docs, 6))
+      time("bpe learn consume")(noop(m))
+      for (i <- 1 to 3)
+        time(s"bpe encodeFast #$i")(noop(graft.operators.Bpe.encodeFast(docs, m)))
+      graft.operators.Storage.unpersistLocalCheckpoint(m)
+    }
+
+    run("tridebug") {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val und = li
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      und.count()
+      for (i <- 1 to 3) {
+        val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.select(col("node").as("a"), col("deg").as("da"))
+            .hint("shuffle_hash"), "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db"))
+            .hint("shuffle_hash"), "b")
+        val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+        val oriented = time(s"orientation #$i")(withDeg.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+          .localCheckpoint(true))
+        val tri = time(s"trianglePlan #$i")(
+          graft.operators.Graph.trianglePlan(oriented).localCheckpoint(true))
+        graft.operators.Storage.unpersistLocalCheckpoint(oriented)
+        graft.operators.Storage.unpersistLocalCheckpoint(tri)
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(und)
+    }
+
+    run("kmdebug") {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      e.count()
+      val dims = 64; val k = 16
+      val emb = e.select(col("vec_id"), col("embedding"))
+      def assignTo(centsRow: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(centsRow))
+          .select(col("vec_id"), col("embedding"),
+            aggregate(col("cents"),
+              struct(lit(Double.NegativeInfinity).as("key"), lit(-1L).as("c_id")),
+              (acc, c) => {
+                val cs = graft.functions.CosineSimilarity(col("embedding"), c.getField("c_vec"))
+                val key = when(isnan(cs), lit(Double.NegativeInfinity)).otherwise(cs)
+                when(key > acc.getField("key") || acc.getField("c_id") === -1L,
+                  struct(key.as("key"), c.getField("c_id").as("c_id")))
+                  .otherwise(acc)
+              }).getField("c_id").as("c_id"))
+      val sumCols = (0 until dims).map(d =>
+        sum(element_at(col("embedding"), d + 1).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.groupBy("c_id")
+          .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
+          .select(col("c_id"),
+            array((0 until dims).map(d =>
+              (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
+      // seed in one-row form
+      val seedRow = emb.where(col("vec_id") < k)
+        .agg(array_sort(collect_list(
+          struct(col("vec_id").as("c_id"), col("embedding").as("c_vec")))).as("cents"))
+        .localCheckpoint(true)
+      for (i <- 1 to 3) {
+        val kRows = time(s"round->k-rows #$i")(
+          recompute(assignTo(seedRow)).localCheckpoint(true))
+        graft.operators.Storage.unpersistLocalCheckpoint(kRows)
+        val oneRow = time(s"round->1-row #$i")(
+          recompute(assignTo(seedRow))
+            .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
+            .localCheckpoint(true))
+        graft.operators.Storage.unpersistLocalCheckpoint(oneRow)
+        val noopFused = time(s"1-row noop (no ckpt) #$i")(
+          noop(recompute(assignTo(seedRow))
+            .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))))
+        val kThenFold = time(s"k-rows then fold #$i") {
+          val kr = recompute(assignTo(seedRow)).localCheckpoint(true)
+          val f = kr
+            .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
+            .localCheckpoint(true)
+          graft.operators.Storage.unpersistLocalCheckpoint(kr); f
+        }
+        graft.operators.Storage.unpersistLocalCheckpoint(kThenFold)
+      }
+      println("==== fused plan ====")
+      recompute(assignTo(seedRow))
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
+        .explain("formatted")
+      graft.operators.Storage.unpersistLocalCheckpoint(seedRow)
+    }
+
+    run("cube") {
+      val q = graft.SparkEntry.queries("q_cube")
+      for (i <- 1 to 10) time(s"q_cube #$i")(noop(q(spark, sfDir)))
+      val r = graft.SparkEntry.queries("q_rollup")
+      for (i <- 1 to 3) time(s"q_rollup #$i")(noop(r(spark, sfDir)))
+    }
+
     spark.stop()
   }
 }

@@ -236,9 +236,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // the adjacency joins must stay hash-family; a sort-merge shape
     // would sort the edge stream (and its attached neighbor lists)
     import spark.implicits._
-    val oriented = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val adj = Seq((1L, Seq(2L, 3L)), (2L, Seq(3L, 4L))).toDF("src", "nbrs")
       .localCheckpoint(true)
-    val qe = graft.operators.Graph.trianglePlan(oriented).queryExecution
+    val qe = graft.operators.Graph.trianglePlan(adj).queryExecution
     qe.toRdd.count()
     val p = qe.executedPlan.toString
     // AQE may legitimately promote the tiny test inputs to broadcast;
