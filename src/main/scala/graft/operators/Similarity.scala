@@ -630,6 +630,8 @@ object Similarity {
   def semanticDedup(
       embeddings: DataFrame, k: Int = 16, iters: Int = 3,
       dims: Int = 64): DataFrame = {
+    // the trained centroid block is released once the k-row result
+    // materializes — the operator's retained footprint is its answer
     val centroids = kmeans(embeddings, k, iters, dims = dims)
     val assigned = embeddings
       .join(broadcast(centroids))
@@ -640,7 +642,7 @@ object Similarity {
         struct(col("c_id"), col("c_cos")),
         struct(col("c_cos"), (-col("c_id")).cast("double"))).as("a"))
       .select(col("vec_id"), col("a.c_id").as("c_id"), col("a.c_cos").as("cos"))
-    assigned
+    val out = assigned
       .groupBy("c_id")
       .agg(
         count(lit(1)).as("n_members"),
@@ -649,6 +651,9 @@ object Similarity {
           struct(col("cos"), -col("vec_id"))).as("keep"))
       .select(col("c_id"), col("keep.vec_id").as("keep_vec_id"),
         col("n_members"), round(col("keep.cos"), 6).as("keep_cos"))
+      .localCheckpoint(true)
+    Storage.unpersistLocalCheckpoint(centroids)
+    out
   }
 
   /** Brute-force near-dup definition: all pairs within a label block.

@@ -548,9 +548,16 @@ object CoreQueries {
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
       val edges = e0.select(col("c").as("src"), col("sp").as("dst"))
         .union(e0.select(col("sp").as("src"), col("c").as("dst")))
-      graft.operators.Graph.pageRank(edges, iters = 3)
+      // materialize the 20-row answer and release the |V|-row rank
+      // relation the trainer left behind — the query's retained
+      // footprint is its result, not the iteration state
+      val pr = graft.operators.Graph.pageRank(edges, iters = 3)
+      val out = pr
         .orderBy(col("pr").desc, col("node_id").asc)
         .limit(20)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(pr)
+      out
     }),
 
     // triangle counting over the part co-purchase graph (edge = two
@@ -572,9 +579,13 @@ object CoreQueries {
             b => struct(a.as("a"), b.as("b")))))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
-      graft.operators.Graph.triangleCounts(und)
+      val tc = graft.operators.Graph.triangleCounts(und)
+      val out = tc
         .orderBy(col("n_triangles").desc, col("node_id").asc)
         .limit(20)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(tc)
+      out
     }),
 
     // -- string / math / date / JSON functions ---------------------------

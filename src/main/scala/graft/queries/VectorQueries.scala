@@ -64,8 +64,14 @@ object VectorQueries {
     // final probe.
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfKnnWith(e, Similarity.kmeans(e, k = 16, iters = 3),
-        nQueries = 8, k = 5, nProbe = 4)
+      // materialize the 40-row answer, then release the trained
+      // centroid block — the trainer's output is consumed, not kept
+      val cents = Similarity.kmeans(e, k = 16, iters = 3)
+      val out = Similarity
+        .ivfKnnWith(e, cents, nQueries = 8, k = 5, nProbe = 4)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(cents)
+      out
     }),
 
     // threshold 0.35 sits below the max pairwise cosine of the random

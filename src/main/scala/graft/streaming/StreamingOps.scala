@@ -192,6 +192,38 @@ object StreamingOps {
       .agg(bit_or(col("mask")).as("bits"))
   }
 
+  /** The LLM pretrain gate as an INCREMENTAL micro-batch pipeline —
+    * the same quality-gate → language-ID → exact-text-dedup stages as
+    * the batch `pipeline_pretrain` query, composed over a stream.
+    * This is how a 100 TB crawl actually arrives: files land over
+    * time, and each micro-batch is gated/deduped against the state of
+    * everything already admitted, not re-scanned from scratch.
+    *
+    * Dedup state is the set of admitted texts BOUNDED by the ingest-
+    * time watermark (`dropDuplicatesWithinWatermark`): a duplicate
+    * arriving within `dedupHorizon` of the original is dropped; one
+    * arriving later re-admits (the deliberate trade that keeps state
+    * finite — crawl dedup horizons are a standard pipeline knob). The
+    * quality/langid kernels are the row-local batch ones unchanged —
+    * stateless stages cost nothing to stream.
+    *
+    * StreamingOpsSpec pins the composition law: run AvailableNow over
+    * a file source (all data within one horizon), the admitted text
+    * set equals the batch pipeline's keep-first dedup stage. */
+  def pretrainGate(
+      docs: DataFrame, dedupHorizon: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .where(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("plang", TextFunctions.langId(col("text")))
+      .where(col("plang") =!= "und")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("text")
+      .withColumn("n_toks", TextFunctions.tokenCount(col("text")).cast("long"))
+      .drop("ingest_ts")
+  }
+
   case class KeyedValue(key: Long, value: Double)
   case class RunningMax(key: Long, max: Double)
 

@@ -253,6 +253,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans/semanticDedup are storage-flat: only the result block stays") {
+    // same contract as Bpe.learn / connectedComponents: every training
+    // round, the checkpointed input, and the trainer output (once the
+    // consumer releases it) must unpersist — a long-lived session that
+    // trains repeatedly may not accumulate blocks
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val c = Similarity.kmeans(e, k = 4, iters = 2)
+    c.count()
+    graft.operators.Storage.unpersistLocalCheckpoint(c)
+    val afterKmeans = spark.sparkContext.getPersistentRDDs.size
+    assert(afterKmeans <= before,
+      s"kmeans leaked blocks: $before before, $afterKmeans after release")
+    val sd = Similarity.semanticDedup(e, k = 4, iters = 2)
+    sd.count()
+    val afterSd = spark.sparkContext.getPersistentRDDs.size
+    assert(afterSd <= before + 1,
+      s"semanticDedup retained more than its result: $before before, $afterSd after")
+    graft.operators.Storage.unpersistLocalCheckpoint(sd)
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))

@@ -225,6 +225,62 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists())
   }
 
+  test("pretrain gate composes incrementally: AvailableNow stream == batch stages") {
+    // the LLM pretrain pipeline's gate stages (quality -> langid ->
+    // exact-text dedup) run as an incremental file stream — files
+    // arrive one micro-batch at a time, dedup state carries ACROSS
+    // batches, and the admitted corpus equals the batch pipeline's
+    // keep-first dedup stage on the same data. Survivor doc_ids may
+    // legitimately differ (batch keeps min doc_id, the stream keeps
+    // first-seen), so the law is over the admitted TEXT set.
+    import graft.functions.TextFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "lang", "text")
+    // 3 source files => 3 micro-batches under maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = StreamingOps.pretrainGate(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    val batch = docs
+      .where(qualityScore(col("text")) >= 0.5)
+      .withColumn("plang", langId(col("text")))
+      .where(col("plang") =!= "und")
+      .withColumn("keep_id",
+        org.apache.spark.sql.functions.min("doc_id")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .where(col("doc_id") === col("keep_id"))
+    // at least two micro-batches actually ran (progress is recorded
+    // per file under maxFilesPerTrigger=1) — otherwise the cross-batch
+    // dedup state was never exercised
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the file source to deliver multiple micro-batches")
+    val gotTexts = got.select("text").as[String].collect().toSet
+    val wantTexts = batch.select("text").as[String].collect().toSet
+    assert(gotTexts == wantTexts,
+      s"admitted text sets differ: stream=${gotTexts.size} batch=${wantTexts.size}")
+    // exactly one survivor per distinct admitted text
+    assert(got.count() == wantTexts.size)
+    // the stateless stages agree row-for-row: n_toks recomputed on the
+    // batch side matches what the stream emitted
+    val wantToks = batch
+      .select(col("text"), tokenCount(col("text")).cast("long").as("n_toks"))
+      .as[(String, Long)].collect().toMap
+    got.select("text", "n_toks").as[(String, Long)].collect().foreach {
+      case (t, n) => assert(wantToks(t) == n, s"n_toks drifted for a survivor")
+    }
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with
