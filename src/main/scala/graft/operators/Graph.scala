@@ -179,8 +179,11 @@ object Graph {
       // triangle (ws would be empty and filtered below anyway)
       .join(adj.select(col("src").as("v_"), col("nbrs").as("nv"))
         .hint("shuffle_hash"), col("v") === col("v_"))
+      // adjacency lists are sort_array'd, so the closure intersection
+      // is the codegen'd two-pointer merge — `array_intersect` builds
+      // a hash set per wedge (SortedIntersect parity spec in GraphSpec)
       .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        graft.functions.SortedIntersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
     // per-node contributions in ONE pass (a 3-way union would
     // re-evaluate the join pipeline per branch): the edge endpoints

@@ -173,17 +173,26 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"pqKnnTrained: embedding dimension must be $subspaces*$subDim = " +
           s"${subspaces * subDim}, got "), size(col("embedding")).cast("string"))))
-    // one row per (vector, subspace): the only wide pass over the data
+    // one row per (vector, subspace): the only wide pass over the
+    // data. Materialized ONCE — it is read by every training round,
+    // the encode pass, and the query LUT pass, and Spark plan branches
+    // share nothing (lazily, each would re-scan + re-explode the
+    // corpus; the lazy chain also made Catalyst re-analysis the
+    // dominant cost — the kmeans lesson). Released before return.
     val sliced = embeddings.select(col("vec_id"),
       posexplode(array((0 until subspaces).map(m =>
         slice(guarded, m * subDim + 1, subDim)): _*)))
       .toDF("vec_id", "m", "sv")
-    var cb = sliced.where(col("vec_id") < codebookSize)
+      .localCheckpoint(true)
+    // round state: one row per subspace holding the cw_k-ascending
+    // centroid list — the exact form the broadcast assignment consumes
+    // (the kmeans one-row-state protocol, keyed by m)
+    var cents = sliced.where(col("vec_id") < codebookSize)
       .select(col("m"), col("vec_id").cast("int").as("cw_k"), col("sv").as("cw"))
-    for (_ <- 1 to iters) {
-      // per-subspace centroid lists, cw_k-ascending for the tie-break
-      val cents = cb.groupBy("m")
-        .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+      .localCheckpoint(true)
+    try for (_ <- 1 to iters) {
       val assigned = sliced.join(broadcast(cents), "m")
         .select(col("m"), col("sv"),
           aggregate(col("cents"),
@@ -198,16 +207,30 @@ object Similarity {
             }).getField("cw_k").as("cw_k"))
       // recompute in ONE static-width aggregation (subDim is a
       // parameter, so the per-dimension decimal sums are columns — no
-      // explode, no second shuffle; identical exact arithmetic)
+      // explode, no second shuffle; identical exact arithmetic), then
+      // fold straight back into the per-m broadcast form — one
+      // materializing job per round, superseded round released
       val sumCols = (0 until subDim).map(d =>
         sum(element_at(col("sv"), d + 1).cast("double")
           .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
-      cb = assigned.groupBy("m", "cw_k")
+      val next = assigned.groupBy("m", "cw_k")
         .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
         .select(col("m"), col("cw_k"),
           array((0 until subDim).map(d =>
             (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("cw"))
+        .groupBy("m")
+        .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+        .localCheckpoint(true)
+      Storage.unpersistLocalCheckpoint(cents)
+      cents = next
+    } catch { case t: Throwable =>
+      Storage.unpersistLocalCheckpoint(sliced)
+      Storage.unpersistLocalCheckpoint(cents)
+      throw t
     }
+    val cb = cents
+      .select(col("m"), explode(col("cents")).as("c"))
+      .select(col("m"), col("c.cw_k").as("cw_k"), col("c.cw").as("cw"))
     val cbDense = cb.select(col("m"),
       (row_number().over(Window.partitionBy("m").orderBy("cw_k")) - 1).as("cw_k"),
       col("cw"))
@@ -236,7 +259,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
-    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
+    // materialize the (queries × k)-row answer, then release the
+    // sliced corpus and trained codebooks — storage-flat like kmeans
+    val out = saltedTopK(scored, score = "adc_dist", ascending = true,
+      k = k, salts = salts).localCheckpoint(true)
+    Storage.unpersistLocalCheckpoint(sliced)
+    Storage.unpersistLocalCheckpoint(cents)
+    out
   }
 
   /** Two-stage retrieval — THE production ANN serving shape: a cheap

@@ -40,6 +40,24 @@ class GraphSpec extends AnyFunSuite {
       s"leaked checkpoint blocks: $before persistent RDDs before, $after after")
   }
 
+  test("SortedIntersect is bit-parity with array_intersect on sorted inputs") {
+    // the triangle closure's precondition: both sides sorted ascending,
+    // distinct — then the merge kernel must equal array_intersect
+    // exactly (including emptiness and full-overlap edges)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { _ =>
+      def arr() = rnd.shuffle((0L to 60L).toList)
+        .take(rnd.nextInt(12)).sorted
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      graft.functions.SortedIntersect($"a", $"b").as("fast"),
+      array_intersect($"a", $"b").as("ref"))
+      .filter(not($"fast" <=> $"ref")).count()
+    assert(diff == 0)
+  }
+
   test("pagerank with zero iterations returns the base rank everywhere") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val pr = Graph.pageRank(edges, iters = 0).as[(Long, Long)].collect().toMap
