@@ -609,8 +609,18 @@ object Similarity {
   def ivfKnnWith(
       embeddings: DataFrame, centroids: DataFrame,
       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    // nearest centroid per vector; ties break to the lowest c_id
-    val assigned = embeddings
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    ivfServe(ivfAssign(embeddings, centroids), centroids, queries, k, nProbe)
+  }
+
+  /** The index-BUILD half of IVF: nearest centroid per vector (ties
+    * break to the lowest c_id). Returns (vec_id, embedding, c_id) —
+    * the inverted-list assignment, persistable as a durable index
+    * ([[IvfIndex]]). */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings
       .join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         cosine(col("embedding"), col("c_vec")).as("c_cos"))
@@ -618,9 +628,16 @@ object Similarity {
       .agg(
         first(col("embedding")).as("embedding"),
         max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).cast("double"))).as("c_id"))
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+  /** The SERVE half of IVF: probe-list selection + exact-cosine
+    * ranking over an existing assignment table — no retraining, no
+    * reassignment, which is how a production pipeline queries an index
+    * it built earlier ([[IvfIndex.serve]] binds this to one persisted
+    * on disk; when `assigned` is a partitioned parquet scan, the
+    * broadcast probe join prunes to only the probed lists). */
+  private[graft] def ivfServe(
+      assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("p_cos").desc, col("c_id").asc)
     val probes = queries

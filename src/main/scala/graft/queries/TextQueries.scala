@@ -433,8 +433,15 @@ object TextQueries {
           qualityScore(col("text")).as("quality"))
       val thresholds = scored.groupBy("source")
         .agg(expr("percentile(quality, 0.5)").as("p50"))
+      // epsilon slack: Spark's percentile and DuckDB's quantile_cont
+      // interpolate even-sized groups as (a+b)/2 in double — formulas
+      // match today, but an ulp drift would flip the boundary row (the
+      // median element itself sits exactly ON the threshold). 1e-9 is
+      // ~10⁷ ulps at these magnitudes yet far below the spacing of
+      // distinct quality scores (ratios of small integers, ≥ ~1e-6
+      // apart), so both engines admit the same rows regardless.
       scored.join(broadcast(thresholds), "source")
-        .where(col("quality") >= col("p50"))
+        .where(col("quality") >= col("p50") - lit(1e-9))
         .select(col("doc_id"), col("source"),
           round(col("quality"), 6).as("quality"),
           round(col("p50"), 6).as("source_p50"))
@@ -711,7 +718,7 @@ object TextQueries {
           SELECT doc_id, source, round(quality, 6) AS quality,
                  round(p50, 6) AS source_p50
           FROM scored JOIN th USING (source)
-          WHERE quality >= p50""",
+          WHERE quality >= p50 - 1e-9""",
 
     "text_global_ids" ->
       """SELECT doc_id,

@@ -43,6 +43,25 @@ object VectorQueries {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // the durable-index serving path: build the seed-centroid IVF
+    // index, persist it as parquet (assignments PARTITIONED BY c_id —
+    // one directory per inverted list), reload, and serve top-k from
+    // the on-disk index with no retraining/reassignment. Must be
+    // hash-identical to knn_ivf (float32 round-trips parquet exactly);
+    // the probe join prunes to the probed list partitions on disk.
+    "knn_ivf_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+      graft.operators.IvfIndex.write(e, seeds, path)
+      graft.operators.IvfIndex.serve(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5, nProbe = 4)
+    }),
+
     // two-stage retrieval (the production serving shape): ADC
     // shortlist of 50 per query, exact-cosine re-rank to top-5 — the
     // exact stage's cost is independent of corpus size.
@@ -457,6 +476,39 @@ object VectorQueries {
           WHERE rn = 1)"""
   }
 
+  /** The seed-centroid IVF trajectory (centroids = first 16 vectors):
+    * shared verbatim by `knn_ivf` (in-memory) and `knn_ivf_persisted`
+    * (parquet round-trip) — the persisted path must be hash-identical
+    * to the in-memory one. */
+  private lazy val ivfSeedOracle: String =
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, s.vec_id,
+                 ${cosSql("p.qv", "s.embedding")} AS cos
+          FROM probe p JOIN assigned s ON p.c_id = s.c_id
+          WHERE s.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+
   private lazy val ivfTrainedOracle: String =
     s"""WITH $lloydCtes,
         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -676,34 +728,12 @@ object VectorQueries {
     "knn_pq_trained" -> pqTrainedOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
-    "knn_ivf" ->
-      s"""WITH c AS (
-            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
-          a AS (
-            SELECT e.vec_id, e.embedding, c.c_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
-            FROM embeddings e CROSS JOIN c),
-          assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-          qa AS (
-            SELECT q.query_id, q.qv, c.c_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
-            FROM q CROSS JOIN c),
-          probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
-          cand AS (
-            SELECT p.query_id, s.vec_id,
-                   ${cosSql("p.qv", "s.embedding")} AS cos
-            FROM probe p JOIN assigned s ON p.c_id = s.c_id
-            WHERE s.vec_id <> p.query_id),
-          ranked AS (
-            SELECT query_id, vec_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, vec_id ASC) AS rank
-            FROM cand)
-          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
-          FROM ranked WHERE rank <= 5""",
+    "knn_ivf" -> ivfSeedOracle,
+
+    // the persisted-index path must be indistinguishable from the
+    // in-memory one — same oracle by construction (float32 embeddings
+    // round-trip parquet bit-exactly)
+    "knn_ivf_persisted" -> ivfSeedOracle,
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",

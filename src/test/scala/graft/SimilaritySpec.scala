@@ -274,6 +274,28 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Storage.unpersistLocalCheckpoint(sd)
   }
 
+  test("IVF index persists to parquet and serves hash-identically to in-memory") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.IvfIndex.write(e, seeds, path)
+    // inverted lists are literal directories — the layout partition
+    // pruning needs at 100 TB
+    val dirs = new java.io.File(s"$path/assignments").listFiles()
+    assert(dirs != null && dirs.exists(_.getName.startsWith("c_id=")),
+      "assignments are not partitioned by c_id on disk")
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val got = graft.operators.IvfIndex.serve(spark, path, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val want = Similarity.ivfKnnWith(e, seeds, nQueries = 4, k = 5, nProbe = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    // bit-identical including the cosine doubles: float32 embeddings
+    // round-trip parquet exactly
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))

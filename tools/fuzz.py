@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Differential query fuzzer: random plans, Spark vs DuckDB.
+
+Usage: python3 tools/fuzz.py [--sf DIR] [--seeds N] [--start S]
+
+Generates random small queries (project / filter / join / aggregate /
+order-limit compositions) in a grammar both engines parse identically,
+runs each in PySpark and DuckDB over the same parquet tables, and
+diffs canonicalized results. This is the cheap way to catch semantic
+gaps the hand-written oracles never exercise. Dev tool only (PySpark /
+DuckDB are driver-side deps, like tools/check.py).
+
+Grammar notes — kept inside the dialect intersection on purpose:
+ - ORDER BY always lists every output column with explicit NULLS
+   FIRST (the engines' default null order differs, and only a total
+   order makes LIMIT deterministic);
+ - integer sums wrap in CAST(... AS BIGINT) (DuckDB sums to HUGEINT);
+ - % operands are abs()'d (same C-style sign rule either way, but the
+   fuzzer shouldn't depend on it);
+ - no division, no floats in predicates: every generated expression is
+   exact integer or string, so a mismatch is a real semantic bug, not
+   arithmetic noise.
+"""
+import argparse
+import math
+import random
+import sys
+
+TABLES = {
+    "region": {"int": ["r_regionkey"], "str": ["r_name"]},
+    "nation": {"int": ["n_nationkey", "n_regionkey"], "str": ["n_name"]},
+    "customer": {"int": ["c_custkey", "c_nationkey"],
+                 "str": ["c_name", "c_mktsegment"]},
+    "orders": {"int": ["o_orderkey", "o_custkey"],
+               "str": ["o_orderstatus", "o_orderpriority"]},
+    "supplier": {"int": ["s_suppkey", "s_nationkey"], "str": ["s_name"]},
+    "part": {"int": ["p_partkey", "p_size"], "str": ["p_brand", "p_type"]},
+}
+JOINS = [
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+]
+
+
+def int_expr(rng, cols, depth=0):
+    c = rng.choice(cols)
+    if depth >= 2 or rng.random() < 0.45:
+        return c
+    form = rng.randrange(4)
+    if form == 0:
+        return f"({int_expr(rng, cols, depth+1)} + {int_expr(rng, cols, depth+1)})"
+    if form == 1:
+        return f"abs({int_expr(rng, cols, depth+1)} - {int_expr(rng, cols, depth+1)})"
+    if form == 2:
+        return f"(abs({int_expr(rng, cols, depth+1)}) % {rng.randrange(2, 20)})"
+    return (f"(CASE WHEN {pred(rng, cols, [], depth+1)} "
+            f"THEN {int_expr(rng, cols, depth+1)} "
+            f"ELSE {int_expr(rng, cols, depth+1)} END)")
+
+
+def pred(rng, int_cols, str_cols, depth=0):
+    if depth < 2 and rng.random() < 0.3:
+        op = rng.choice(["AND", "OR"])
+        return (f"({pred(rng, int_cols, str_cols, depth+1)} {op} "
+                f"{pred(rng, int_cols, str_cols, depth+1)})")
+    if str_cols and rng.random() < 0.3:
+        c = rng.choice(str_cols)
+        if rng.random() < 0.5:
+            return f"length({c}) > {rng.randrange(5, 20)}"
+        return f"{c} IS NOT NULL"
+    cmp = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+    lhs = int_expr(rng, int_cols, depth + 1)
+    if rng.random() < 0.5:
+        return f"{lhs} {cmp} {rng.randrange(0, 2000)}"
+    return f"{lhs} {cmp} {int_expr(rng, int_cols, depth+1)}"
+
+
+def gen_query(rng):
+    if rng.random() < 0.4:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        frm = f"{t1} JOIN {t2} ON {t1}.{k1} = {t2}.{k2}"
+        ints = [f"{t1}.{c}" for c in TABLES[t1]["int"]] + \
+               [f"{t2}.{c}" for c in TABLES[t2]["int"]]
+        strs = [f"{t1}.{c}" for c in TABLES[t1]["str"]] + \
+               [f"{t2}.{c}" for c in TABLES[t2]["str"]]
+    else:
+        t = rng.choice(list(TABLES))
+        frm = t
+        ints = TABLES[t]["int"]
+        strs = TABLES[t]["str"]
+    where = f" WHERE {pred(rng, ints, strs)}" if rng.random() < 0.8 else ""
+    if rng.random() < 0.5:
+        # aggregate shape
+        g = rng.choice(ints + strs)
+        aggs = [f"count(*) AS n",
+                f"CAST(sum({int_expr(rng, ints)}) AS BIGINT) AS s",
+                f"min({int_expr(rng, ints)}) AS mn",
+                f"max({rng.choice(ints)}) AS mx"]
+        rng.shuffle(aggs)
+        aggs = aggs[:rng.randrange(1, len(aggs) + 1)]
+        sel = f"{g} AS g, " + ", ".join(aggs)
+        sql = f"SELECT {sel} FROM {frm}{where} GROUP BY {g}"
+        if rng.random() < 0.3:
+            sql += f" HAVING count(*) > {rng.randrange(1, 4)}"
+        return sql
+    # projection shape, order-limited for determinism
+    exprs = [f"{int_expr(rng, ints)} AS e{i}"
+             for i in range(rng.randrange(1, 4))]
+    if strs and rng.random() < 0.6:
+        exprs.append(f"{rng.choice(strs)} AS sc")
+    names = [e.split(" AS ")[1] for e in exprs]
+    order = ", ".join(f"{n} NULLS FIRST" for n in names)
+    return (f"SELECT {', '.join(exprs)} FROM {frm}{where} "
+            f"ORDER BY {order} LIMIT {rng.randrange(1, 200)}")
+
+
+def canon(rows):
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def cmp_val(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        return (math.isnan(fa) and math.isnan(fb)) or fa == fb
+    return str(a) == str(b)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--seeds", type=int, default=200)
+    ap.add_argument("--start", type=int, default=0)
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", 8)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{args.sf}/{t}.parquet"
+        spark.read.parquet(path).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    n_pass = n_fail = 0
+    fails = []
+    for seed in range(args.start, args.start + args.seeds):
+        rng = random.Random(seed)
+        sql = gen_query(rng)
+        try:
+            s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+            d_rows = con.execute(sql).fetchall()
+        except Exception as e:
+            n_fail += 1
+            fails.append((seed, sql, f"exec: {str(e).splitlines()[0][:160]}"))
+            continue
+        s, d = canon(s_rows), canon(d_rows)
+        if len(s) != len(d):
+            n_fail += 1
+            fails.append((seed, sql, f"rows spark={len(s)} duck={len(d)}"))
+            continue
+        bad = next((i for i, (sr, dr) in enumerate(zip(s, d))
+                    if not all(cmp_val(a, b) for a, b in zip(sr, dr))), None)
+        if bad is not None:
+            n_fail += 1
+            fails.append((seed, sql, f"row {bad}: spark={s[bad]} duck={d[bad]}"))
+        else:
+            n_pass += 1
+        if (seed + 1) % 100 == 0:
+            print(f"  ... {seed + 1 - args.start}/{args.seeds} done "
+                  f"({n_fail} fail)", flush=True)
+    for seed, sql, why in fails:
+        print(f"FAIL seed={seed}: {why}\n  {sql}")
+    print(f"== fuzz: {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
