@@ -43,10 +43,16 @@ object Graph {
     *
     * Two layout decisions keep the per-round cost to ONE moving
     * relation:
-    *  - the edge list is hash-partitioned on `src` BEFORE its one-time
-    *    checkpoint — `localCheckpoint` preserves `outputPartitioning`
-    *    through `LogicalRDD`, so every round's inbound join reuses the
-    *    edge layout and only the |V|-row contrib side shuffles;
+    *  - the edge list is hash-partitioned on `src` and PERSISTED (not
+    *    checkpointed: under AQE a `localCheckpoint`'s LogicalRDD
+    *    reports unknown partitioning — the adaptive plan's layout
+    *    isn't known when the checkpoint is cut — so every round would
+    *    re-shuffle |E| rows; `InMemoryRelation` keeps the child
+    *    plan's `outputPartitioning`, so the inbound join reuses the
+    *    edge layout and only the |V|-row contrib side shuffles.
+    *    Persist is safe exactly here because these relations are
+    *    FIXED — only the growing round state needs a checkpoint's
+    *    lineage truncation);
     *  - node set and out-degree fold into ONE relation (`nodeInfo`,
     *    outdeg 0 = dangling) that rides INSIDE the rank state, so the
     *    old per-round rank⋈outdeg join disappears — contrib is a pure
@@ -54,35 +60,26 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .localCheckpoint(true)
-    // one pass over e: every edge contributes (src, 1) + (dst, 0);
-    // partitioned on node_id so the per-round reattach join lines up
-    // with the inbound aggregation's layout
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over e: every edge contributes (src, 1) + (dst, 0)
     val nodeInfo = e
       .select(explode(array(
         struct(col("src").as("node_id"), lit(1L).as("o")),
         struct(col("dst").as("node_id"), lit(0L).as("o")))).as("x"))
       .groupBy(col("x.node_id").as("node_id"))
       .agg(sum(col("x.o")).as("outdeg"))
-      .localCheckpoint(true)
-    // round 0 shares nodeInfo's blocks — only successor rounds own
-    // their checkpoint (and are safe to release when superseded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one eager job warms BOTH caches (nodeInfo reads e) so round 1's
+    // two consumers of e both hit memory instead of racing to fill it
+    nodeInfo.count()
+    // round 0 derives from the cached nodeInfo — only successor
+    // rounds own a checkpoint (and are safe to release when
+    // superseded)
     var pr = nodeInfo.withColumn("pr", lit(SCALE))
     var prOwned = false
     try {
       for (_ <- 1 to iters) {
-        val contrib = pr
-          .where(col("outdeg") > 0)
-          .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
-        val inbound = e
-          .join(contrib.hint("shuffle_hash"), e("src") === contrib("u"))
-          .groupBy(col("dst").as("node_id"))
-          .agg(sum(col("c")).as("s"))
-        val next = nodeInfo
-          .join(inbound, Seq("node_id"), "left")
-          .select(col("node_id"), col("outdeg"),
-            (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
-          .localCheckpoint(true)
+        val next = pageRankRound(e, nodeInfo, pr).localCheckpoint(true)
         if (prOwned) Storage.unpersistLocalCheckpoint(pr)
         pr = next
         prOwned = true
@@ -94,9 +91,34 @@ object Graph {
     } finally {
       // the returned ranks are materialized — the base relations are
       // never read again, success or failure
-      Storage.unpersistLocalCheckpoint(e)
-      Storage.unpersistLocalCheckpoint(nodeInfo)
+      e.unpersist(blocking = false)
+      nodeInfo.unpersist(blocking = false)
     }
+  }
+
+  /** ONE Pregel superstep as two relational ops — factored out so the
+    * plan-shape spec can pin the exchange budget (the public entry
+    * checkpoints each round, which hides the joins): contrib is a pure
+    * projection of the previous round (outdeg rides in the rank
+    * state), the inbound join streams the pre-partitioned edge list
+    * against the shuffled |V|-row contrib build side, and the
+    * reattach left join lines up on node_id. When `e` arrives
+    * hash-partitioned on src (pageRank checkpoints it that way), the
+    * edge relation is never re-exchanged — the only moving data per
+    * round is O(|V|). */
+  private[graft] def pageRankRound(
+      e: DataFrame, nodeInfo: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = pr
+      .where(col("outdeg") > 0)
+      .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
+    val inbound = e
+      .join(contrib.hint("shuffle_hash"), e("src") === contrib("u"))
+      .groupBy(col("dst").as("node_id"))
+      .agg(sum(col("c")).as("s"))
+    nodeInfo
+      .join(inbound, Seq("node_id"), "left")
+      .select(col("node_id"), col("outdeg"),
+        (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
   }
 
   /** Per-node triangle counts over an undirected simple graph
@@ -144,13 +166,20 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       // the oriented ADJACENCY is the relation read twice (edge stream
       // + closure side), so it is what gets materialized — oriented
-      // edges flow straight into the groupBy, un-checkpointed
+      // edges flow straight into the groupBy, un-checkpointed.
+      // PERSISTED, not checkpointed: the groupBy leaves it
+      // hash(src)-partitioned and InMemoryRelation keeps that layout
+      // (a checkpoint's LogicalRDD reports unknown partitioning under
+      // AQE), so the closure join's build side needs NO exchange —
+      // only the exploded wedge stream moves. Same fixed-relation
+      // persist rationale as pageRank's edge list.
       val adj = oriented.groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        adj.count() // one eager job; two consumers then both hit memory
         trianglePlan(adj).localCheckpoint(true)
-      } finally Storage.unpersistLocalCheckpoint(adj)
+      } finally adj.unpersist(blocking = false)
     } finally Storage.unpersistLocalCheckpoint(und)
   }
 

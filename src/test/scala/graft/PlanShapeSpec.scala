@@ -232,6 +232,77 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("pageRank round: pre-partitioned edges never re-exchange") {
+    // the per-round exchange budget is O(|V|): the contrib shuffle and
+    // the inbound aggregation. The edge list arrives hash-partitioned
+    // on src from its one-time checkpoint (LogicalRDD preserves
+    // outputPartitioning), so a third exchange — re-shuffling |E| edge
+    // rows every round — must NOT appear.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 300L).map(i => (i % 40, i % 37)).toDF("src", "dst")
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodeInfo = e
+      .select(explode(array(
+        struct(col("src").as("node_id"), lit(1L).as("o")),
+        struct(col("dst").as("node_id"), lit(0L).as("o")))).as("x"))
+      .groupBy(col("x.node_id").as("node_id"))
+      .agg(sum(col("x.o")).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      nodeInfo.count()
+      val pr = nodeInfo.withColumn("pr", lit(1000000000000L))
+      val qe = graft.operators.Graph.pageRankRound(e, nodeInfo, pr).queryExecution
+      qe.toRdd.count()
+      // AQE's toString appends the pre-execution plan after the final
+      // one — only the final section is the shape that actually ran
+      // tree walk (NOT toString: nested InMemoryRelation descriptions
+      // both embed their cache-BUILD exchanges — false positives — and
+      // truncate the rest of the plan). InMemoryTableScanExec is a
+      // leaf, so cache-build plans are naturally out of scope.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => pl +: walk(a.executedPlan)
+        case q: QueryStageExec => pl +: walk(q.plan)
+        case _ => pl +: pl.children.flatMap(walk)
+      }
+      val nodes = walk(qe.executedPlan)
+      val shuffles = nodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size <= 2,
+        s"expected <=2 per-round shuffles (contrib + inbound agg), got " +
+          s"${shuffles.size}:\n${shuffles.mkString("\n")}")
+      // specifically: no shuffle may sit ABOVE the cached |E|-row edge
+      // scan — the round must reuse its hash(src) layout
+      def isEdgeScan(pl: SparkPlan): Boolean = pl match {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m.output.map(_.name).toSet == Set("src", "dst")
+        case _ => false
+      }
+      // the inbound join must consume the cached edge scan DIRECTLY —
+      // no exchange between them (the aggregation shuffle above the
+      // join moves O(|V|) partial sums and is expected)
+      def keyNames(j: org.apache.spark.sql.execution.joins.HashJoin) =
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      val edgeJoin = nodes.find {
+        case j: org.apache.spark.sql.execution.joins.HashJoin =>
+          keyNames(j).contains("src") && walk(j).exists(isEdgeScan)
+        case _ => false
+      }
+      assert(edgeJoin.isDefined, "inbound join over the edge cache not found")
+      val exchangedEdges = walk(edgeJoin.get).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if walk(s).exists(isEdgeScan) => s
+      }
+      assert(exchangedEdges.isEmpty,
+        "edge list re-exchanged below the join — cached hash(src) layout not reused:\n" +
+          exchangedEdges.mkString("\n"))
+    } finally { e.unpersist(); nodeInfo.unpersist() }
+  }
+
   test("graph_triangles never sorts the wedge stream") {
     // the adjacency joins must stay hash-family; a sort-merge shape
     // would sort the edge stream (and its attached neighbor lists)
