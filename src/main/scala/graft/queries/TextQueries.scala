@@ -342,6 +342,43 @@ object TextQueries {
             .as("fluency_ppm"))
     }),
 
+    // bigram-LM fluency: mean corpus frequency of the document's
+    // BIGRAMS, parts-per-million — the conditional upgrade of the
+    // unigram proxy (shuffled-word junk keeps common unigrams but its
+    // bigrams go rare, which is what a real KenLM-style perplexity
+    // filter detects). Bigrams build IN-ROW (token array zipped with
+    // its own tail — the Bpe pair-counting pattern, no window);
+    // every sum is an integer so partition merge order cannot perturb
+    // the result, and the only FP ops are the final multiply/divide,
+    // identically ordered in the oracle. Token-less/1-token docs
+    // round-trip as 0 via the LEFT join (the Bpe-oracle lesson).
+    // Shape at 100 TB: map-side-combinable bigram counts, corpus
+    // total as a broadcast one-row frame, one shuffle-join on bigram.
+    "text_bigram_fluency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = docs
+        .select(col("doc_id"),
+          filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val freq = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+      val total = freq.agg(sum("c").cast("long").as("n_total"))
+      val per = bg.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(sum("c").as("sum_c"), count(lit(1)).as("n_bg"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(coalesce(
+            (col("sum_c").cast("double") * lit(1000000.0)) /
+              (col("n_bg").cast("double") * col("n_total").cast("double")),
+            lit(0.0)), 6).as("bigram_ppm"))
+    }),
+
     // the full preprocessing pipeline as ONE declarative query:
     // quality filter → language ID keep → exact dedup (keep lowest
     // doc_id per identical text) → 20% deterministic sample →
@@ -1047,6 +1084,30 @@ object TextQueries {
                 round((CAST(sum_c AS DOUBLE) * 1000000.0) /
                       (CAST(n_tok AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS fluency_ppm
          FROM per CROSS JOIN tot""",
+
+    "text_bigram_fluency" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> length(t) > 0) AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(greatest(len(tk) - 1, 0)),
+                                        i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+           FROM tk),
+         freq AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq),
+         per AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_c, count(*) AS n_bg
+           FROM bg JOIN freq USING (bg) GROUP BY doc_id)
+         SELECT d.doc_id,
+                round(COALESCE((CAST(sum_c AS DOUBLE) * 1000000.0) /
+                      (CAST(n_bg AS DOUBLE) * CAST(n_total AS DOUBLE)), 0.0),
+                      6) AS bigram_ppm
+         FROM documents d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         CROSS JOIN tot""",
 
     // each stage is the already-oracled primitive, composed in the
     // same order as the Spark plan: quality gate → langid (drop

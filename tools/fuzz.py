@@ -27,14 +27,17 @@ import random
 import sys
 
 TABLES = {
-    "region": {"int": ["r_regionkey"], "str": ["r_name"]},
-    "nation": {"int": ["n_nationkey", "n_regionkey"], "str": ["n_name"]},
+    "region": {"int": ["r_regionkey"], "str": ["r_name"], "key": "r_regionkey"},
+    "nation": {"int": ["n_nationkey", "n_regionkey"], "str": ["n_name"],
+               "key": "n_nationkey"},
     "customer": {"int": ["c_custkey", "c_nationkey"],
-                 "str": ["c_name", "c_mktsegment"]},
+                 "str": ["c_name", "c_mktsegment"], "key": "c_custkey"},
     "orders": {"int": ["o_orderkey", "o_custkey"],
-               "str": ["o_orderstatus", "o_orderpriority"]},
-    "supplier": {"int": ["s_suppkey", "s_nationkey"], "str": ["s_name"]},
-    "part": {"int": ["p_partkey", "p_size"], "str": ["p_brand", "p_type"]},
+               "str": ["o_orderstatus", "o_orderpriority"], "key": "o_orderkey"},
+    "supplier": {"int": ["s_suppkey", "s_nationkey"], "str": ["s_name"],
+                 "key": "s_suppkey"},
+    "part": {"int": ["p_partkey", "p_size"], "str": ["p_brand", "p_type"],
+             "key": "p_partkey"},
 }
 JOINS = [
     ("nation", "region", "n_regionkey", "r_regionkey"),
@@ -77,14 +80,58 @@ def pred(rng, int_cols, str_cols, depth=0):
     return f"{lhs} {cmp} {int_expr(rng, int_cols, depth+1)}"
 
 
+def str_expr(rng, strs):
+    c = rng.choice(strs)
+    return rng.choice([
+        c, f"upper({c})", f"lower({c})", f"trim({c})",
+        f"substr({c}, 1, {rng.randrange(1, 8)})",
+        f"({c} || '_x')", f"coalesce({c}, 'z')"])
+
+
 def gen_query(rng):
-    if rng.random() < 0.4:
+    shape = rng.random()
+    if shape < 0.12:
+        # set operation between two filtered projections of one table
+        t = rng.choice(list(TABLES))
+        ints, strs = TABLES[t]["int"], TABLES[t]["str"]
+        op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        cols = f"{rng.choice(ints)} AS a, {rng.choice(strs)} AS b"
+        q1 = f"SELECT {cols} FROM {t} WHERE {pred(rng, ints, strs)}"
+        q2 = f"SELECT {cols} FROM {t} WHERE {pred(rng, ints, strs)}"
+        return f"SELECT a, b FROM ({q1} {op} {q2}) u"
+    if shape < 0.24:
+        # window ranking over a deterministic (unique-key) order
+        t = rng.choice(list(TABLES))
+        ints, strs = TABLES[t]["int"], TABLES[t]["str"]
+        key = TABLES[t]["key"]
+        part = rng.choice(strs + [f"(abs({rng.choice(ints)}) % 5)"])
+        fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+        return (f"SELECT {key} AS k, {fn} OVER "
+                f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST) AS w "
+                f"FROM {t} WHERE {pred(rng, ints, strs)}")
+    if shape < 0.34:
+        # IN / NOT IN subquery on a join key (keys are non-null)
         t1, t2, k1, k2 = rng.choice(JOINS)
-        frm = f"{t1} JOIN {t2} ON {t1}.{k1} = {t2}.{k2}"
+        neg = "NOT " if rng.random() < 0.4 else ""
+        ints, strs = TABLES[t1]["int"], TABLES[t1]["str"]
+        return (f"SELECT {TABLES[t1]['key']} AS k FROM {t1} "
+                f"WHERE {k1} {neg}IN (SELECT {k2} FROM {t2} "
+                f"WHERE {pred(rng, TABLES[t2]['int'], TABLES[t2]['str'])}) "
+                f"AND {pred(rng, ints, strs)}")
+    if shape < 0.55:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        jt = "LEFT JOIN" if rng.random() < 0.35 else "JOIN"
+        frm = f"{t1} {jt} {t2} ON {t1}.{k1} = {t2}.{k2}"
         ints = [f"{t1}.{c}" for c in TABLES[t1]["int"]] + \
                [f"{t2}.{c}" for c in TABLES[t2]["int"]]
         strs = [f"{t1}.{c}" for c in TABLES[t1]["str"]] + \
                [f"{t2}.{c}" for c in TABLES[t2]["str"]]
+        if jt == "LEFT JOIN":
+            # predicates over the nullable right side change LEFT JOIN
+            # row counts identically in both engines, but keep the
+            # filter on the left side so null-extension survives
+            ints = [f"{t1}.{c}" for c in TABLES[t1]["int"]]
+            strs = [f"{t1}.{c}" for c in TABLES[t1]["str"]]
     else:
         t = rng.choice(list(TABLES))
         frm = t
@@ -109,10 +156,11 @@ def gen_query(rng):
     exprs = [f"{int_expr(rng, ints)} AS e{i}"
              for i in range(rng.randrange(1, 4))]
     if strs and rng.random() < 0.6:
-        exprs.append(f"{rng.choice(strs)} AS sc")
+        exprs.append(f"{str_expr(rng, strs)} AS sc")
+    distinct = "DISTINCT " if rng.random() < 0.2 else ""
     names = [e.split(" AS ")[1] for e in exprs]
     order = ", ".join(f"{n} NULLS FIRST" for n in names)
-    return (f"SELECT {', '.join(exprs)} FROM {frm}{where} "
+    return (f"SELECT {distinct}{', '.join(exprs)} FROM {frm}{where} "
             f"ORDER BY {order} LIMIT {rng.randrange(1, 200)}")
 
 
