@@ -303,9 +303,20 @@ object Dedup {
     * returned label frame stays cached — localCheckpoint truncates
     * lineage, so the result's blocks must outlive the call. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+    // both directions in ONE pass (a unionAll of two projections
+    // would re-run the upstream pair generation per branch), hash-
+    // partitioned on src and PERSISTED — InMemoryRelation keeps the
+    // layout (a checkpoint's LogicalRDD loses it under AQE), so every
+    // propagation round joins the edge relation with NO re-exchange;
+    // only the |V|-row label state moves. Same fixed-relation
+    // rationale as Graph.pageRank.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
@@ -317,7 +328,8 @@ object Dedup {
         // min(prev) recovers its previous label through the aggregation —
         // the convergence test then reads straight off the checkpointed
         // result instead of costing a join+shuffle of its own per round
-        val propagated = edges.join(labels, edges("src") === labels("doc_id"))
+        val propagated = edges
+          .join(labels.hint("shuffle_hash"), edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"),
             lit(null).cast("long").as("prev"))
           .unionAll(labels.select(
@@ -349,7 +361,7 @@ object Dedup {
       // on failure (non-convergence or a mid-loop job error) the last
       // round's labels must be released too — a caller that catches
       // and retries with a larger budget must not strand blocks
-      Storage.unpersistLocalCheckpoint(edges)
+      edges.unpersist(blocking = false)
       if (!converged) Storage.unpersistLocalCheckpoint(labels)
     }
   }

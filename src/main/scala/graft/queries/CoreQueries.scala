@@ -542,12 +542,17 @@ object CoreQueries {
     // the oracle unrolls it with the same `//` arithmetic. Top-20 by
     // final rank (tie-free: node_id asc).
     "graph_pagerank" -> ((s, d) => {
-      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      // both directions in ONE pass: a union of two projections of the
+      // join would re-run orders⋈lineitem per branch (plan branches
+      // share nothing) — the in-row explode emits the symmetric pair
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
-      val edges = e0.select(col("c").as("src"), col("sp").as("dst"))
-        .union(e0.select(col("sp").as("src"), col("c").as("dst")))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // materialize the 20-row answer and release the |V|-row rank
       // relation the trainer left behind — the query's retained
       // footprint is its result, not the iteration state

@@ -55,12 +55,14 @@ object Profile {
       val li = graft.Tables.lineitem(spark, sfDir)
       val ord = graft.Tables.orders(spark, sfDir)
       for (i <- 1 to 3) {
-        val e0 = ord.select("o_orderkey", "o_custkey")
+        val edges = ord.select("o_orderkey", "o_custkey")
           .join(li.select("l_orderkey", "l_suppkey"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
-        val edges = e0.select(col("c").as("src"), col("sp").as("dst"))
-          .union(e0.select(col("sp").as("src"), col("c").as("dst")))
+          .select(explode(array(
+            struct(col("c").as("src"), col("sp").as("dst")),
+            struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val pr = time(s"pageRank i3 #$i")(
           graft.operators.Graph.pageRank(edges, iters = 3))
         time(s"  pr consume #$i")(noop(pr.orderBy(col("pr").desc).limit(20)))
