@@ -58,15 +58,35 @@ object CoreQueries {
           dsum(col("o_totalprice")).as("sum_price"),
           (sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_price"))),
 
-    "q_rollup" -> ((s, d) =>
-      Tables.orders(s, d)
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+    // Two-phase (see q_cube): Expand runs over the |G|-row
+    // pre-aggregate, not the input — the rollup's 3 grouping sets
+    // no longer triple the shuffle volume.
+    "q_rollup" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).as("p0"))
+      base.rollup("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("n0")).as("n"), sum(col("p0")).cast("double").as("sum_price"))
+    }),
 
-    "q_cube" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+    // Two-phase cube: pre-aggregate on the FULL group key, then cube
+    // the pre-aggregate. A direct `.cube` Expands every input row
+    // 2^k-fold BEFORE partial aggregation — at 100 TB that's 4× the
+    // scan volume flowing into the shuffle; here Expand runs over the
+    // ~|G| pre-aggregated rows instead. Exact for decomposable aggs
+    // (count re-sums, DECIMAL sums are associative), and null group
+    // keys survive: phase 1 keeps a data-null as its own group, so
+    // phase 2's cube produces the same data-null vs generated-null
+    // rows a single-phase cube would.
+    "q_cube" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).as("q0"))
+      base.cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("n0")).as("n"), sum(col("q0")).cast("double").as("sum_qty"))
+    }),
 
     // predicate aggregates + deterministic argmax/argmin: the ordering
     // key is exact integer cents*1e10 + orderkey, so price ties cannot
@@ -95,16 +115,23 @@ object CoreQueries {
     // explicit GROUPING SETS (the general form rollup/cube desugar
     // into) with grouping_id to disambiguate aggregated-away columns
     // from genuine NULL groups
-    "q_grouping_sets" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupingSets(
+    // Two-phase like q_cube/q_rollup — the gid is computed by phase
+    // 2's groupingSets over the pre-aggregate, so aggregated-away vs
+    // genuine-NULL disambiguation is unchanged.
+    "q_grouping_sets" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).as("p0"))
+      base.groupingSets(
           Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
             Seq(col("o_orderstatus")), Seq()),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           grouping_id().cast("int").as("gid"),
-          count(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("sum_price"))),
+          sum(col("n0")).as("n"),
+          sum(col("p0")).cast("double").as("sum_price"))
+    }),
 
     // data profiling: per-column null/distinct/range stats in ONE scan
     // (a single wide aggregation row, unpivoted in-row to per-column

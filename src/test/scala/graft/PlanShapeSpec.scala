@@ -71,6 +71,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected >=3 broadcast joins (region, nation, supplier):\n" + p.take(1000))
   }
 
+  test("grouping-set queries Expand the pre-aggregate, not the input") {
+    // two-phase cube/rollup: Expand must sit ABOVE a base aggregation
+    // (plan prints top-down, so a HashAggregate appears after Expand);
+    // a single-phase plan Expands the raw scan 2^k-fold before the
+    // first partial agg — the 100 TB shuffle-volume hazard
+    for (q <- Seq("q_cube", "q_rollup", "q_grouping_sets")) {
+      val p = plan(q)
+      val i = p.indexOf("Expand")
+      assert(i >= 0, s"$q: no Expand node:\n" + p.take(800))
+      assert(p.indexOf("HashAggregate", i) >= 0,
+        s"$q: Expand feeds off the raw scan (single-phase grouping sets):\n" +
+          p.take(1200))
+    }
+  }
+
   test("q_sort_limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"))
