@@ -520,6 +520,73 @@ object Dedup {
       .select("doc_id", "clean_text", "n_kept")
   }
 
+  /** Exact duplicated-SPAN detection — the token-granular substring
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022), which removes repeated passages that
+    * doc- and chunk-level dedup both miss (chunk dedup only catches
+    * duplication aligned to chunk boundaries). Every length-`W` token
+    * window (stride 1) that occurs more than once ANYWHERE in the
+    * corpus — including twice within one document — marks its
+    * positions as duplicated; overlapping/touching marked windows per
+    * document merge into maximal spans `(doc_id, span_start,
+    * span_end)` (token indices, end exclusive). A full suffix array
+    * finds spans ≥ W exactly the same way — the sliding window is the
+    * relational formulation of the same ≥W-gram duplication predicate.
+    *
+    * Scale shape: window generation is row-local (transform over a
+    * sequence, then posexplode — the stream is ~one row per token);
+    * the duplication test is a map-side-combinable count per window
+    * joined back on the window key (NOT `count over (partition by
+    * win)` — a boilerplate window repeated across millions of
+    * documents would funnel its whole postings list through one
+    * window task, while a skewed JOIN partition is AQE-splittable;
+    * same discipline as [[ngramJaccardPrefix]], and like there the
+    * occurrence branch re-runs the explode — plan branches don't
+    * share — which is one extra linear map-side pass). Interval
+    * merging is per-document windows (bounded by document length).
+    * The window key here is the literal W-token string for exact
+    * oracle parity; at 100 TB key on a 128-bit hash of it
+    * (`md5`-style, the repo's SimHash kernel pattern) so the shuffle
+    * carries 16-byte keys — collision-free in practice and ~4× less
+    * shuffle volume. */
+  def spanDedup(documents: DataFrame, windowTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = windowTokens
+    val toks = split(col("text"), " ")
+    // docs shorter than W yield no windows; the guard also keeps
+    // sequence() away from the (0, negative) range, where Spark would
+    // infer step -1 and emit a bogus [0, -1] descent
+    val occ = documents
+      .where(size(toks) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(toks) - W),
+          i => array_join(slice(toks, i + 1, lit(W)), " "))))
+      .toDF("doc_id", "pos", "win")
+    val dupWins = occ.groupBy("win")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select("win")
+    // hash build on the (small) duplicated-window side: SMJ would sort
+    // the whole occurrence stream by window string
+    val dup = occ.join(dupWins.hint("shuffle_hash"), "win")
+      .select("doc_id", "pos")
+    // gaps-and-islands merge: a window starts a new span iff its
+    // start lies past every previous window's end (running max)
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("st",
+        when(col("pos") > coalesce(max(col("pos") + W).over(wPrev), lit(-1)),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("g", sum(col("st")).over(wRun))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + W).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
   /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
     * frequencies: candidate generation only indexes each document's
     * prefix — its ⌊(1−t)·|sh|⌋+1 globally-*rarest* shingles (rarity =

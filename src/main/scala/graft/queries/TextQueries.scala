@@ -69,6 +69,12 @@ object TextQueries {
     "dedup_chunks" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d), chunkTokens = 10)),
 
+    // token-granular duplicated-span detection (Lee et al. 2022):
+    // maximal merged spans of 8-token windows that occur >1 time
+    // corpus-wide — catches repeated passages chunk alignment misses
+    "dedup_spans" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), windowTokens = 8)),
+
     // per-domain cap (CommonCrawl-style: at most N pages per host so
     // no domain dominates the training mix): top-10 docs per source by
     // (quality desc, doc_id). Two-phase salted windows — the partial
@@ -1060,6 +1066,29 @@ object TextQueries {
                 string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
                 count(*) AS n_kept
          FROM keep GROUP BY doc_id""",
+
+    // sliding 8-token windows (stride 1), duplicated = count > 1 over
+    // ALL occurrences (within-doc repeats included), gaps-and-islands
+    // merge per doc via running max of window end
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         win AS (
+           SELECT doc_id, ci AS pos, array_to_string(t[ci+1 : ci+8], ' ') AS w
+           FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS ci)
+           WHERE len(t) >= 8),
+         dfreq AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+         dup AS (SELECT win.doc_id, win.pos FROM win JOIN dfreq USING (w)),
+         isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS st FROM dup),
+         grp AS (SELECT doc_id, pos,
+                 sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+         FROM grp GROUP BY doc_id, g""",
 
     "text_source_cap" ->
       s"""SELECT source, doc_id, CAST(rk AS INT) AS rk, quality FROM (

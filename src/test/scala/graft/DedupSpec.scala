@@ -178,6 +178,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, "x y z", 2L)))
   }
 
+  test("span dedup merges overlapping duplicated windows into maximal spans") {
+    // docs 1 and 2 share the 4-token passage "p q r s" embedded at
+    // different offsets; W=2 windows [p q][q r][r s] are each
+    // duplicated, and they overlap → ONE merged span per doc covering
+    // exactly the shared passage. The surrounding tokens are unique,
+    // so span boundaries are tight.
+    val d = docs(
+      (1L, "a b p q r s c d"),
+      (2L, "e f g p q r s h"))
+    val got = Dedup.spanDedup(d, windowTokens = 2)
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 6L, 4L), (2L, 3L, 7L, 4L)))
+  }
+
+  test("span dedup catches within-doc repetition and keeps disjoint spans apart") {
+    // "x y" repeats inside one doc at positions 0 and 4, separated by
+    // unique tokens → two disjoint 2-token spans, not one merged span;
+    // a doc with no repeated window yields no rows
+    val d = docs(
+      (1L, "x y a b x y c d"),
+      (2L, "m n o p q"))
+    val got = Dedup.spanDedup(d, windowTokens = 2)
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L, 2L), (1L, 4L, 6L, 2L)))
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)
