@@ -587,6 +587,68 @@ object Dedup {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** Duplicated-span REMOVAL — [[spanDedup]]'s detection followed by
+    * the actual rewrite step of Lee et al. 2022: the corpus-FIRST
+    * occurrence (min (doc_id, pos)) of every duplicated window
+    * survives; a token is dropped iff every duplicated window
+    * covering it is a non-surviving occurrence (a token under any
+    * surviving occurrence — or under no duplicated window — stays).
+    * Within-document repetition keeps the first copy. Every document
+    * round-trips: unchanged docs return their full text, fully-dropped
+    * docs return `clean_text = ""`.
+    *
+    * Scale shape: the window stream and duplication test are
+    * [[spanDedup]]'s (row-local generation, combinable count + first-
+    * occurrence min-struct per window key, AQE-splittable join back —
+    * never a window function over the window key). Only DUPLICATED
+    * occurrences explode to covered token positions (W rows each — the
+    * duplicated fraction of the corpus, not all of it); the drop-set
+    * folds to ONE sorted array per document (bounded by document
+    * length) and the rewrite is row-local: a left join of `documents`
+    * against the per-doc drop-set, then an in-row indexed filter —
+    * the full token stream is never shuffled. */
+  def spanDedupClean(documents: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val W = windowTokens
+    val toks = split(col("text"), " ")
+    val occ = documents
+      .where(size(toks) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(toks) - W),
+          i => array_join(slice(toks, i + 1, lit(W)), " "))))
+      .toDF("doc_id", "pos", "win")
+    // duplicated windows with their corpus-first occurrence
+    val winStats = occ.groupBy("win")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("c") > 1)
+      .select(col("win"),
+        col("first.doc_id").as("fd"), col("first.pos").as("fp"))
+    val dupOcc = occ.join(winStats.hint("shuffle_hash"), "win")
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("fd") && col("pos") === col("fp"))
+          .cast("int").as("surv"))
+    // a covered position is dropped iff NO covering occurrence survives
+    val drops = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + W - 1)).as("p"),
+        col("surv"))
+      .groupBy("doc_id", "p")
+      .agg(max(col("surv")).as("any_surv"))
+      .where(col("any_surv") === 0)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("drop_ps"))
+    // row-local rewrite: indexed filter against the per-doc drop set
+    documents
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(transform(toks, (t, i) => struct(i.as("i"), t.as("t"))),
+            s => !coalesce(
+              array_contains(col("drop_ps"), s.getField("i")), lit(false))),
+          s => s.getField("t")), " ").as("clean_text"),
+        coalesce(size(col("drop_ps")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
     * frequencies: candidate generation only indexes each document's
     * prefix — its ⌊(1−t)·|sh|⌋+1 globally-*rarest* shingles (rarity =

@@ -75,6 +75,13 @@ object TextQueries {
     "dedup_spans" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d), windowTokens = 8)),
 
+    // the removal step: corpus-first occurrence of each duplicated
+    // window survives, covered-only-by-copies tokens are dropped,
+    // text rebuilt in-row; every doc round-trips (unchanged docs
+    // included, fully-dropped docs with clean_text = '')
+    "dedup_spans_clean" -> ((s, d) =>
+      Dedup.spanDedupClean(Tables.documents(s, d), windowTokens = 8)),
+
     // per-domain cap (CommonCrawl-style: at most N pages per host so
     // no domain dominates the training mix): top-10 docs per source by
     // (quality desc, doc_id). Two-phase salted windows — the partial
@@ -1089,6 +1096,42 @@ object TextQueries {
                 CAST(max(pos) + 8 AS BIGINT) AS span_end,
                 CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
          FROM grp GROUP BY doc_id, g""",
+
+    // detection as in dedup_spans; survivor = row_number 1 by
+    // (doc_id, pos) per window; dropped = covered position with no
+    // surviving coverage; rebuild by anti-join + ordered string_agg,
+    // LEFT-joined from documents so every doc round-trips
+    "dedup_spans_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         win AS (
+           SELECT doc_id, ci AS pos, array_to_string(t[ci+1 : ci+8], ' ') AS w
+           FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS ci)
+           WHERE len(t) >= 8),
+         dup AS (
+           SELECT doc_id, pos,
+                  CASE WHEN row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) = 1
+                       THEN 1 ELSE 0 END AS surv
+           FROM (SELECT *, count(*) OVER (PARTITION BY w) AS c FROM win)
+           WHERE c > 1),
+         cov AS (
+           SELECT doc_id, pos + k AS p, max(surv) AS any_surv
+           FROM dup, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)
+           GROUP BY doc_id, pos + k),
+         dropped AS (SELECT doc_id, p FROM cov WHERE any_surv = 0),
+         tok AS (
+           SELECT doc_id, i AS p, t[i+1] AS tk
+           FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1)) AS i)),
+         kept AS (
+           SELECT tok.doc_id, tok.p, tok.tk FROM tok
+           ANTI JOIN dropped ON tok.doc_id = dropped.doc_id AND tok.p = dropped.p)
+         SELECT d.doc_id,
+                coalesce(k.ct, '') AS clean_text,
+                CAST(coalesce(dr.nd, 0) AS BIGINT) AS n_dropped
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+                    FROM kept GROUP BY doc_id) k USING (doc_id)
+         LEFT JOIN (SELECT doc_id, count(*) AS nd
+                    FROM dropped GROUP BY doc_id) dr USING (doc_id)""",
 
     "text_source_cap" ->
       s"""SELECT source, doc_id, CAST(rk AS INT) AS rk, quality FROM (

@@ -206,6 +206,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 2L, 2L), (1L, 4L, 6L, 2L)))
   }
 
+  test("span removal keeps the corpus-first copy and rewrites the others") {
+    // shared passage "p q r s": doc1 owns every first occurrence and
+    // is untouched; doc2's copy is covered only by non-surviving
+    // windows and is excised. Docs round-trip (doc1 unchanged).
+    val d = docs(
+      (1L, "a b p q r s c d"),
+      (2L, "e f g p q r s h"))
+    val got = Dedup.spanDedupClean(d, windowTokens = 2)
+      .select("doc_id", "clean_text", "n_dropped")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a b p q r s c d", 0L),
+      (2L, "e f g h", 4L)))
+  }
+
+  test("span removal keeps the first within-doc copy; clean docs unchanged") {
+    val d = docs(
+      (1L, "x y a b x y c d"),
+      (2L, "m n o p q"))
+    val got = Dedup.spanDedupClean(d, windowTokens = 2)
+      .select("doc_id", "clean_text", "n_dropped")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "x y a b c d", 2L),
+      (2L, "m n o p q", 0L)))
+  }
+
   test("LSH candidates cover all true near-dups on real documents") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val truth = Dedup.ngramJaccard(d, 3, 0.5)
