@@ -190,6 +190,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "df aggregation is not partial (map-side combinable)")
   }
 
+  test("span dedup tests duplication by aggregation + hash join, not a window") {
+    // same funnel discipline as dedup_ngram_prefix: a boilerplate
+    // window key's postings must never pass through one window task,
+    // and the join back onto the occurrence stream must be a hash
+    // build (SMJ would sort the stream by window string); the only
+    // window functions allowed are the per-document interval merge
+    for (q <- Seq("dedup_spans", "dedup_spans_clean")) {
+      val p = finalPlan(q)
+      assert(!"windowspecdefinition\\(win".r.findFirstIn(p).isDefined,
+        s"$q: duplication test windows over the window key:\n" + p.take(1200))
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: occurrence join is not a hash build:\n" + p.take(1200))
+      assert(p.contains("partial_"),
+        s"$q: window-frequency aggregation is not map-side combinable")
+    }
+  }
+
   test("text_gopher_quality is row-local: no aggregate, window, or hash shuffle") {
     // dup/top n-gram fractions are functions of one row — the kernel
     // plan must be scan → project → filter → project, nothing else
