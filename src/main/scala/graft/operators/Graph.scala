@@ -141,46 +141,48 @@ object Graph {
     * windows, nothing driver-side, every shuffle keyed on node or
     * edge ids. */
   def triangleCounts(undRaw: DataFrame): DataFrame = {
-    // The edge relation is read twice (degree count + orientation) —
-    // Spark plan branches never share work, so without materialization
-    // the upstream edge construction (often an expensive join) re-runs
-    // per branch. Same protocol as pageRank: checkpoint, release on
-    // every path.
-    val und = undRaw.select(col("a"), col("b")).localCheckpoint(true)
+    // Adjacency-FIRST: one symmetric explode + groupBy builds every
+    // node's full neighbor list, and the node's degree rides in-row
+    // as size(nbrs) — so orientation needs only ONE |V|-row degree
+    // join (onto the exploded stream, for the far endpoint's degree)
+    // instead of the two joins a flat (a, b, da, db) attachment
+    // costs. The upstream edge construction now has a SINGLE
+    // consumer, so it fuses into the groupBy with no checkpoint
+    // materialization. adjFull is the relation read twice (stream +
+    // far-degree side) — persisted, not checkpointed: the groupBy
+    // leaves it hash(node)-partitioned, InMemoryRelation keeps that
+    // layout under AQE (a checkpoint's LogicalRDD loses it), so the
+    // stream branch re-reads it with no exchange.
+    val adjFull = undRaw
+      .select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr")),
+        struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(collect_list(col("e.nbr")).as("all_nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      // shuffle_hash on the degree side: the node relation is |V| rows
-      // vs |E| edges, and a hash build avoids sorting the edge list
-      // twice (SMJ would; neither side is broadcast-safe at scale)
-      val withDeg = und
-        .join(deg.select(col("node").as("a"), col("deg").as("da"))
-          .hint("shuffle_hash"), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db"))
-          .hint("shuffle_hash"), "b")
-      // orient from the (deg, id)-smaller endpoint; ids are unique so
-      // the order is total even between equal-degree endpoints
-      val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-      val oriented = withDeg.select(
-        when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      // the oriented ADJACENCY is the relation read twice (edge stream
-      // + closure side), so it is what gets materialized — oriented
-      // edges flow straight into the groupBy, un-checkpointed.
-      // PERSISTED, not checkpointed: the groupBy leaves it
-      // hash(src)-partitioned and InMemoryRelation keeps that layout
-      // (a checkpoint's LogicalRDD reports unknown partitioning under
-      // AQE), so the closure join's build side needs NO exchange —
-      // only the exploded wedge stream moves. Same fixed-relation
-      // persist rationale as pageRank's edge list.
-      val adj = oriented.groupBy(col("src"))
-        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      adjFull.count() // one eager job; both consumers then hit memory
+      // (deg, id)-orientation: keep u→v iff (deg_u, u) < (deg_v, v);
+      // ids are unique so the order is total even between equal
+      // degrees. shuffle_hash on the |V|-row degree side — SMJ would
+      // sort the 2|E| exploded stream.
+      val degs = adjFull.select(col("node").as("v"),
+        size(col("all_nbrs")).as("dv"))
+      val oriented = adjFull
+        .select(col("node").as("u"), size(col("all_nbrs")).as("du"),
+          explode(col("all_nbrs")).as("v"))
+        .join(degs.hint("shuffle_hash"), "v")
+        .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      // the oriented ADJACENCY is again read twice (edge stream +
+      // closure side) — same persist rationale
+      val adj = oriented.groupBy(col("u").as("src"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        adj.count() // one eager job; two consumers then both hit memory
+        adj.count()
         trianglePlan(adj).localCheckpoint(true)
       } finally adj.unpersist(blocking = false)
-    } finally Storage.unpersistLocalCheckpoint(und)
+    } finally adjFull.unpersist(blocking = false)
   }
 
   /** The edge-iterator closure over the materialized oriented
