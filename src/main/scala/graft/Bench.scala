@@ -61,9 +61,18 @@ object Bench {
       "\"" + n + "\":" + passes.map(_(n)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_passes":$qp,"wall_sec":$wallSec,"process_cpu_sec":$cpuSec,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // self-capture: the driver's stdout window has truncated this line
+    // two rounds running (BENCH_r05/r06 "parsed": null), so also write
+    // it where the round artifact can always recover it in full.
+    for (p <- Seq("/tmp/graft_bench.json",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_selfcapture.json")))
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] write $p: $e") }
     spark.stop()
   }
 }

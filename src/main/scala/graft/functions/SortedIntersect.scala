@@ -6,11 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: intersection of two SORTED-ascending
-  * `array<long>` columns by two-pointer merge, with whole-stage
-  * codegen.
+  * `array<long>` (or `array<int>`) columns by two-pointer merge, with
+  * whole-stage codegen.
   *
   * Why a custom Expression (SURVEY.md §7.4 "custom only-if-needed"):
   * `array_intersect` is input-order-agnostic, so it builds a hash set
@@ -38,29 +38,50 @@ case class SortedIntersect(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect expects (array<bigint>, array<bigint>), got " +
+        s"sorted_intersect expects (array<bigint>, array<bigint>) or " +
+          s"(array<int>, array<int>), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isInt: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  override def dataType: DataType =
+    ArrayType(if (isInt) IntegerType else LongType, containsNull = false)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
-    val buf = new Array[Long](math.min(nx, ny))
-    var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val xi = x.getLong(i)
-      val yj = y.getLong(j)
-      if (xi == yj) { buf(c) = xi; c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+    if (isInt) {
+      val buf = new Array[Int](math.min(nx, ny))
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xi = x.getInt(i)
+        val yj = y.getInt(j)
+        if (xi == yj) { buf(c) = xi; c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
+    } else {
+      val buf = new Array[Long](math.min(nx, ny))
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xi = x.getLong(i)
+        val yj = y.getLong(j)
+        if (xi == yj) { buf(c) = xi; c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -72,15 +93,16 @@ case class SortedIntersect(left: Expression, right: Expression)
     val c = ctx.freshName("c")
     val xi = ctx.freshName("xi")
     val yj = ctx.freshName("yj")
+    val (jt, get) = if (isInt) ("int", "getInt") else ("long", "getLong")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
-         |long[] $buf = new long[java.lang.Math.min($nx, $ny)];
+         |$jt[] $buf = new $jt[java.lang.Math.min($nx, $ny)];
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
+         |  $jt $xi = $a.$get($i);
+         |  $jt $yj = $b.$get($j);
          |  if ($xi == $yj) { $buf[$c++] = $xi; $i++; $j++; }
          |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}

@@ -121,13 +121,17 @@ object Graph {
         (lit(BASE) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
   }
 
-  /** Per-node triangle counts over an undirected simple graph
-    * `und(a, b)` (canonical: a < b, distinct). Degree-ordered
-    * orientation (Chiba–Nishizeki / the standard MapReduce triangle
-    * recipe, public): every edge is directed from its
-    * (degree, id)-smaller endpoint, wedges are built only at a
-    * node's OUT-neighbors, and each triangle is found exactly once —
-    * at its (degree, id)-minimal vertex.
+  /** Per-node triangle counts over an undirected graph `und(a, b)`
+    * in canonical form (a < b, no self-loops). Parallel edges are
+    * ACCEPTED and deduped in-row by the adjacency build (collect_set)
+    * — callers building co-occurrence edges should NOT pre-distinct
+    * the pair multiset; that is a full extra shuffle of the largest
+    * relation in the query. Degree-ordered orientation
+    * (Chiba–Nishizeki / the standard MapReduce triangle recipe,
+    * public): every edge is directed from its (degree, id)-smaller
+    * endpoint, wedges are built only at a node's OUT-neighbors, and
+    * each triangle is found exactly once — at its (degree,
+    * id)-minimal vertex.
     *
     * Why this survives 100× data: the naive wedge join explodes on
     * hubs (Σ deg² — a celebrity node with degree 10⁶ contributes
@@ -135,54 +139,76 @@ object Graph {
     * (arboricity bound), so wedge volume is Σ outdeg² ≤ E·√E
     * worst-case and near-linear on real skewed graphs — the hub's
     * edges all point INTO it and generate no wedges there. Plan
-    * shape: two degree joins (keyed on the edge endpoints), one
-    * self-join on the oriented source, one closure semi-probe
-    * against the canonical edge set, one combinable count — no
-    * windows, nothing driver-side, every shuffle keyed on node or
-    * edge ids. */
-  def triangleCounts(undRaw: DataFrame): DataFrame = {
-    // Adjacency-FIRST: one symmetric explode + groupBy builds every
-    // node's full neighbor list, and the node's degree rides in-row
-    // as size(nbrs) — so orientation needs only ONE |V|-row degree
-    // join (onto the exploded stream, for the far endpoint's degree)
-    // instead of the two joins a flat (a, b, da, db) attachment
-    // costs. The upstream edge construction now has a SINGLE
-    // consumer, so it fuses into the groupBy with no checkpoint
-    // materialization. adjFull is the relation read twice (stream +
-    // far-degree side) — persisted, not checkpointed: the groupBy
-    // leaves it hash(node)-partitioned, InMemoryRelation keeps that
-    // layout under AQE (a checkpoint's LogicalRDD loses it), so the
-    // stream branch re-reads it with no exchange.
-    val adjFull = undRaw
+    * shape: two adjacency groupBys (symmetric explode, then a
+    * degree-carrying regroup that orients in-row — no degree join),
+    * one closure hash join on the oriented source, one combinable
+    * count — no windows, nothing driver-side, every shuffle keyed
+    * on node or edge ids. */
+  def triangleCounts(undRaw: DataFrame, packIds: Boolean = true): DataFrame = {
+    // Int-packing (default): node ids ride every adjacency array AND
+    // the Σ outdeg² closure-join payload, so 4-byte elements halve
+    // the bytes cached, shuffled, and scanned by the intersection
+    // kernel vs array<long>. Guarded per-row: an id outside int32
+    // raises with instructions rather than silently corrupting —
+    // callers with >2^31 id spaces pass packIds = false and keep the
+    // long path (same plan, wider payload).
+    val und =
+      if (!packIds) undRaw.select(col("a"), col("b"))
+      else {
+        def toInt(c: org.apache.spark.sql.Column) =
+          when(c.between(Int.MinValue, Int.MaxValue), c.cast("int"))
+            .otherwise(raise_error(concat(lit("triangleCounts: node id "),
+              c.cast("string"), lit(" exceeds int32; use packIds=false"))))
+        undRaw.select(toInt(col("a")).as("a"), toInt(col("b")).as("b"))
+      }
+    // Adjacency-FIRST, join-free orientation (two groupBys, ZERO
+    // joins, one persist): pass 1's symmetric explode + groupBy
+    // builds every node's full neighbor list with its degree in-row
+    // as size(all_nbrs). Pass 2 re-emits each adjacency entry as
+    // (v, struct(du, u)) and regroups by v — node v then holds ALL
+    // its neighbors with THEIR degrees attached, and its own degree
+    // is just size(ins), so the (deg, id)-orientation
+    // (keep u→v iff (du, u) < (dv, v); ids unique, so the order is
+    // total even between equal degrees) becomes an in-row filter.
+    // This replaces the former |V|-row degree join + post-join
+    // groupBy (profiled at ~40% of the pipeline, r7) with one
+    // regroup of the same 2|E| stream, and leaves the full adjacency
+    // with a SINGLE consumer — so it fuses into this pipeline and no
+    // longer needs its own persist + eager count.
+    val adj = und
       .select(explode(array(
         struct(col("a").as("node"), col("b").as("nbr")),
         struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
       .groupBy(col("e.node").as("node"))
-      .agg(collect_list(col("e.nbr")).as("all_nbrs"))
+      // collect_SET: parallel edges dedupe inside the adjacency
+      // groupBy itself, so a multigraph input needs NO upstream
+      // .distinct() — that was a full extra shuffle of the pair
+      // multiset, the largest relation in co-occurrence queries
+      .agg(collect_set(col("e.nbr")).as("all_nbrs"))
+      .select(col("node").as("u"), size(col("all_nbrs")).as("du"),
+        explode(col("all_nbrs")).as("v"))
+      .groupBy(col("v"))
+      .agg(collect_list(struct(col("du"), col("u"))).as("ins"))
+      .select(col("v").as("src"),
+        array_sort(transform(
+          filter(col("ins"), e => struct(size(col("ins")), col("v")) <
+            struct(e.getField("du"), e.getField("u"))),
+          e => e.getField("u"))).as("nbrs"))
+      // the oriented adjacency is read twice (edge stream + closure
+      // build side) — persisted, not checkpointed: the groupBy leaves
+      // it hash(v)-partitioned, InMemoryRelation keeps that layout
+      // under AQE (a checkpoint's LogicalRDD loses it), so the stream
+      // branch re-reads it with no exchange.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      adjFull.count() // one eager job; both consumers then hit memory
-      // (deg, id)-orientation: keep u→v iff (deg_u, u) < (deg_v, v);
-      // ids are unique so the order is total even between equal
-      // degrees. shuffle_hash on the |V|-row degree side — SMJ would
-      // sort the 2|E| exploded stream.
-      val degs = adjFull.select(col("node").as("v"),
-        size(col("all_nbrs")).as("dv"))
-      val oriented = adjFull
-        .select(col("node").as("u"), size(col("all_nbrs")).as("du"),
-          explode(col("all_nbrs")).as("v"))
-        .join(degs.hint("shuffle_hash"), "v")
-        .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
-      // the oriented ADJACENCY is again read twice (edge stream +
-      // closure side) — same persist rationale
-      val adj = oriented.groupBy(col("u").as("src"))
-        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        adj.count()
-        trianglePlan(adj).localCheckpoint(true)
-      } finally adj.unpersist(blocking = false)
-    } finally adjFull.unpersist(blocking = false)
+      adj.count() // one eager job; both closure consumers hit memory
+      // output contract is (bigint node_id, bigint n_triangles)
+      // regardless of the internal packing (no-op cast when unpacked)
+      trianglePlan(adj)
+        .select(col("node_id").cast("long").as("node_id"),
+          col("n_triangles"))
+        .localCheckpoint(true)
+    } finally adj.unpersist(blocking = false)
   }
 
   /** The edge-iterator closure over the materialized oriented

@@ -228,6 +228,10 @@ object Similarity {
       Storage.unpersistLocalCheckpoint(cents)
       throw t
     }
+    // post-loop encode/LUT/top-k under try/finally: a failure here
+    // must release sliced + cents just like a training failure — the
+    // eager localCheckpoint(true) below is the last reader of either
+    try {
     val cb = cents
       .select(col("m"), explode(col("cents")).as("c"))
       .select(col("m"), col("c.cw_k").as("cw_k"), col("c.cw").as("cw"))
@@ -261,11 +265,12 @@ object Similarity {
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
     // materialize the (queries × k)-row answer, then release the
     // sliced corpus and trained codebooks — storage-flat like kmeans
-    val out = saltedTopK(scored, score = "adc_dist", ascending = true,
+    saltedTopK(scored, score = "adc_dist", ascending = true,
       k = k, salts = salts).localCheckpoint(true)
-    Storage.unpersistLocalCheckpoint(sliced)
-    Storage.unpersistLocalCheckpoint(cents)
-    out
+    } finally {
+      Storage.unpersistLocalCheckpoint(sliced)
+      Storage.unpersistLocalCheckpoint(cents)
+    }
   }
 
   /** Two-stage retrieval — THE production ANN serving shape: a cheap
@@ -574,6 +579,12 @@ object Similarity {
         .localCheckpoint(true)
       Storage.unpersistLocalCheckpoint(centsRow)
       centsRow = next
+    } catch { case t: Throwable =>
+      // release-on-failure: a mid-loop job failure must not strand the
+      // current round's centroid checkpoint (same protocol as
+      // pqKnnTrained / connectedComponents)
+      Storage.unpersistLocalCheckpoint(centsRow)
+      throw t
     } finally Storage.unpersistLocalCheckpoint(emb)
     centsRow
       .select(explode(col("cents")).as("c"))

@@ -67,7 +67,12 @@ object CoreQueries {
         .agg(count(lit(1)).as("n0"),
           sum(col("o_totalprice").cast(DecimalType(12, 2))).as("p0"))
       base.rollup("o_orderstatus", "o_orderpriority")
-        .agg(sum(col("n0")).as("n"), sum(col("p0")).cast("double").as("sum_price"))
+        // coalesce: on EMPTY input the pre-aggregate emits zero rows,
+        // so phase 2's grand-total row would get n = sum() = NULL
+        // where single-phase count(*) = 0 (sum_price is NULL either
+        // way). No-op on non-empty input.
+        .agg(coalesce(sum(col("n0")), lit(0L)).as("n"),
+          sum(col("p0")).cast("double").as("sum_price"))
     }),
 
     // Two-phase cube: pre-aggregate on the FULL group key, then cube
@@ -85,7 +90,9 @@ object CoreQueries {
         .agg(count(lit(1)).as("n0"),
           sum(col("l_quantity").cast(DecimalType(12, 2))).as("q0"))
       base.cube("l_returnflag", "l_linestatus")
-        .agg(sum(col("n0")).as("n"), sum(col("q0")).cast("double").as("sum_qty"))
+        // coalesce: empty-input grand-total row (see q_rollup)
+        .agg(coalesce(sum(col("n0")), lit(0L)).as("n"),
+          sum(col("q0")).cast("double").as("sum_qty"))
     }),
 
     // predicate aggregates + deterministic argmax/argmin: the ordering
@@ -129,7 +136,8 @@ object CoreQueries {
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           grouping_id().cast("int").as("gid"),
-          sum(col("n0")).as("n"),
+          // coalesce: empty-input grand-total row (see q_rollup)
+          coalesce(sum(col("n0")), lit(0L)).as("n"),
           sum(col("p0")).cast("double").as("sum_price"))
     }),
 

@@ -97,9 +97,12 @@ object Profile {
       graft.operators.Storage.unpersistLocalCheckpoint(m)
     }
 
+    // Staged profile of the CURRENT adjacency-first triangle pipeline
+    // (VERDICT r6 "wrong" #1): splits adjacency build / orientation /
+    // closure join / intersection+agg, A/B long vs int-packed ids.
     run("tridebug") {
       val li = graft.Tables.lineitem(spark, sfDir)
-      val und = li
+      val undL = li
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(flatten(transform(col("ps"), (a, i) =>
@@ -108,26 +111,65 @@ object Profile {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
         .localCheckpoint(true)
-      und.count()
-      for (i <- 1 to 3) {
-        val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val withDeg = und
-          .join(deg.select(col("node").as("a"), col("deg").as("da"))
-            .hint("shuffle_hash"), "a")
-          .join(deg.select(col("node").as("b"), col("deg").as("db"))
-            .hint("shuffle_hash"), "b")
-        val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-        val oriented = time(s"orientation #$i")(withDeg.select(
-          when(aFirst, col("a")).otherwise(col("b")).as("src"),
-          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-          .localCheckpoint(true))
-        val tri = time(s"trianglePlan #$i")(
-          graft.operators.Graph.trianglePlan(oriented).localCheckpoint(true))
-        graft.operators.Storage.unpersistLocalCheckpoint(oriented)
-        graft.operators.Storage.unpersistLocalCheckpoint(tri)
+      println("  |und| = " + undL.count())
+      for (pack <- Seq(false, true); i <- 1 to 3) {
+        val tag = if (pack) "int" else "long"
+        val und = if (pack)
+          undL.select(col("a").cast("int").as("a"), col("b").cast("int").as("b"))
+          else undL
+        // stage A: full adjacency (explode + groupBy + persist)
+        val adjFull = und
+          .select(explode(array(
+            struct(col("a").as("node"), col("b").as("nbr")),
+            struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+          .groupBy(col("e.node").as("node"))
+          .agg(collect_list(col("e.nbr")).as("all_nbrs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time(s"[$tag #$i] A adjFull build")(adjFull.count())
+        // stage B: orientation join + oriented adjacency (persist)
+        val degs = adjFull.select(col("node").as("v"),
+          size(col("all_nbrs")).as("dv"))
+        val adj = adjFull
+          .select(col("node").as("u"), size(col("all_nbrs")).as("du"),
+            explode(col("all_nbrs")).as("v"))
+          .join(degs.hint("shuffle_hash"), "v")
+          .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+          .groupBy(col("u").as("src"))
+          .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time(s"[$tag #$i] B orient+adj")(adj.count())
+        println("    Σ outdeg  = " + adj.agg(sum(size(col("nbrs")))).first.getLong(0))
+        println("    Σ outdeg² = " + adj.agg(
+          sum(size(col("nbrs")).cast("long") * size(col("nbrs")))).first.getLong(0))
+        // stage C1: closure join only (ship nu, probe v, no intersect)
+        val edges = adj
+          .select(col("src").as("u"), col("nbrs").as("nu"),
+            explode(col("nbrs")).as("v"))
+        val joined = edges
+          .join(adj.select(col("src").as("v_"), col("nbrs").as("nv"))
+            .hint("shuffle_hash"), col("v") === col("v_"))
+        time(s"[$tag #$i] C1 closure join")(
+          joined.select(col("u")).groupBy().count().first)
+        // stage C2: join + intersect, combinable sum only (no per-node
+        // contribution shuffle)
+        time(s"[$tag #$i] C2 +intersect sum")(
+          joined.select(size(graft.functions.SortedIntersect(
+            col("nu"), col("nv"))).cast("long").as("t"))
+            .agg(sum(col("t"))).first)
+        // stage C3: the full trianglePlan (intersect + contribution agg)
+        time(s"[$tag #$i] C3 full closure")(
+          noop(graft.operators.Graph.trianglePlan(adj)))
+        adj.unpersist(blocking = false)
+        adjFull.unpersist(blocking = false)
       }
-      graft.operators.Storage.unpersistLocalCheckpoint(und)
+      // end-to-end, both packings, via the public operator
+      for (pack <- Seq(false, true); i <- 1 to 3) {
+        val t = time(s"[e2e pack=$pack #$i] triangleCounts")(
+          graft.operators.Graph.triangleCounts(undL, packIds = pack))
+        time(s"  consume")(noop(t))
+        graft.operators.Storage.unpersistLocalCheckpoint(t)
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(undL)
     }
 
     run("kmdebug") {

@@ -267,9 +267,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("pageRank round: pre-partitioned edges never re-exchange") {
     // the per-round exchange budget is O(|V|): the contrib shuffle and
     // the inbound aggregation. The edge list arrives hash-partitioned
-    // on src from its one-time checkpoint (LogicalRDD preserves
-    // outputPartitioning), so a third exchange — re-shuffling |E| edge
-    // rows every round — must NOT appear.
+    // on src from its persisted InMemoryRelation (which preserves the
+    // hash(src) outputPartitioning under AQE — a checkpoint's
+    // LogicalRDD does NOT, see Graph.scala), so a third exchange —
+    // re-shuffling |E| edge rows every round — must NOT appear.
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val edges = (1L to 300L).map(i => (i % 40, i % 37)).toDF("src", "dst")

@@ -10,7 +10,24 @@ diffs canonicalized results. This is the cheap way to catch semantic
 gaps the hand-written oracles never exercise. Dev tool only (PySpark /
 DuckDB are driver-side deps, like tools/check.py).
 
-Grammar notes — kept inside the dialect intersection on purpose:
+Grammar (each seed draws one shape):
+ - set ops (UNION [ALL] / INTERSECT / EXCEPT) over filtered projections;
+ - window functions over a total (unique-key) order: row_number /
+   rank / dense_rank / framed running sum / lag;
+ - IN / NOT IN subqueries on join keys;
+ - correlated EXISTS / NOT EXISTS (the semi/anti-join plans);
+ - INNER / LEFT / FULL OUTER joins (LEFT keeps its filter on the
+   preserved side; FULL runs unfiltered so null-extended rows from
+   both sides survive to the diff);
+ - GROUP BY aggregates (count(*) / count(expr) / sum / min / max)
+   with optional HAVING;
+ - order-limited projections.
+ - NULL literals enter via nullif(...) and ELSE-less CASE arms inside
+   expressions, and IS [NOT] NULL / null-crossing comparisons in
+   predicates — exercising three-valued logic in filters, join
+   conditions, and aggregation skips.
+
+Dialect-intersection rules kept on purpose:
  - ORDER BY always lists every output column with explicit NULLS
    FIRST (the engines' default null order differs, and only a total
    order makes LIMIT deterministic);
@@ -51,13 +68,23 @@ def int_expr(rng, cols, depth=0):
     c = rng.choice(cols)
     if depth >= 2 or rng.random() < 0.45:
         return c
-    form = rng.randrange(4)
+    form = rng.randrange(6)
     if form == 0:
         return f"({int_expr(rng, cols, depth+1)} + {int_expr(rng, cols, depth+1)})"
     if form == 1:
         return f"abs({int_expr(rng, cols, depth+1)} - {int_expr(rng, cols, depth+1)})"
     if form == 2:
         return f"(abs({int_expr(rng, cols, depth+1)}) % {rng.randrange(2, 20)})"
+    if form == 3:
+        # NULL injection: nullif turns a value band into NULLs that
+        # must then flow identically through arithmetic, predicates,
+        # aggregation skips, and NULLS FIRST ordering
+        return (f"nullif((abs({int_expr(rng, cols, depth+1)}) % "
+                f"{rng.randrange(2, 20)}), {rng.randrange(0, 6)})")
+    if form == 4:
+        # ELSE-less CASE: the implicit ELSE NULL arm
+        return (f"(CASE WHEN {pred(rng, cols, [], depth+1)} "
+                f"THEN {int_expr(rng, cols, depth+1)} END)")
     return (f"(CASE WHEN {pred(rng, cols, [], depth+1)} "
             f"THEN {int_expr(rng, cols, depth+1)} "
             f"ELSE {int_expr(rng, cols, depth+1)} END)")
@@ -73,6 +100,14 @@ def pred(rng, int_cols, str_cols, depth=0):
         if rng.random() < 0.5:
             return f"length({c}) > {rng.randrange(5, 20)}"
         return f"{c} IS NOT NULL"
+    if rng.random() < 0.2:
+        # explicit NULL tests over expressions that CAN be null (the
+        # nullif / ELSE-less CASE forms above) — and, via the
+        # comparison branch below, NULL-crossing comparisons whose
+        # UNKNOWN result a WHERE must drop in both engines
+        e = int_expr(rng, int_cols, depth + 1)
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"{e} IS {neg}NULL"
     cmp = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
     lhs = int_expr(rng, int_cols, depth + 1)
     if rng.random() < 0.5:
@@ -100,14 +135,24 @@ def gen_query(rng):
         q2 = f"SELECT {cols} FROM {t} WHERE {pred(rng, ints, strs)}"
         return f"SELECT a, b FROM ({q1} {op} {q2}) u"
     if shape < 0.24:
-        # window ranking over a deterministic (unique-key) order
+        # window functions over a deterministic (unique-key) order:
+        # ranking family + a framed running sum + lag (frame and
+        # offset semantics are where engines actually diverge)
         t = rng.choice(list(TABLES))
         ints, strs = TABLES[t]["int"], TABLES[t]["str"]
         key = TABLES[t]["key"]
         part = rng.choice(strs + [f"(abs({rng.choice(ints)}) % 5)"])
-        fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
-        return (f"SELECT {key} AS k, {fn} OVER "
-                f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST) AS w "
+        over = f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST)"
+        w = rng.choice([
+            f"row_number() OVER {over}",
+            f"rank() OVER {over}",
+            f"dense_rank() OVER {over}",
+            f"CAST(sum({int_expr(rng, ints)}) OVER "
+            f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"lag({rng.choice(ints)}, {rng.randrange(1, 3)}) OVER {over}",
+        ])
+        return (f"SELECT {key} AS k, {w} AS w "
                 f"FROM {t} WHERE {pred(rng, ints, strs)}")
     if shape < 0.34:
         # IN / NOT IN subquery on a join key (keys are non-null)
@@ -118,9 +163,23 @@ def gen_query(rng):
                 f"WHERE {k1} {neg}IN (SELECT {k2} FROM {t2} "
                 f"WHERE {pred(rng, TABLES[t2]['int'], TABLES[t2]['str'])}) "
                 f"AND {pred(rng, ints, strs)}")
-    if shape < 0.55:
+    if shape < 0.44:
+        # correlated EXISTS / NOT EXISTS — the semi/anti-join plans,
+        # written in the dialect-shared form (Spark's LEFT SEMI JOIN
+        # and DuckDB's SEMI JOIN spellings differ)
         t1, t2, k1, k2 = rng.choice(JOINS)
-        jt = "LEFT JOIN" if rng.random() < 0.35 else "JOIN"
+        neg = "NOT " if rng.random() < 0.5 else ""
+        in2 = [f"{t2}.{c}" for c in TABLES[t2]["int"]]
+        st2 = [f"{t2}.{c}" for c in TABLES[t2]["str"]]
+        return (f"SELECT {TABLES[t1]['key']} AS k FROM {t1} "
+                f"WHERE {neg}EXISTS (SELECT 1 FROM {t2} "
+                f"WHERE {t2}.{k2} = {t1}.{k1} AND {pred(rng, in2, st2)}) "
+                f"AND {pred(rng, TABLES[t1]['int'], TABLES[t1]['str'])}")
+    full_join = False
+    if shape < 0.62:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        r = rng.random()
+        jt = "FULL JOIN" if r < 0.2 else ("LEFT JOIN" if r < 0.5 else "JOIN")
         frm = f"{t1} {jt} {t2} ON {t1}.{k1} = {t2}.{k2}"
         ints = [f"{t1}.{c}" for c in TABLES[t1]["int"]] + \
                [f"{t2}.{c}" for c in TABLES[t2]["int"]]
@@ -132,19 +191,25 @@ def gen_query(rng):
             # filter on the left side so null-extension survives
             ints = [f"{t1}.{c}" for c in TABLES[t1]["int"]]
             strs = [f"{t1}.{c}" for c in TABLES[t1]["str"]]
+        full_join = jt == "FULL JOIN"
     else:
         t = rng.choice(list(TABLES))
         frm = t
         ints = TABLES[t]["int"]
         strs = TABLES[t]["str"]
-    where = f" WHERE {pred(rng, ints, strs)}" if rng.random() < 0.8 else ""
+    # FULL JOIN runs unfiltered: a WHERE over either side would drop
+    # the null-extended rows that make the shape worth fuzzing
+    where = (f" WHERE {pred(rng, ints, strs)}"
+             if rng.random() < 0.8 and not full_join else "")
     if rng.random() < 0.5:
         # aggregate shape
         g = rng.choice(ints + strs)
         aggs = [f"count(*) AS n",
                 f"CAST(sum({int_expr(rng, ints)}) AS BIGINT) AS s",
                 f"min({int_expr(rng, ints)}) AS mn",
-                f"max({rng.choice(ints)}) AS mx"]
+                f"max({rng.choice(ints)}) AS mx",
+                # count(expr) skips the NULLs the nullif/CASE forms inject
+                f"count({int_expr(rng, ints)}) AS cn"]
         rng.shuffle(aggs)
         aggs = aggs[:rng.randrange(1, len(aggs) + 1)]
         sel = f"{g} AS g, " + ", ".join(aggs)
