@@ -40,6 +40,17 @@ object Bench {
     // self-evident from the spread, as is wall-vs-CPU skew below.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // host-contention bracket: 1-min load average + uptime at start and
+    // end make a contaminated run machine-detectable (load >> cpus, or
+    // an uptime delta far above wall_sec means the host was descheduled)
+    // rather than inferred from per-pass spread after the fact.
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    def uptimeSec(): Double =
+      try scala.util.Using.resource(
+        scala.io.Source.fromFile("/proc/uptime"))(_.mkString)
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val (load0, up0) = (loadAvg(), uptimeSec())
     val wall0 = System.nanoTime()
     val cpu0 = osBean.getProcessCpuTime
     // dev-only: restrict to a comma-separated subset for fast iteration
@@ -61,18 +72,29 @@ object Bench {
       "\"" + n + "\":" + passes.map(_(n)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val (load1, up1) = (loadAvg(), uptimeSec())
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_passes":$qp,"wall_sec":$wallSec,"process_cpu_sec":$cpuSec,""" +
+      s""""load_avg":[$load0,$load1],"uptime_sec":[$up0,$up1],""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // self-capture: the driver's stdout window has truncated this line
     // two rounds running (BENCH_r05/r06 "parsed": null), so also write
     // it where the round artifact can always recover it in full.
-    for (p <- Seq("/tmp/graft_bench.json",
+    // Write-then-atomic-move, and no fixed shared /tmp path: two
+    // concurrent bench JVMs must neither clobber nor tear each other.
+    for (p <- Seq(s"/tmp/graft_bench_${ProcessHandle.current.pid}.json",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_selfcapture.json")))
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable => System.err.println(s"[bench] write $p: $e") }
+      try {
+        val target = java.nio.file.Paths.get(p)
+        val tmp = java.nio.file.Files.createTempFile(
+          target.toAbsolutePath.getParent, ".graft_bench", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable => System.err.println(s"[bench] write $p: $e") }
     spark.stop()
   }
 }

@@ -152,11 +152,20 @@ object Graph {
     // raises with instructions rather than silently corrupting —
     // callers with >2^31 id spaces pass packIds = false and keep the
     // long path (same plan, wider payload).
+    // NULL node ids are out of contract in BOTH modes and rejected
+    // with the same explicit message (a bare between()-guard would
+    // route NULL into raise_error(concat(.., NULL, ..)) == a null
+    // message, while the long path would silently propagate it).
+    val nullMsg = lit("triangleCounts: NULL node id — node ids must be non-null")
     val und =
-      if (!packIds) undRaw.select(col("a"), col("b"))
-      else {
+      if (!packIds) {
+        def guarded(c: org.apache.spark.sql.Column) =
+          when(c.isNull, raise_error(nullMsg)).otherwise(c)
+        undRaw.select(guarded(col("a")).as("a"), guarded(col("b")).as("b"))
+      } else {
         def toInt(c: org.apache.spark.sql.Column) =
-          when(c.between(Int.MinValue, Int.MaxValue), c.cast("int"))
+          when(c.isNull, raise_error(nullMsg))
+            .when(c.between(Int.MinValue, Int.MaxValue), c.cast("int"))
             .otherwise(raise_error(concat(lit("triangleCounts: node id "),
               c.cast("string"), lit(" exceeds int32; use packIds=false"))))
         undRaw.select(toInt(col("a")).as("a"), toInt(col("b")).as("b"))

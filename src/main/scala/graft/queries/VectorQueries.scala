@@ -15,6 +15,22 @@ import graft.operators.{Bloom, Similarity}
   */
 object VectorQueries {
 
+  // All knn_ivf_persisted index dirs of this JVM, cleaned by ONE
+  // shutdown hook (registered with the object, not per invocation);
+  // the Files.walk stream is closed via Using.
+  private val ivfIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    ivfIndexDirs.asScala.filter(Files.exists(_)).foreach { dir =>
+      scala.util.Using(Files.walk(dir)) { st =>
+        st.iterator.asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "knn_brute" -> ((s, d) =>
@@ -59,17 +75,11 @@ object VectorQueries {
       // per-invocation unique dir: concurrent runs (verify + bench, or
       // two scale factors) must not race on a shared fixed path. The
       // serve DataFrame reads the dir lazily, so cleanup is deferred
-      // to JVM exit rather than deleted here.
+      // to JVM exit; one hook drains ivfIndexDirs so a multi-pass
+      // bench doesn't accumulate hooks or index copies past exit.
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
       val path = dir.toAbsolutePath.toString
-      sys.addShutdownHook {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(dir)) {
-          val all = Files.walk(dir).iterator.asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-        }
-      }
+      ivfIndexDirs.add(dir)
       graft.operators.IvfIndex.write(e, seeds, path)
       graft.operators.IvfIndex.serve(s, path,
         e.where(col("vec_id") < 8)

@@ -100,4 +100,42 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(x == y && x.nonEmpty)
   }
+
+  test("packIds=false long path matches brute force and handles ids beyond int32") {
+    // same brute-force comparison as the packed default, but with the
+    // whole id space shifted above Int.MaxValue — the territory the
+    // long path exists for
+    val base = Int.MaxValue.toLong + 1000L
+    val edgeSet: Set[(Long, Long)] =
+      (1L to 10L).map(i => (base, base + i)).toSet ++
+        (1L to 9L).map(i => (base + i, base + i + 1)).toSet ++
+        Set((base + 20L, base + 21L), (base + 20L, base + 22L),
+          (base + 21L, base + 22L), (base + 30L, base + 31L))
+    val und = edgeSet.toSeq.toDF("a", "b")
+    val got = Graph.triangleCounts(und, packIds = false)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refTriangles(edgeSet))
+    assert(got(base) == 9L)
+  }
+
+  test("packed path raises on ids beyond int32; both paths raise on NULL ids") {
+    val big = Seq((Int.MaxValue.toLong + 1L, 1L), (1L, 2L)).toDF("a", "b")
+    val e1 = intercept[Exception] { Graph.triangleCounts(big).collect() }
+    assert(e1.getMessage != null &&
+      exceptionChain(e1).exists(_.contains("packIds=false")),
+      s"wanted int32-overflow guidance, got: ${e1.getMessage}")
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("a", "b")
+    for (pack <- Seq(true, false)) {
+      val e2 = intercept[Exception] {
+        Graph.triangleCounts(withNull, packIds = pack).collect()
+      }
+      assert(exceptionChain(e2).exists(_.contains("non-null")),
+        s"packIds=$pack: wanted explicit NULL-id error, got: ${e2.getMessage}")
+    }
+  }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
 }
