@@ -39,7 +39,10 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies")
 
-  private val MAX_BUCKET = 64 // skew cap: ignore degenerate LSH buckets
+  // skew cap: ignore degenerate LSH buckets (shared with the streaming
+  // form in graft.streaming.StreamingOps, which caps bucket STATE at
+  // the same bound)
+  private[graft] val MAX_BUCKET = 64
 
   /** MinHash signature per document, computed in ONE narrow pass by
     * the [[graft.functions.MinHashSignature]] expression — zero

@@ -224,6 +224,161 @@ object StreamingOps {
       .drop("ingest_ts")
   }
 
+  // ---- streaming fuzzy dedup (MinHash-LSH over micro-batches) ----
+
+  case class BandedDoc(band: Int, band_hash: Long, doc_id: Long,
+      ts: Timestamp, sh: Array[Long])
+  case class BucketEntry(docId: Long, tsMs: Long, sh: Array[Long])
+  case class LshBucketState(entries: List[BucketEntry])
+  case class LshVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+
+  /** Exact Jaccard of two sorted-distinct hash arrays (two-pointer). */
+  private def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** Streaming MinHash-LSH near-dup detection — the incremental form
+    * of [[graft.operators.Dedup.minhashLsh]]. Emits one verdict row
+    * per (doc, band): `dup = true` iff the bucket holds an earlier
+    * (by event time, then doc_id) document within the dedup horizon
+    * whose EXACT shingle-hash Jaccard is >= `threshold`. A document is
+    * a near-duplicate iff ANY of its bands says so; since every
+    * verdict for a doc is emitted in the micro-batch the doc arrives
+    * in, that fold is batch-local ([[admittedFromVerdicts]]) — no
+    * second stateful stage is needed after this one.
+    *
+    * Parity with the batch operator (pinned in StreamingOpsSpec):
+    * signatures come from the same [[graft.functions.MinHashSignature]]
+    * kernel, band keys from the same `xxhash64(slice(signature))`
+    * formula, and verification is exact Jaccard — so on data arriving
+    * within one horizon, drop-set == the batch pairs' later members.
+    * (Batch verifies on shingle STRINGS; the stream stores 8-byte
+    * xxhash64 shingle hashes — equal modulo 64-bit hash collisions.)
+    *
+    * 100 TB design: state is per-(band, band_hash) bucket, holding at
+    * most [[graft.operators.Dedup.MAX_BUCKET]] entries (the batch skew
+    * cap — a boilerplate megabucket stops ADMITTING state, it cannot
+    * grow it), each entry evicted once the event-time watermark passes
+    * its timestamp (EventTimeTimeout cleans idle buckets). So state is
+    * O(buckets-touched-within-horizon × cap), not O(stream). The shuffle
+    * carries each doc's hashed shingle set `bands` times — the price of
+    * verifying in-bucket with zero joins; the batch form instead pays a
+    * second candidate-pair join against the corpus, which has no
+    * incremental analogue. Late data (ts behind the watermark) compares
+    * against whatever state survives — same best-effort contract as
+    * `dropDuplicatesWithinWatermark`. */
+  def minhashLshVerdicts(
+      spark: SparkSession,
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[LshVerdict] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val sigs = docs
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("doc_id"), col("ts"),
+        graft.functions.MinHashSignature(col("text"), shingleN, numHashes)
+          .as("signature"),
+        array_distinct(array_sort(transform(
+          graft.functions.ShingleSet(col("text"), shingleN),
+          s => xxhash64(s)))).as("sh"))
+    // no shingles => no LSH candidates => trivially admitted (matches
+    // the batch form, which drops null signatures before banding)
+    val noSig = sigs.where(col("signature").isNull)
+      .select(col("doc_id"), col("ts"), lit(false).as("dup")).as[LshVerdict]
+    val banded = sigs.where(col("signature").isNotNull)
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * rpb + 1, lit(rpb))))))
+      .toDF("doc_id", "ts", "sh", "band", "band_hash")
+      .as[BandedDoc]
+    val cap = graft.operators.Dedup.MAX_BUCKET
+    val verdicts = banded
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[LshBucketState, LshVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val kept = state.get.entries.filter(_.tsMs >= wm)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(LshBucketState(kept))
+              state.setTimeoutTimestamp(kept.map(_.tsMs).max + horizonMs)
+            }
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            val out = List.newBuilder[LshVerdict]
+            // deterministic arrival order inside the micro-batch
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              val t = r.ts.getTime
+              val dup = entries.exists(e =>
+                (e.tsMs < t || (e.tsMs == t && e.docId < r.doc_id)) &&
+                  jaccardSorted(e.sh, r.sh) >= threshold)
+              out += LshVerdict(r.doc_id, r.ts, dup)
+              if (entries.size < cap)
+                entries = entries :+ BucketEntry(r.doc_id, t, r.sh)
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(LshBucketState(entries))
+              state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+    verdicts.union(noSig)
+  }
+
+  /** Batch-local admission fold over a micro-batch of
+    * [[minhashLshVerdicts]] output: a doc is admitted iff NO band
+    * flagged it. Valid inside `foreachBatch` because every verdict for
+    * a doc lands in the micro-batch the doc arrived in — this is a
+    * per-batch groupBy, not a cross-batch stateful stage. */
+  def admittedFromVerdicts(verdictBatch: DataFrame): DataFrame =
+    verdictBatch.groupBy("doc_id")
+      .agg(min("ts").as("ts"), max(col("dup").cast("int")).as("d"))
+      .where(col("d") === 0)
+      .drop("d")
+
+  /** The pretrain gate with FUZZY dedup: the stateless quality and
+    * language gates of [[pretrainGate]], then streaming MinHash-LSH
+    * instead of exact-hash dedup — near-duplicate crawl records within
+    * the horizon are flagged, not just byte-identical ones. Emits
+    * verdicts; compose with [[admittedFromVerdicts]] in `foreachBatch`
+    * to materialize the admitted corpus. */
+  def pretrainGateFuzzy(
+      spark: SparkSession,
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[LshVerdict] = {
+    import graft.functions.TextFunctions
+    minhashLshVerdicts(
+      spark,
+      docs
+        .where(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .where(TextFunctions.langId(col("text")) =!= "und"),
+      shingleN, numHashes, bands, threshold, horizonMs)
+  }
+
   case class KeyedValue(key: Long, value: Double)
   case class RunningMax(key: Long, max: Double)
 

@@ -281,6 +281,90 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming fuzzy dedup equals the batch minhash-LSH pair law across micro-batches") {
+    // pretrainGateFuzzy (quality -> langid -> streaming MinHash-LSH)
+    // over micro-batches must admit exactly the docs the BATCH law
+    // admits: gated corpus minus the later member of every
+    // Dedup.minhashLsh pair (same kernels, same band formula, exact
+    // Jaccard verify). Mutant near-dup copies of real documents are
+    // planted in the LAST micro-batch so the drop decisions must use
+    // bucket state carried from earlier batches.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions.TextFunctions._
+    val base = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "text")
+    val mutants = base.orderBy("doc_id").limit(5)
+      .select((F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" and the day")).as("text"))
+    val corpus = base.unionByName(mutants)
+    val gated = corpus
+      .where(qualityScore(F.col("text")) >= 0.5)
+      .where(langId(F.col("text")) =!= "und")
+    val dropIds = graft.operators.Dedup.minhashLsh(gated)
+      .select("b_id").as[Long].collect().toSet
+    val wantAdmitted = gated.select("doc_id").as[Long].collect().toSet -- dropIds
+    assert(dropIds.nonEmpty, "law test is vacuous: no near-dup pairs in corpus")
+
+    val rows = corpus.as[(Long, String)].collect().sortBy(_._1)
+    def t(id: Long) = new Timestamp(1700000000000L + id) // monotone in doc_id
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = StreamingOps.pretrainGateFuzzy(spark, df)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingOps.LshVerdict], _: Long) =>
+          StreamingOps.admittedFromVerdicts(b.toDF()).select("doc_id")
+            .collect().foreach(r => admitted.add(r.getLong(0)))
+          ()
+      }.start()
+    try {
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      assert(chunks.size >= 2, "need multiple micro-batches")
+      chunks.foreach { c =>
+        mem.addData(c.toSeq.map { case (id, tx) => (id, t(id), tx) }: _*)
+        q.processAllAvailable()
+      }
+      import scala.jdk.CollectionConverters._
+      assert(admitted.asScala.toSet == wantAdmitted,
+        s"admitted sets differ: stream=${admitted.size} batch=${wantAdmitted.size}")
+    } finally q.stop()
+  }
+
+  test("streaming fuzzy dedup drops cross-batch near-dups and re-admits beyond the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.minhashLshVerdicts(spark, df, horizonMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fuzzy_out").outputMode("append").start()
+    val txt = "the quick brown fox jumps over the lazy dog once more today"
+    def T(s: String) = Timestamp.valueOf(s)
+    try {
+      mem.addData((1L, T("2024-01-01 10:00:00"), txt))
+      q.processAllAvailable()
+      // near-dup (one appended token, J = 10/11) in a LATER micro-batch:
+      // the bucket state must have carried across batches
+      mem.addData((2L, T("2024-01-01 10:30:00"), txt + " indeed"))
+      q.processAllAvailable()
+      // unrelated doc advances the watermark to 12:00 (13:00 - 1h)
+      mem.addData((3L, T("2024-01-01 13:00:00"),
+        "completely different words about winter mountain snow and ice"))
+      q.processAllAvailable()
+      // byte-identical copy of doc 1 — but the original is beyond the
+      // horizon, so its state entry is evicted and the copy re-admits
+      mem.addData((4L, T("2024-01-01 13:05:00"), txt))
+      q.processAllAvailable()
+      val dup = spark.table("fuzzy_out")
+        .groupBy("doc_id").agg(F.max(F.col("dup").cast("int")).as("d"))
+        .as[(Long, Int)].collect().toMap
+      assert(dup(1L) == 0)
+      assert(dup(2L) == 1, "cross-batch near-dup not flagged")
+      assert(dup(3L) == 0)
+      assert(dup(4L) == 0, "beyond-horizon copy should re-admit")
+    } finally q.stop()
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with
