@@ -2,6 +2,7 @@
 """Differential query fuzzer: random plans, Spark vs DuckDB.
 
 Usage: python3 tools/fuzz.py [--sf DIR] [--seeds N] [--start S]
+                             [--grammar rel|text]
 
 Generates random small queries (project / filter / join / aggregate /
 order-limit compositions) in a grammar both engines parse identically,
@@ -37,6 +38,24 @@ Dialect-intersection rules kept on purpose:
  - no division, no floats in predicates: every generated expression is
    exact integer or string, so a mismatch is a real semantic bug, not
    arithmetic noise.
+
+The TEXT grammar (--grammar text) fuzzes the engine's differentiating
+surface — string functions, array slicing, and lambda HOFs — over the
+`documents` table. Some of that surface has DIVERGENT spellings or
+index semantics between the engines (split vs string_split, size vs
+len, filter vs list_filter, slice(l,i,n) vs list_slice(l,i,i+n-1),
+element_at vs list_extract, array_join vs array_to_string, LATERAL
+VIEW explode vs unnest), so every text-grammar expression is built as
+a (spark_sql, duckdb_sql) PAIR from one tree — the random structure is
+identical, only the rendering differs. Shared-subset rules:
+ - arrays never reach the output row raw (repr differs) — they exit
+   through array_join / size / element_at;
+ - element_at is always guarded by `CASE WHEN size(l) >= i` (Spark
+   ANSI mode throws on out-of-bounds where DuckDB returns NULL);
+ - list_distinct drops NULLs in DuckDB, so distinct/sort only ever
+   wrap split-derived arrays (non-null elements by construction);
+ - lambda bodies stick to functions spelled identically in both
+   dialects (length, upper, lower, left, reverse, contains, ||).
 """
 import argparse
 import math
@@ -229,6 +248,219 @@ def gen_query(rng):
             f"ORDER BY {order} LIMIT {rng.randrange(1, 200)}")
 
 
+# ---------------- text/array grammar (dual-dialect pairs) ----------------
+
+# vocabulary the synthetic documents actually draw from, so contains /
+# array_contains / instr probes hit sometimes and miss sometimes
+WORDS = ["the", "data", "join", "scan", "batch", "spark", "row", "key",
+         "agg", "window", "merge", "zebra"]
+
+
+def ap(fmt, *ps):
+    """Render a format string against the spark / duckdb sides of pairs."""
+    return (fmt.format(*[p[0] for p in ps]),
+            fmt.format(*[p[1] for p in ps]))
+
+
+def t_splitws(p, sep=" "):
+    return (f"split({p[0]}, '{sep}')", f"string_split({p[1]}, '{sep}')")
+
+
+def t_size(p):
+    return (f"size({p[0]})", f"len({p[1]})")
+
+
+def t_slice(p, start, n):
+    # Spark slice is (start, LENGTH); DuckDB list_slice is an INCLUSIVE
+    # (begin, end) index range — same result iff end = start + n - 1
+    return (f"slice({p[0]}, {start}, {n})",
+            f"list_slice({p[1]}, {start}, {start + n - 1})")
+
+
+def t_elem_guarded(p, i):
+    # out-of-bounds: Spark ANSI throws, DuckDB returns NULL — guard so
+    # both produce NULL (and the NULL then flows through the diff)
+    return (f"(CASE WHEN size({p[0]}) >= {i} THEN element_at({p[0]}, {i}) END)",
+            f"(CASE WHEN len({p[1]}) >= {i} THEN list_extract({p[1]}, {i}) END)")
+
+
+def t_join(p, sep="-"):
+    # empty list: Spark array_join -> '', DuckDB array_to_string ->
+    # NULL — normalize both to NULL via a size guard
+    return (f"(CASE WHEN size({p[0]}) > 0 THEN array_join({p[0]}, '{sep}') END)",
+            f"(CASE WHEN len({p[1]}) > 0 THEN array_to_string({p[1]}, '{sep}') END)")
+
+
+def t_contains_arr(p, w):
+    return (f"array_contains({p[0]}, '{w}')", f"list_contains({p[1]}, '{w}')")
+
+
+def t_sort_distinct(p):
+    return (f"array_sort(array_distinct({p[0]}))",
+            f"list_sort(list_distinct({p[1]}))")
+
+
+def t_lam_str(rng, var):
+    """Lambda-body string expr over `var` — identical spelling in both."""
+    return rng.choice([
+        f"upper({var})", f"lower({var})", f"reverse({var})",
+        f"left({var}, {rng.randrange(1, 4)})", f"({var} || '_x')"])
+
+
+def t_lam_pred(rng, var):
+    return rng.choice([
+        f"length({var}) > {rng.randrange(2, 7)}",
+        f"{var} = '{rng.choice(WORDS)}'",
+        f"contains({var}, '{rng.choice('aeskrw')}')"])
+
+
+def t_arr(rng, depth=0):
+    """Array-typed pair expr rooted at the CTE's `toks` column."""
+    if depth >= 2 or rng.random() < 0.4:
+        return ("toks", "toks")
+    inner = t_arr(rng, depth + 1)
+    form = rng.randrange(5)
+    if form == 0:
+        return t_slice(inner, rng.randrange(1, 6), rng.randrange(0, 6))
+    if form == 1:
+        v = rng.choice("tuv")
+        pr = t_lam_pred(rng, v)
+        return (f"filter({inner[0]}, {v} -> {pr})",
+                f"list_filter({inner[1]}, {v} -> {pr})")
+    if form == 2:
+        v = rng.choice("tuv")
+        e = t_lam_str(rng, v)
+        return (f"transform({inner[0]}, {v} -> {e})",
+                f"list_transform({inner[1]}, {v} -> {e})")
+    if form == 3:
+        return t_sort_distinct(inner)
+    return inner
+
+
+def t_str(rng, depth=0):
+    """Scalar string pair expr (never a raw array)."""
+    if depth >= 2 or rng.random() < 0.35:
+        base = rng.random()
+        if base < 0.3:
+            return ("lang", "lang")
+        if base < 0.5:
+            return ("source", "source")
+        return ap(f"substr(text, 1, {rng.randrange(3, 30)})")
+    form = rng.randrange(8)
+    if form == 0:
+        return t_join(t_arr(rng, depth + 1), rng.choice("-_|"))
+    if form == 1:
+        return t_elem_guarded(t_arr(rng, depth + 1), rng.randrange(1, 8))
+    inner = t_str(rng, depth + 1)
+    if form == 2:
+        return ap("upper({0})", inner)
+    if form == 3:
+        return ap("replace({0}, '" + rng.choice("aes ") + "', '_')", inner)
+    if form == 4:
+        return ap(f"lpad({{0}}, {rng.randrange(2, 12)}, '*')", inner)
+    if form == 5:
+        return ap(f"{rng.choice(['left', 'right'])}({{0}}, {rng.randrange(1, 6)})",
+                  inner)
+    if form == 6:
+        return ap("({0} || '#' || {1})", inner, t_str(rng, depth + 1))
+    return ap("reverse(trim({0}))", inner)
+
+
+def t_int(rng, depth=0):
+    """Integer pair expr; may be NULL via nullif / ELSE-less CASE."""
+    if depth >= 2 or rng.random() < 0.3:
+        base = rng.random()
+        if base < 0.25:
+            return ("doc_id", "doc_id")
+        if base < 0.45:
+            return ("n_chars", "n_chars")
+        if base < 0.75:
+            return ap("length({0})", t_str(rng, depth + 1))
+        return t_size(t_arr(rng, depth + 1))
+    form = rng.randrange(5)
+    if form == 0:
+        return ap("({0} + {1})", t_int(rng, depth + 1), t_int(rng, depth + 1))
+    if form == 1:
+        return ap(f"(abs({{0}}) % {rng.randrange(2, 20)})", t_int(rng, depth + 1))
+    if form == 2:
+        return ap(f"instr({{0}}, '{rng.choice(WORDS)}')", t_str(rng, depth + 1))
+    if form == 3:
+        return ap(f"nullif((abs({{0}}) % {rng.randrange(2, 10)}), "
+                  f"{rng.randrange(0, 4)})", t_int(rng, depth + 1))
+    return ap("(CASE WHEN {0} THEN {1} END)",
+              t_pred(rng, depth + 1), t_int(rng, depth + 1))
+
+
+def t_pred(rng, depth=0):
+    if depth < 2 and rng.random() < 0.25:
+        op = rng.choice(["AND", "OR"])
+        return ap(f"({{0}} {op} {{1}})",
+                  t_pred(rng, depth + 1), t_pred(rng, depth + 1))
+    form = rng.randrange(6)
+    if form == 0:
+        return ap(f"contains({{0}}, '{rng.choice(WORDS)}')", t_str(rng, depth + 1))
+    if form == 1:
+        return ap(f"({{0}} LIKE '%{rng.choice(WORDS)}%')", t_str(rng, depth + 1))
+    if form == 2:
+        return t_contains_arr(t_arr(rng, depth + 1), rng.choice(WORDS))
+    if form == 3:
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return ap(f"{{0}} IS {neg}NULL", t_int(rng, depth + 1))
+    cmp_op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+    if rng.random() < 0.5:
+        return ap(f"({{0}} {cmp_op} {rng.randrange(0, 300)})", t_int(rng, depth + 1))
+    return ap(f"({{0}} {cmp_op} {{1}})",
+              t_int(rng, depth + 1), t_int(rng, depth + 1))
+
+
+def gen_text_query(rng):
+    """One random text/array query as a (spark_sql, duckdb_sql) pair."""
+    sep = " " if rng.random() < 0.8 else rng.choice("ae")
+    cte = ap("WITH d AS (SELECT doc_id, lang, source, text, n_chars, "
+             "{0} AS toks FROM documents{1}) ",
+             t_splitws(("lower(text)", "lower(text)"), sep),
+             ap(f" WHERE (abs(doc_id) % {rng.randrange(2, 8)}) = "
+                f"{rng.randrange(0, 2)}") if rng.random() < 0.5 else ("", ""))
+    shape = rng.random()
+    if shape < 0.18:
+        # explode/unnest: dialects differ structurally, not just in names
+        tokp = ap("tok")
+        wh = t_lam_pred(rng, "tok")
+        return ap(
+            "{0}SELECT doc_id AS k, tok, length(tok) AS n FROM "
+            "(SELECT doc_id, explode(toks) AS tok FROM d) e WHERE {1}",
+            cte, (wh, wh))[0], ap(
+            "{0}SELECT doc_id AS k, tok, length(tok) AS n FROM "
+            "(SELECT doc_id, unnest(toks) AS tok FROM d) e WHERE {1}",
+            cte, (wh, wh))[1]
+    if shape < 0.55:
+        # aggregate over string/array-derived keys
+        g = rng.choice([("lang", "lang"), ("source", "source"),
+                        ap(f"(abs({{0}}) % {rng.randrange(2, 6)})", t_int(rng))])
+        aggs = [ap("count(*) AS n"),
+                ap("CAST(sum({0}) AS BIGINT) AS s", t_int(rng)),
+                ap("count({0}) AS cn", t_int(rng)),
+                ap("min({0}) AS mn", t_str(rng)),
+                ap("max({0}) AS mx", t_str(rng))]
+        rng.shuffle(aggs)
+        aggs = aggs[:rng.randrange(1, len(aggs) + 1)]
+        agg_p = (", ".join(a[0] for a in aggs), ", ".join(a[1] for a in aggs))
+        having = (f" HAVING count(*) > {rng.randrange(1, 5)}"
+                  if rng.random() < 0.3 else "")
+        wh = ap(" WHERE {0}", t_pred(rng)) if rng.random() < 0.6 else ("", "")
+        return ap("{0}SELECT {1} AS g, {2} FROM d{3} GROUP BY {1}{4}",
+                  cte, g, agg_p, wh, (having, having))
+    # order-limited projection keyed by the unique doc_id
+    exprs = [ap(f"{{0}} AS e{i}",
+                rng.choice([t_int, t_str])(rng))
+             for i in range(rng.randrange(1, 4))]
+    sel = (", ".join(e[0] for e in exprs), ", ".join(e[1] for e in exprs))
+    wh = ap(" WHERE {0}", t_pred(rng)) if rng.random() < 0.6 else ("", "")
+    return ap("{0}SELECT doc_id AS k, {1} FROM d{2} "
+              "ORDER BY k NULLS FIRST LIMIT {3}",
+              cte, sel, wh, ap(str(rng.randrange(1, 120))))
+
+
 def canon(rows):
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
@@ -247,6 +479,7 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--seeds", type=int, default=200)
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--grammar", choices=["rel", "text"], default="rel")
     args = ap.parse_args()
 
     import duckdb
@@ -258,7 +491,7 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
+    for t in list(TABLES) + ["documents"]:
         path = f"{args.sf}/{t}.parquet"
         spark.read.parquet(path).createOrReplaceTempView(t)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
@@ -267,10 +500,14 @@ def main():
     fails = []
     for seed in range(args.start, args.start + args.seeds):
         rng = random.Random(seed)
-        sql = gen_query(rng)
+        if args.grammar == "text":
+            s_sql, d_sql = gen_text_query(rng)
+            sql = s_sql if s_sql == d_sql else f"spark: {s_sql}\n  duck: {d_sql}"
+        else:
+            sql = s_sql = d_sql = gen_query(rng)
         try:
-            s_rows = [tuple(r) for r in spark.sql(sql).collect()]
-            d_rows = con.execute(sql).fetchall()
+            s_rows = [tuple(r) for r in spark.sql(s_sql).collect()]
+            d_rows = con.execute(d_sql).fetchall()
         except Exception as e:
             n_fail += 1
             fails.append((seed, sql, f"exec: {str(e).splitlines()[0][:160]}"))
