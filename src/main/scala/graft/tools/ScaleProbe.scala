@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: every "100 TB?" claim in SURVEY/VERDICT is a
+  * plan argument; this converts the expensive tail into a measurement
+  * by materializing a deterministic `F`× blow-up of the inputs and
+  * timing the same queries at 1× and F×, interleaved A/B (shared-host
+  * discipline: medians of 3, load-average bracket).
+  *
+  * The blow-up is F DISJOINT copies — weak scaling of independent
+  * components, i.e. "more data with the same distribution", the shape
+  * a bigger crawl/warehouse actually has:
+  *  - `documents`: doc_id shifted by copy stride; every token suffixed
+  *    `_k` (regexp, per-copy) so shingle/n-gram/BPE structure WITHIN a
+  *    copy is isomorphic to the original while copies share no
+  *    shingles — dedup output scales ×F, not quadratically (identical
+  *    replicated text would near-dup-link every copy and measure a
+  *    semantic blow-up, not plan scaling);
+  *  - `embeddings`: vec_id shifted, vectors/labels unchanged (distance
+  *    work scales with candidate count either way);
+  *  - `lineitem`/`orders`: all join keys shifted consistently by their
+  *    per-key stride, so the derived graphs are F disjoint copies of
+  *    the 1× graph (triangle/pagerank work scales ×F; max packed id
+  *    stays far below Int.MaxValue).
+  *
+  * Not part of the driver contract; results land in SCALE10X.md.
+  */
+object ScaleProbe {
+
+  private val QUERIES = Seq(
+    "graph_pagerank", "graph_triangles", "dedup_semantic",
+    "knn_ivf_trained", "knn_pq_trained", "dedup_ngram_prefix",
+    "knn_ivf_persisted", "dedup_spans_clean", "dedup_minhash_lsh",
+    "text_bpe_train_encode")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/_BUILT").exists()) {
+      build(spark, base, factor, out)
+      new java.io.FileOutputStream(s"$out/_BUILT").close()
+    }
+
+    // warmup both directories
+    for (d <- Seq(base, out)) {
+      graft.Tables.lineitem(spark, d).groupBy("l_returnflag").count().count()
+      graft.Tables.documents(spark, d).count()
+      graft.Tables.embeddings(spark, d).count()
+    }
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def load(): Double = osBean.getSystemLoadAverage
+    println(f"[scale] start load=${load()}%.2f factor=$factor base=$base")
+
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scale] $name: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val acc = scala.collection.mutable.Map[(String, String), List[Double]]()
+      .withDefaultValue(Nil)
+    for (pass <- 1 to 3; q <- QUERIES; (dir, tag) <- Seq((base, "1x"), (out, "Fx"))) {
+      val t = timeOnce(q, dir)
+      acc((q, tag)) = acc((q, tag)) :+ t
+      println(f"[scale] pass $pass $q%-22s $tag%-3s $t%7.2f s  (load ${load()}%.2f)")
+    }
+    println(f"[scale] end load=${load()}%.2f")
+    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    QUERIES.foreach { q =>
+      val a = acc((q, "1x")); val b = acc((q, "Fx"))
+      println(f"""[scale-json] {"query":"$q","t1x":[${a.map(x => f"$x%.2f").mkString(",")}],""" +
+        f""""tFx":[${b.map(x => f"$x%.2f").mkString(",")}],""" +
+        f""""median_1x":${med(a)}%.2f,"median_Fx":${med(b)}%.2f,""" +
+        f""""ratio":${med(b) / med(a)}%.2f}""")
+    }
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, base: String, f: Int, out: String): Unit = {
+    def raw(t: String) = spark.read.parquet(s"$base/$t.parquet")
+    def fan(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(sequence(lit(0L), lit(f - 1L))).as("k"))
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+
+    val docs = raw("documents")
+    val dStride = stride(docs, "doc_id")
+    fan(docs)
+      .select(
+        (col("doc_id") + col("k") * dStride).as("doc_id"),
+        // suffix EVERY token with the copy index: within-copy shingle
+        // structure isomorphic to 1×, across copies disjoint
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_"), col("k"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = raw("embeddings")
+    val vStride = stride(emb, "vec_id")
+    fan(emb)
+      .select((col("vec_id") + col("k") * vStride).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = raw("lineitem")
+    val ord = raw("orders")
+    val oStride = stride(ord, "o_orderkey")
+    val pStride = stride(li, "l_partkey")
+    val sStride = stride(li, "l_suppkey")
+    val cStride = stride(ord, "o_custkey")
+    fan(li)
+      .select(
+        (col("l_orderkey") + col("k") * oStride).as("l_orderkey"),
+        (col("l_partkey") + col("k") * pStride).as("l_partkey"),
+        (col("l_suppkey") + col("k") * sStride).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    fan(ord)
+      .select(
+        (col("o_orderkey") + col("k") * oStride).as("o_orderkey"),
+        (col("o_custkey") + col("k") * cStride).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"[scale] built ${f}x copies under $out")
+  }
+}
