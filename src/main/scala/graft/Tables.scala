@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's deterministic Parquet testdata
   * (see /root/repo/TESTDATA.md). One method per table; every
@@ -24,15 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    * and this loader truncates nanos → microseconds (matching what
-    * every ns-capable engine does when comparing at µs granularity). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops (Spark's reader rejects it; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and this loader
+    * truncates nanos → microseconds) and as TIMESTAMP(MICROS) without
+    * UTC adjustment (read as TIMESTAMP_NTZ) in others. Normalize both
+    * to a session-zone TIMESTAMP — sessions run UTC, so the NTZ cast
+    * re-labels the identical wall-clock instant. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   /** documents/embeddings ship as one small parquet (often a single
     * row group → a single input split), while their per-row work

@@ -579,12 +579,17 @@ object TextQueries {
   // no lineage), then every text_bpe_encode invocation — including
   // bench passes 2..n — is the pure zero-shuffle encode. Keyed by
   // applicationId because a checkpointed plan dies with its context.
+  // The session rides along so entries whose context has stopped can
+  // be evicted — otherwise multi-session JVMs (test suites) would pin
+  // checkpointed relations of dead sessions forever.
   private val bpeMergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def learnedMerges(s: SparkSession, d: String): DataFrame =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+  private def learnedMerges(s: SparkSession, d: String): DataFrame = {
+    bpeMergeMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     bpeMergeMemo.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ =>
-      graft.operators.Bpe.learn(Tables.documents(s, d), merges = 6)
-        .localCheckpoint(eager = true))
+      (s, graft.operators.Bpe.learn(Tables.documents(s, d), merges = 6)
+        .localCheckpoint(eager = true)))._2
+  }
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
   // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)

@@ -229,7 +229,7 @@ object StreamingOps {
   case class BandedDoc(band: Int, band_hash: Long, doc_id: Long,
       ts: Timestamp, sh: Array[Long])
   case class BucketEntry(docId: Long, tsMs: Long, sh: Array[Long])
-  case class LshBucketState(entries: List[BucketEntry])
+  case class LshBucketState(entries: List[BucketEntry], saturated: Boolean)
   case class LshVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
 
   /** Exact Jaccard of two sorted-distinct hash arrays (two-pointer). */
@@ -261,6 +261,18 @@ object StreamingOps {
     * within one horizon, drop-set == the batch pairs' later members.
     * (Batch verifies on shingle STRINGS; the stream stores 8-byte
     * xxhash64 shingle hashes — equal modulo 64-bit hash collisions.)
+    * The batch skew cap carries over: once a bucket's population
+    * within the horizon exceeds [[graft.operators.Dedup.MAX_BUCKET]]
+    * (the batch form drops such boilerplate megabuckets entirely, so
+    * they flag nothing), the streaming bucket turns SATURATED — every
+    * later arrival is admitted un-compared, exactly like batch.
+    * Verdicts already emitted before saturation was detected stand
+    * (append-mode streams cannot retract); saturation expires with
+    * its generation of entries when the watermark passes them.
+    * The dup predicate is also pairwise-horizon-bounded
+    * (`t - e.tsMs <= horizonMs`), so an entry the (one-batch-lagging)
+    * watermark has not evicted yet can never flag a newcomer beyond
+    * the stated horizon.
     *
     * 100 TB design: state is per-(band, band_hash) bucket, holding at
     * most [[graft.operators.Dedup.MAX_BUCKET]] entries (the batch skew
@@ -315,7 +327,7 @@ object StreamingOps {
             val kept = state.get.entries.filter(_.tsMs >= wm)
             if (kept.isEmpty) state.remove()
             else {
-              state.update(LshBucketState(kept))
+              state.update(LshBucketState(kept, state.get.saturated))
               state.setTimeoutTimestamp(kept.map(_.tsMs).max + horizonMs)
             }
             Iterator.empty
@@ -323,20 +335,28 @@ object StreamingOps {
             val wm = state.getCurrentWatermarkMs()
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
               .filter(_.tsMs >= wm)
+            // saturation expires with its generation of entries: once
+            // the watermark evicts the whole horizon-window population,
+            // the bucket starts a fresh census
+            var saturated = state.getOption.exists(_.saturated) && entries.nonEmpty
             val out = List.newBuilder[LshVerdict]
             // deterministic arrival order inside the micro-batch
             rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
               val t = r.ts.getTime
-              val dup = entries.exists(e =>
+              // the (cap+1)-th member within a horizon makes this the
+              // megabucket the batch form drops whole — stop flagging
+              if (!saturated && entries.size >= cap) saturated = true
+              val dup = !saturated && entries.exists(e =>
                 (e.tsMs < t || (e.tsMs == t && e.docId < r.doc_id)) &&
+                  t - e.tsMs <= horizonMs &&
                   jaccardSorted(e.sh, r.sh) >= threshold)
               out += LshVerdict(r.doc_id, r.ts, dup)
-              if (entries.size < cap)
+              if (!saturated)
                 entries = entries :+ BucketEntry(r.doc_id, t, r.sh)
             }
             if (entries.isEmpty) state.remove()
             else {
-              state.update(LshBucketState(entries))
+              state.update(LshBucketState(entries, saturated))
               state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
             }
             out.result().iterator

@@ -66,12 +66,18 @@ object ScaleProbe {
     def load(): Double = osBean.getSystemLoadAverage
     println(f"[scale] start load=${load()}%.2f factor=$factor base=$base")
 
+    // NaN on failure so an errored pass (OOM, missing table) is
+    // excluded from medians/ratios instead of landing in SCALE10X.md
+    // disguised as a measurement
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scale] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[scale] $name FAILED: $e"); Double.NaN
+      }
     }
 
     val acc = scala.collection.mutable.Map[(String, String), List[Double]]()
@@ -82,13 +88,19 @@ object ScaleProbe {
       println(f"[scale] pass $pass $q%-22s $tag%-3s $t%7.2f s  (load ${load()}%.2f)")
     }
     println(f"[scale] end load=${load()}%.2f")
-    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    // medians over successful passes only; failed passes are counted
+    // and flagged so a partially-failed query is visibly suspect
+    def med(xs: List[Double]): Double = {
+      val ok = xs.filterNot(_.isNaN).sorted
+      if (ok.isEmpty) Double.NaN else ok(ok.size / 2)
+    }
     QUERIES.foreach { q =>
       val a = acc((q, "1x")); val b = acc((q, "Fx"))
+      val failed = a.count(_.isNaN) + b.count(_.isNaN)
       println(f"""[scale-json] {"query":"$q","t1x":[${a.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""tFx":[${b.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""median_1x":${med(a)}%.2f,"median_Fx":${med(b)}%.2f,""" +
-        f""""ratio":${med(b) / med(a)}%.2f}""")
+        f""""ratio":${med(b) / med(a)}%.2f,"failed_passes":$failed}""")
     }
     spark.stop()
   }

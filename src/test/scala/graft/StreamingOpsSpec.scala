@@ -331,6 +331,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup saturates megabuckets like the batch skew cap") {
+    // batch minhashLsh drops buckets with > MAX_BUCKET members whole
+    // (boilerplate megabuckets flag nothing); the streaming form
+    // mirrors that going forward: once a bucket's horizon population
+    // exceeds the cap, later arrivals are admitted un-compared.
+    // Pinned shape for 70 identical docs: #1 admitted (first copy),
+    // #2..#64 flagged (bucket still under cap — verdicts already
+    // emitted cannot be retracted), #65.. admitted (saturated).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val cap = graft.operators.Dedup.MAX_BUCKET
+    val n = cap + 6
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val txt = "the quick brown fox jumps over the lazy dog once more today"
+    def t(id: Long) = new Timestamp(1700000000000L + id)
+    val q = StreamingOps.minhashLshVerdicts(spark, df, horizonMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sat_out").outputMode("append").start()
+    try {
+      // split across micro-batches so saturation state must carry over
+      mem.addData((1L to 40L).map(i => (i, t(i), txt)): _*)
+      q.processAllAvailable()
+      mem.addData((41L to n.toLong).map(i => (i, t(i), txt)): _*)
+      q.processAllAvailable()
+      val dup = spark.table("sat_out")
+        .groupBy("doc_id").agg(F.max(F.col("dup").cast("int")).as("d"))
+        .as[(Long, Int)].collect().toMap
+      assert(dup(1L) == 0, "first copy is never a dup")
+      (2 to cap).foreach(i => assert(dup(i.toLong) == 1, s"doc $i under cap must flag"))
+      ((cap + 1) to n).foreach(i =>
+        assert(dup(i.toLong) == 0, s"doc $i past cap must be admitted (saturated bucket)"))
+    } finally q.stop()
+  }
+
   test("streaming fuzzy dedup drops cross-batch near-dups and re-admits beyond the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.{functions => F}

@@ -263,6 +263,10 @@ def ap(fmt, *ps):
 
 
 def t_splitws(p, sep=" "):
+    # Spark split() takes a REGEX separator, DuckDB string_split() a
+    # literal — a regex-metachar separator would silently diverge the
+    # two dialects, so only regex-safe separators are admitted here
+    assert sep == " " or sep.isalnum(), f"regex-unsafe split separator {sep!r}"
     return (f"split({p[0]}, '{sep}')", f"string_split({p[1]}, '{sep}')")
 
 
