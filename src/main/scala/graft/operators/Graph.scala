@@ -264,4 +264,136 @@ object Graph {
       .groupBy(col("e.node_id").as("node_id"))
       .agg(sum(col("e.c")).as("n_triangles"))
   }
+
+  /** `rounds`-round k-core peel over an undirected simple graph
+    * `und(a, b)` in canonical form (a < b, distinct, no self-loops):
+    * each round recomputes degrees and deletes every node of degree
+    * < k with its incident edges. Returns the surviving nodes with
+    * their degree inside the peeled subgraph — after enough rounds
+    * this IS the k-core (the peel is monotone, so the fixpoint is
+    * unique and round-order-free); with a fixed round budget the
+    * semantics stay deterministic and an oracle can replay them
+    * round-for-round. The loop exits early once an edge count
+    * repeats — a fixpoint makes every later round a no-op, so the
+    * early exit is unobservable in the result.
+    *
+    * 100 TB shape: per round ONE degree aggregation (hash-keyed on
+    * src — the checkpointed edge relation arrives partitioned that
+    * way, so the partial agg is exchange-free) and TWO semi joins
+    * (src side co-partitioned, dst side one shuffle of the shrinking
+    * edge relation). State is the edge list itself — checkpointed
+    * each round because it CHANGES (the growing/changing-state rule;
+    * fixed relations persist instead), releasing the superseded
+    * round. Nothing driver-side but the one-count convergence probe
+    * per round over an already-materialized relation. */
+  def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = und
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var n = edges.count()
+    var done = n == 0
+    try {
+      for (_ <- 1 to rounds if !done) {
+        val alive = edges
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k)
+          .select(col("src"))
+        val next = edges
+          .join(alive.hint("shuffle_hash"), Seq("src"), "left_semi")
+          .join(alive.select(col("src").as("dst")).hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
+          .repartition(col("src"))
+          .localCheckpoint(true)
+        val m = next.count()
+        Storage.unpersistLocalCheckpoint(edges)
+        edges = next
+        done = m == n || m == 0
+        n = m
+      }
+      // the degree agg below re-reads the final checkpoint, so the
+      // survivors must be materialized before the finally releases it
+      edges
+        .groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).as("deg_in_core"))
+        .localCheckpoint(true)
+    } finally Storage.unpersistLocalCheckpoint(edges)
+  }
+
+  /** `rounds` synchronous label-propagation steps over a directed
+    * edge list `edges(src, dst)` (symmetrize upstream for undirected
+    * semantics; parallel edges act as vote weight). Every node starts
+    * labeled with its own id; each round every node adopts the label
+    * most frequent among its in-neighbors, ties broken toward the
+    * SMALLEST label — the classic community-detection sweep
+    * (Raghavan et al. 2007) made deterministic by the total
+    * (count desc, label asc) vote order. Nodes with no in-neighbors
+    * keep their current label. Returns (node_id, community) after
+    * the fixed round budget — fixed rounds, not convergence, because
+    * synchronous LPA can 2-cycle on bipartite structures; a
+    * deterministic budget keeps the trajectory exactly replayable.
+    *
+    * 100 TB shape: per round one shuffle_hash join streaming the
+    * pre-partitioned edge list against the O(|V|) label state, one
+    * combinable (dst, label) count, and one max_by reduce per node —
+    * all hash-keyed, nothing driver-side, no windows. The vote
+    * argmax rides an integer composite (cnt·10¹⁰ − label) so the
+    * reduce stays a single combinable max_by instead of a window
+    * sort; label ids must stay below 10¹⁰ (guarded). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // warm both caches in one job (nodes reads e)
+    var lbl = nodes.select(col("node_id"),
+      when(col("node_id").between(0L, 9999999999L), col("node_id"))
+        .otherwise(raise_error(concat(lit("labelPropagation: node id "),
+          col("node_id").cast("string"),
+          lit(" outside [0, 1e10) — composite vote order would overflow"))))
+        .as("community"))
+    var owned = false
+    try {
+      for (_ <- 1 to rounds) {
+        val next = labelPropRound(e, nodes, lbl).localCheckpoint(true)
+        if (owned) Storage.unpersistLocalCheckpoint(lbl)
+        lbl = next
+        owned = true
+      }
+      if (!owned) lbl = lbl.localCheckpoint(true)
+      lbl
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** One synchronous LPA superstep, factored out so the plan-shape
+    * spec can pin the exchange budget (the public entry checkpoints
+    * each round, hiding the joins): vote stream = edges ⋈ labels on
+    * src (edge side pre-partitioned, streamed), vote count combines
+    * map-side, the argmax is one combinable max_by on the integer
+    * composite, and the left join re-attaches nodes that received no
+    * votes. */
+  private[graft] def labelPropRound(
+      e: DataFrame, nodes: DataFrame, lbl: DataFrame): DataFrame = {
+    val votes = e
+      .join(lbl.withColumnRenamed("node_id", "u").hint("shuffle_hash"),
+        e("src") === col("u"))
+      .groupBy(col("dst").as("node_id"), col("community").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node_id"))
+      .agg(max_by(col("c"), col("cnt") * lit(10000000000L) - col("c")).as("voted"))
+    nodes
+      .join(lbl.select(col("node_id"), col("community").as("cur")), Seq("node_id"))
+      .join(votes, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("voted"), col("cur")).as("community"))
+  }
 }

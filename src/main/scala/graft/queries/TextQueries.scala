@@ -214,6 +214,38 @@ object TextQueries {
         .orderBy(col("n").desc, col("tok").asc)
         .limit(50)),
 
+    // tf-idf top terms per document — the classic keyword extractor
+    // (and the vectorizer core under classic retrieval / classifier
+    // featurization). Rational idf (N − df + 0.5)/(df + 0.5), same
+    // no-logarithm trick as BM25: every step is one IEEE double op in
+    // one order, so the oracle hash-matches bit-for-bit and ranking
+    // is unaffected (the map is monotone in df). Shape at 100 TB: one
+    // explode feeds BOTH the per-(doc, term) tf aggregate and — via
+    // that aggregate, exchange-reused — the df aggregate; df joins
+    // back on term (hash-keyed), the one-row corpus count broadcasts,
+    // and the per-doc top-3 is a doc_id-partitioned window over the
+    // already-aggregated (doc, term) relation, never the raw corpus.
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfr, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * (col("n") - col("df") + 0.5) / (col("df") + 0.5), 6)
+            .as("tfidf"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
+    }),
+
     // Benchmark decontamination: flag corpus documents that share any
     // 8-gram with a held-out "benchmark" set (every 25th doc as the
     // stand-in) — the canonical eval-leakage scrub before training.
@@ -968,6 +1000,25 @@ object TextQueries {
             SELECT unnest($tokensSql) AS tok FROM documents WHERE lang = 'en')
           WHERE length(tok) > 0
           GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+              SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+            WHERE length(term) > 0 GROUP BY doc_id, term),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (n.n - dfr.df + 0.5) / (dfr.df + 0.5), 6) AS tfidf
+            FROM tf JOIN dfr USING (term) CROSS JOIN n),
+          ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+          SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+          FROM ranked WHERE rank <= 3""",
 
     "text_decontaminate" ->
       s"""WITH bg AS (

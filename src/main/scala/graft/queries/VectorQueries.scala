@@ -45,6 +45,12 @@ object VectorQueries {
     "knn_binary" -> ((s, d) =>
       Similarity.binaryKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // int8 scalar quantization ANN: the emb_quantize representation
+    // actually SERVING queries — asymmetric de-quantized dot product,
+    // full oracle (floor(x+0.5) + left-to-right double fold).
+    "knn_sq8" -> ((s, d) =>
+      Similarity.sq8Knn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // product quantization + ADC: codes and lookup tables are exact
     // double arithmetic with deterministic tie-breaks, so the whole
     // encode→LUT→score→top-k pipeline is recomputed by the oracle.
@@ -729,6 +735,34 @@ object VectorQueries {
             FROM resc)
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM rr WHERE rank <= 5""",
+
+    "knn_sq8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          cq AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+                   CASE WHEN mx > 0
+                        THEN list_transform(embedding,
+                               x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+                        ELSE list_transform(embedding, x -> 0.0) END AS code
+            FROM (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx
+                  FROM embeddings)),
+          scored AS (
+            SELECT q.query_id, c.vec_id,
+                   c.scale * list_reduce(
+                     list_transform(c.code,
+                       (x, i) -> CAST(x AS DOUBLE) * CAST((q.qv)[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) AS dot_sq8
+            FROM cq c JOIN q ON c.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id, dot_sq8,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_sq8 DESC, vec_id ASC) AS rank
+            FROM scored)
+         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot_sq8
+         FROM ranked WHERE rank <= 5""",
 
     "knn_binary" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

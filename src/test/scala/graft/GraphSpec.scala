@@ -135,6 +135,73 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore peels a tail chain round by round and keeps the clique") {
+    // lollipop: K4 on {0,1,2,3} (every degree 3) + a 6-node path
+    // 3-10-11-12-13-14-15 hanging off node 3. With k = 2 the path
+    // peels ONE node per round from the free end (endpoint degree 1
+    // < 2, its removal exposes the next) — a genuine multi-round
+    // cascade — while the clique survives with in-core degree 3.
+    val clique = for {
+      a <- 0L to 3L; b <- (a + 1) to 3L
+    } yield (a, b)
+    val path = (Seq(3L -> 10L) ++ (10L until 15L).map(i => i -> (i + 1)))
+    val und = (clique ++ path).toDF("a", "b")
+    val got = Graph.kCore(und, k = 2, rounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"2-core of the lollipop must be exactly the K4, got $got")
+    // an insufficient round budget leaves the partially peeled chain
+    val partial = Graph.kCore(und, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.contains(10L) && !partial.contains(14L) &&
+      !partial.contains(15L),
+      s"2 rounds must peel exactly the last two chain nodes, got $partial")
+  }
+
+  test("kCore: empty graph and over-aggressive k produce empty cores") {
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(und, k = 2, rounds = 5).count() == 0L)
+    assert(Graph.kCore(und.limit(0), k = 1, rounds = 3).count() == 0L)
+  }
+
+  test("label propagation merges a weighted vote deterministically") {
+    // two triangles {1,2,3} and {8,9,7} bridged by NO edge: each
+    // converges to its own min label. Parallel edges 5→6 (weight 3)
+    // make label 5 outvote 4 at node 6 in a separate star.
+    def sym(ps: (Long, Long)*): Seq[(Long, Long)] =
+      ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val tri = sym((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L), (9L, 7L), (7L, 8L))
+    val star = sym((4L, 6L), (5L, 6L), (5L, 6L), (5L, 6L))
+    val edges = (tri ++ star).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"first triangle must converge to label 1, got $got")
+    assert(got(7L) == 7L && got(8L) == 7L && got(9L) == 7L,
+      s"second triangle must converge to label 7, got $got")
+    assert(got(6L) == 5L, s"weighted vote must beat the smaller label, got $got")
+  }
+
+  test("label propagation tie-breaks toward the smaller label") {
+    // node 30 hears {10 × 1, 20 × 1}: equal counts, smaller wins
+    val edges = Seq((10L, 30L), (20L, 30L), (30L, 10L), (30L, 20L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(30L) == 10L)
+    // sync update: 10 and 30 swap in one round, they don't chase
+    assert(got(10L) == 30L && got(20L) == 30L)
+  }
+
+  test("label propagation rejects label ids that overflow the vote composite") {
+    val edges = Seq((10000000000L, 1L), (1L, 10000000000L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.labelPropagation(edges, rounds = 1).collect()
+    }
+    assert(exceptionChain(e).exists(_.contains("composite")),
+      s"wanted composite-overflow guidance, got: ${e.getMessage}")
+  }
+
   private def exceptionChain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq

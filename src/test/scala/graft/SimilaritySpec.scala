@@ -296,6 +296,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("sq8 dequantized dot stays within the per-dim half-step error bound") {
+    // max-abs symmetric SQ8 rounds each coordinate by at most half a
+    // quantization step (scale/2 = mx/254), so the de-quantized dot
+    // against ANY query q is within (mx/254)·Σ|qᵢ| of the exact dot —
+    // the bound every scored pair must satisfy. k = corpus−1 makes the
+    // check exhaustive over all (query, candidate) pairs.
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 8.0 + j) * (1 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.sq8Knn(df, nQueries = 4, k = 19, salts = 4)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length == 4 * 19, "every non-self pair must be ranked")
+    val m = vecs.toMap
+    got.foreach { case (q, v, _, dq) =>
+      val qv = m(q).map(_.toDouble)
+      val cv = m(v).map(_.toDouble)
+      val exact = qv.zip(cv).map { case (a, b) => a * b }.sum
+      val bound = (cv.map(math.abs).max / 254.0) * qv.map(math.abs).sum + 1e-9
+      assert(math.abs(dq - exact) <= bound,
+        s"pair ($q,$v): sq8 dot $dq vs exact $exact exceeds bound $bound")
+    }
+  }
+
+  test("sq8 ranks an exact int8-representable duplicate first") {
+    // corpus vector 10 is bit-representable after quantization of a
+    // scaled copy of query 0's direction — SQ8 must rank it top-1
+    val base = Array.tabulate(8)(j => (j - 3.5).toFloat) // exact halves
+    val corpus = (1L until 10L).map { i =>
+      (i, Array.tabulate(8)(j => (math.cos(i * 8.0 + j) * 0.3).toFloat))
+    } :+ (10L, base.map(x => x * 2f))
+    val df = ((0L, base) +: corpus).toDF("vec_id", "embedding")
+    val top = Similarity.sq8Knn(df, nQueries = 1, k = 1, salts = 4)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(top.length == 1 && top.head._2 == 10L,
+      s"scaled copy must rank first, got ${top.toSeq}")
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
