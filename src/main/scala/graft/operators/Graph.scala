@@ -277,15 +277,24 @@ object Graph {
     * repeats — a fixpoint makes every later round a no-op, so the
     * early exit is unobservable in the result.
     *
-    * 100 TB shape: per round ONE degree aggregation (hash-keyed on
-    * src — the checkpointed edge relation arrives partitioned that
-    * way, so the partial agg is exchange-free) and TWO semi joins
-    * (src side co-partitioned, dst side one shuffle of the shrinking
-    * edge relation). State is the edge list itself — checkpointed
-    * each round because it CHANGES (the growing/changing-state rule;
-    * fixed relations persist instead), releasing the superseded
-    * round. Nothing driver-side but the one-count convergence probe
-    * per round over an already-materialized relation. */
+    * 100 TB shape: the symmetric edge list lives hash(src)-partitioned
+    * in a per-round persist (persist, NOT localCheckpoint: under AQE a
+    * checkpoint's LogicalRDD forgets its outputPartitioning, so every
+    * consumer would re-exchange |E| rows; the ≤`rounds` persist chain
+    * keeps the plan depth bounded, and each superseded round is
+    * released once its successor is materialized). Per round the whole
+    * peel then costs ONE O(|E'|) exchange: the degree aggregation and
+    * the alive-set build are already hash(src)-co-partitioned (zero
+    * exchanges), the src-side semi join consumes both in place, the
+    * dst-side semi join re-hashes the shrinking edge list once (its
+    * build side is the SAME canonicalized alive exchange — reused, not
+    * recomputed), and the closing (src, dst) SWAP projection restores
+    * the hash(src) layout for free: on a symmetric edge set with both
+    * endpoints filtered alive, swapping the columns is an identity on
+    * the set, and the dst-join's hash(dst) output partitioning becomes
+    * hash(src) under the rename. Nothing driver-side but the one-count
+    * convergence probe per round over an already-materialized
+    * relation (pinned in PlanShapeSpec). */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = und
       .select(explode(array(
@@ -293,35 +302,45 @@ object Graph {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var n = edges.count()
     var done = n == 0
     try {
       for (_ <- 1 to rounds if !done) {
-        val alive = edges
-          .groupBy(col("src"))
-          .agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= k)
-          .select(col("src"))
-        val next = edges
-          .join(alive.hint("shuffle_hash"), Seq("src"), "left_semi")
-          .join(alive.select(col("src").as("dst")).hint("shuffle_hash"),
-            Seq("dst"), "left_semi")
-          .repartition(col("src"))
-          .localCheckpoint(true)
+        val next = kCoreRound(edges, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val m = next.count()
-        Storage.unpersistLocalCheckpoint(edges)
+        edges.unpersist(blocking = false)
         edges = next
         done = m == n || m == 0
         n = m
       }
-      // the degree agg below re-reads the final checkpoint, so the
-      // survivors must be materialized before the finally releases it
+      // the degree agg below re-reads the final persisted round, so
+      // the survivors must be materialized before the finally releases
       edges
         .groupBy(col("src").as("node_id"))
         .agg(count(lit(1)).as("deg_in_core"))
         .localCheckpoint(true)
-    } finally Storage.unpersistLocalCheckpoint(edges)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** One peel round over a hash(src)-partitioned SYMMETRIC edge list —
+    * factored out so the plan-shape spec can pin the one-exchange
+    * budget (the public entry persists each round, which makes later
+    * rounds read a cache scan). See [[kCore]] for the layout
+    * argument; the closing swap is only sound because the input is
+    * symmetric and both endpoints are filtered alive. */
+  private[graft] def kCoreRound(edges: DataFrame, k: Int): DataFrame = {
+    val alive = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+      .select(col("src"))
+    edges
+      .join(alive.hint("shuffle_hash"), Seq("src"), "left_semi")
+      .join(alive.select(col("src").as("dst")).hint("shuffle_hash"),
+        Seq("dst"), "left_semi")
+      .select(col("dst").as("src"), col("src").as("dst"))
   }
 
   /** `rounds` synchronous label-propagation steps over a directed

@@ -51,6 +51,26 @@ object VectorQueries {
     "knn_sq8" -> ((s, d) =>
       Similarity.sq8Knn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // ANN quality evaluation: recall@5 of the SQ8 index against the
+    // exact cosine ground truth, per query — the measurement every
+    // index deployment gates on. Both sides are deterministic, so the
+    // whole evaluation carries an exact oracle. (Recall compares SETS;
+    // SQ8 ranks by de-quantized dot, brute by cosine — overlap of the
+    // top-5s, not rank agreement.)
+    "knn_sq8_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val approx = Similarity.sq8Knn(e, nQueries = 8, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Similarity.bruteForceKnn(e, nQueries = 8, k = 5)
+        .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+      approx
+        .join(exact, approx("query_id") === exact("q2") &&
+          approx("vec_id") === exact("v2"), "left")
+        .groupBy("query_id")
+        .agg((count(col("q2")) / 5.0).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     // product quantization + ADC: codes and lookup tables are exact
     // double arithmetic with deterministic tie-breaks, so the whole
     // encode→LUT→score→top-k pipeline is recomputed by the oracle.
@@ -763,6 +783,47 @@ object VectorQueries {
             FROM scored)
          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot_sq8
          FROM ranked WHERE rank <= 5""",
+
+    "knn_sq8_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          bscored AS (
+            SELECT q.query_id, e.vec_id,
+                   ${cosSql("q.qv", "e.embedding")} AS cos
+            FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          btop AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM bscored) WHERE rank <= 5),
+          cq AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+                   CASE WHEN mx > 0
+                        THEN list_transform(embedding,
+                               x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+                        ELSE list_transform(embedding, x -> 0.0) END AS code
+            FROM (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx
+                  FROM embeddings)),
+          sscored AS (
+            SELECT q.query_id, c.vec_id,
+                   c.scale * list_reduce(
+                     list_transform(c.code,
+                       (x, i) -> CAST(x AS DOUBLE) * CAST((q.qv)[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) AS dot_sq8
+            FROM cq c JOIN q ON c.vec_id <> q.query_id),
+          stop AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot_sq8 DESC, vec_id ASC) AS rank
+              FROM sscored) WHERE rank <= 5)
+         SELECT s.query_id, count(b.vec_id) / 5.0 AS recall_at_5
+         FROM stop s LEFT JOIN btop b
+           ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+         GROUP BY s.query_id ORDER BY s.query_id""",
 
     "knn_binary" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val QUERIES = Seq(
-    "graph_pagerank", "graph_triangles", "dedup_semantic",
-    "knn_ivf_trained", "knn_pq_trained", "dedup_ngram_prefix",
+    "graph_pagerank", "graph_triangles", "graph_kcore",
+    "graph_label_prop", "dedup_semantic",
+    "knn_ivf_trained", "knn_pq_trained", "knn_sq8", "dedup_ngram_prefix",
     "knn_ivf_persisted", "dedup_spans_clean", "dedup_minhash_lsh",
     "text_bpe_train_encode")
 

@@ -37,6 +37,18 @@ class PlanShapeSpec extends AnyFunSuite {
   private def codegenSpans(p: String): Int =
     "\\*\\(\\d+\\)".r.findAllIn(p).size
 
+  /** Executed-plan tree walk that descends through AQE wrappers —
+    * toString-based checks both embed cache-BUILD exchanges (false
+    * positives) and truncate nested sections (false coverage). */
+  private def walkPlan(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      pl +: walkPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      pl +: walkPlan(q.plan)
+    case _ => pl +: pl.children.flatMap(walkPlan)
+  }
+
   test("q_filter_project pushes filters and prunes columns at the scan") {
     val pushed = scanMeta("q_filter_project", "PushedFilters").mkString
     assert(pushed.contains("GreaterThan(l_quantity,45.0)"), pushed)
@@ -334,6 +346,103 @@ class PlanShapeSpec extends AnyFunSuite {
         "edge list re-exchanged below the join — cached hash(src) layout not reused:\n" +
           exchangedEdges.mkString("\n"))
     } finally { e.unpersist(); nodeInfo.unpersist() }
+  }
+
+  test("kCore round: one edge exchange; degree agg and src join in place") {
+    // over a hash(src)-partitioned symmetric edge cache, a peel round
+    // must cost ONE O(|E|) exchange: the degree agg and the alive
+    // build are co-partitioned (no exchange), the src semi join
+    // consumes both in place, only the dst semi join re-hashes the
+    // edge list, and the closing swap restores hash(src) by renaming.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val und = (1L to 300L).map(i => (i % 40, 100 + i % 37)).distinct
+      .toDF("a", "b")
+    val e = und
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      e.count()
+      val qe = graft.operators.Graph.kCoreRound(e, k = 3).queryExecution
+      qe.toRdd.count()
+      val nodes = walkPlan(qe.executedPlan)
+      val shuffles = nodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      def hasEdgeScan(pl: org.apache.spark.sql.execution.SparkPlan) =
+        walkPlan(pl).exists {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.output.map(_.name).toSet == Set("src", "dst")
+          case _ => false
+        }
+      val edgeShuffles = shuffles.filter(hasEdgeScan)
+      assert(edgeShuffles.size <= 1,
+        s"peel round must re-hash the edge list at most once, got " +
+          s"${edgeShuffles.size}:\n${edgeShuffles.mkString("\n")}")
+      assert(shuffles.size <= 2,
+        s"expected <=2 shuffles per peel round (1 edge re-hash + at most " +
+          s"1 alive build), got ${shuffles.size}:\n${shuffles.mkString("\n")}")
+    } finally e.unpersist()
+  }
+
+  test("labelPropagation round: pre-partitioned edges never re-exchange") {
+    // per-round moving data must be O(|V|): the label state shuffles
+    // to meet the hash(src) edge cache, votes combine map-side, the
+    // argmax is one combinable max_by. The |E|-row edge list itself
+    // must never re-exchange.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 300L).map(i => (i % 40, i % 37)).toDF("src", "dst")
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      nodes.count()
+      val lbl = nodes.select(col("node_id"), col("node_id").as("community"))
+      val qe = graft.operators.Graph.labelPropRound(e, nodes, lbl).queryExecution
+      qe.toRdd.count()
+      val plNodes = walkPlan(qe.executedPlan)
+      def isEdgeScan(pl: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        pl match {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.output.map(_.name).toSet == Set("src", "dst")
+          case _ => false
+        }
+      // the vote join must consume the cached edge scan DIRECTLY — no
+      // exchange between them (shuffles ABOVE the join move O(|V|)
+      // vote partials and label state, and are expected)
+      val voteJoin = plNodes.find {
+        case j: org.apache.spark.sql.execution.joins.HashJoin =>
+          j.leftKeys.flatMap(_.references.map(_.name)).contains("src") &&
+            walkPlan(j).exists(isEdgeScan)
+        case _ => false
+      }
+      assert(voteJoin.isDefined, "vote join over the edge cache not found")
+      val exchangedEdges = walkPlan(voteJoin.get).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if walkPlan(s).exists(isEdgeScan) => s
+      }
+      assert(exchangedEdges.isEmpty,
+        "edge list re-exchanged below the vote join — cached hash(src) " +
+          s"layout not reused:\n${exchangedEdges.mkString("\n")}")
+      val shuffles = plNodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size <= 4,
+        s"per-round shuffle budget (label state + vote partials + " +
+          s"reattach) exceeded: ${shuffles.size}:\n${shuffles.mkString("\n")}")
+      val windows = plNodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, "vote argmax must be a combinable max_by, not a window")
+    } finally { e.unpersist(); nodes.unpersist() }
   }
 
   test("graph_triangles never sorts the wedge stream") {
