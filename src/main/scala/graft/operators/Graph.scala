@@ -265,9 +265,16 @@ object Graph {
       .agg(sum(col("e.c")).as("n_triangles"))
   }
 
-  /** `rounds`-round k-core peel over an undirected simple graph
-    * `und(a, b)` in canonical form (a < b, distinct, no self-loops):
-    * each round recomputes degrees and deletes every node of degree
+  /** `rounds`-round k-core peel over an undirected graph `und(a, b)`
+    * in canonical form (a < b, no self-loops). Parallel edges are
+    * ACCEPTED and deduped in-row by the symmetric adjacency build
+    * (collect_set groupBy — same recipe as [[triangleCounts]]), so
+    * co-occurrence callers should NOT pre-distinct the pair multiset:
+    * that is a full extra shuffle of the largest relation, and the
+    * adjacency groupBy both dedupes AND lands the hash(src) layout
+    * every later round reuses, where a distinct + repartition pays
+    * two shuffles for the same state. Each round recomputes degrees
+    * and deletes every node of degree
     * < k with its incident edges. Returns the surviving nodes with
     * their degree inside the peeled subgraph — after enough rounds
     * this IS the k-core (the peel is monotone, so the fixpoint is
@@ -280,28 +287,23 @@ object Graph {
     * 100 TB shape: the symmetric edge list lives hash(src)-partitioned
     * in a per-round persist (persist, NOT localCheckpoint: under AQE a
     * checkpoint's LogicalRDD forgets its outputPartitioning, so every
-    * consumer would re-exchange |E| rows; the ≤`rounds` persist chain
-    * keeps the plan depth bounded, and each superseded round is
+    * consumer would re-exchange |E| rows; each superseded round is
     * released once its successor is materialized). Per round the whole
-    * peel then costs ONE O(|E'|) exchange: the degree aggregation and
-    * the alive-set build are already hash(src)-co-partitioned (zero
-    * exchanges), the src-side semi join consumes both in place, the
-    * dst-side semi join re-hashes the shrinking edge list once (its
-    * build side is the SAME canonicalized alive exchange — reused, not
-    * recomputed), and the closing (src, dst) SWAP projection restores
-    * the hash(src) layout for free: on a symmetric edge set with both
-    * endpoints filtered alive, swapping the columns is an identity on
-    * the set, and the dst-join's hash(dst) output partitioning becomes
-    * hash(src) under the rename. Nothing driver-side but the one-count
-    * convergence probe per round over an already-materialized
-    * relation (pinned in PlanShapeSpec). */
+    * peel costs ONE O(|E'|) exchange — see [[kCoreRound]] for the
+    * single-reference window formulation and why a degree-agg +
+    * semi-join round (which reads the state twice) is structurally
+    * ruled out: plan trees double per round and the rendered plan
+    * string OOMs the driver at modest round counts. Nothing
+    * driver-side but the one-count convergence probe per round over
+    * an already-materialized relation (pinned in PlanShapeSpec). */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = und
       .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src"))
+        struct(col("a").as("node"), col("b").as("nbr")),
+        struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+      .groupBy(col("e.node").as("src"))
+      .agg(collect_set(col("e.nbr")).as("nbrs"))
+      .select(col("src"), explode(col("nbrs")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var n = edges.count()
     var done = n == 0
@@ -327,19 +329,27 @@ object Graph {
   /** One peel round over a hash(src)-partitioned SYMMETRIC edge list —
     * factored out so the plan-shape spec can pin the one-exchange
     * budget (the public entry persists each round, which makes later
-    * rounds read a cache scan). See [[kCore]] for the layout
-    * argument; the closing swap is only sound because the input is
-    * symmetric and both endpoints are filtered alive. */
+    * rounds read a cache scan).
+    *
+    * Shape constraint that is easy to break: the round must reference
+    * the incoming state exactly ONCE. The natural degree-agg + two-
+    * semi-join form reads it twice, so each round's plan embeds the
+    * previous round's tree twice and the plan STRING the execution
+    * listener renders per action grows 2^rounds — a 12-round peel
+    * OOMs the driver before any data moves. Whole-partition window
+    * counts give both endpoint degrees in one linear pipeline:
+    * count over hash(src) is exchange-free on the cached layout,
+    * count over dst pays the round's single O(|E′|) exchange, and the
+    * closing (src, dst) swap restores hash(src) by renaming — sound
+    * because the list is symmetric and both endpoints were filtered
+    * alive. Per-node window state is one partition's rows, the same
+    * hub bound the adjacency build already accepts. */
   private[graft] def kCoreRound(edges: DataFrame, k: Int): DataFrame = {
-    val alive = edges
-      .groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= k)
-      .select(col("src"))
+    import org.apache.spark.sql.expressions.Window
     edges
-      .join(alive.hint("shuffle_hash"), Seq("src"), "left_semi")
-      .join(alive.select(col("src").as("dst")).hint("shuffle_hash"),
-        Seq("dst"), "left_semi")
+      .withColumn("ds", count(lit(1)).over(Window.partitionBy("src")))
+      .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
+      .where(col("ds") >= k && col("dd") >= k)
       .select(col("dst").as("src"), col("src").as("dst"))
   }
 
@@ -367,31 +377,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node_id"))
+    // the label state IS the node set (one row per node), so no
+    // separate nodes relation exists: round N's reattach left-joins
+    // votes back onto the state itself. The init checkpoint doubles
+    // as the job that warms the edge cache.
+    var lbl = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count() // warm both caches in one job (nodes reads e)
-    var lbl = nodes.select(col("node_id"),
-      when(col("node_id").between(0L, 9999999999L), col("node_id"))
-        .otherwise(raise_error(concat(lit("labelPropagation: node id "),
-          col("node_id").cast("string"),
-          lit(" outside [0, 1e10) — composite vote order would overflow"))))
-        .as("community"))
-    var owned = false
+      .select(col("node_id"),
+        when(col("node_id").between(0L, 9999999999L), col("node_id"))
+          .otherwise(raise_error(concat(lit("labelPropagation: node id "),
+            col("node_id").cast("string"),
+            lit(" outside [0, 1e10) — composite vote order would overflow"))))
+          .as("community"))
+      .localCheckpoint(true)
     try {
       for (_ <- 1 to rounds) {
-        val next = labelPropRound(e, nodes, lbl).localCheckpoint(true)
-        if (owned) Storage.unpersistLocalCheckpoint(lbl)
+        val next = labelPropRound(e, lbl).localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(lbl)
         lbl = next
-        owned = true
       }
-      if (!owned) lbl = lbl.localCheckpoint(true)
       lbl
-    } finally {
-      e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-    }
+    } finally e.unpersist(blocking = false)
   }
 
   /** One synchronous LPA superstep, factored out so the plan-shape
@@ -399,10 +406,9 @@ object Graph {
     * each round, hiding the joins): vote stream = edges ⋈ labels on
     * src (edge side pre-partitioned, streamed), vote count combines
     * map-side, the argmax is one combinable max_by on the integer
-    * composite, and the left join re-attaches nodes that received no
-    * votes. */
-  private[graft] def labelPropRound(
-      e: DataFrame, nodes: DataFrame, lbl: DataFrame): DataFrame = {
+    * composite, and one left join re-attaches the votes onto the
+    * label state (which holds every node, voted or not). */
+  private[graft] def labelPropRound(e: DataFrame, lbl: DataFrame): DataFrame = {
     val votes = e
       .join(lbl.withColumnRenamed("node_id", "u").hint("shuffle_hash"),
         e("src") === col("u"))
@@ -410,9 +416,9 @@ object Graph {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("node_id"))
       .agg(max_by(col("c"), col("cnt") * lit(10000000000L) - col("c")).as("voted"))
-    nodes
-      .join(lbl.select(col("node_id"), col("community").as("cur")), Seq("node_id"))
+    lbl
       .join(votes, Seq("node_id"), "left")
-      .select(col("node_id"), coalesce(col("voted"), col("cur")).as("community"))
+      .select(col("node_id"),
+        coalesce(col("voted"), col("community")).as("community"))
   }
 }

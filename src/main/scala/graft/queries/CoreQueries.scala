@@ -637,6 +637,9 @@ object CoreQueries {
     // fast here; the multi-round cascade path is pinned on a chain
     // graph in GraphSpec.)
     "graph_kcore" -> ((s, d) => {
+      // pair multiset passed WITHOUT distinct — kCore's adjacency
+      // groupBy dedupes in-row (a pre-distinct is a full extra
+      // shuffle of the largest relation; same rule as triangles)
       val und = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
@@ -644,7 +647,6 @@ object CoreQueries {
           transform(slice(col("ps"), i + 2, size(col("ps"))),
             b => struct(a.as("a"), b.as("b")))))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct()
       val kc = graft.operators.Graph.kCore(und, k = 60, rounds = 8)
       val out = kc
         .orderBy(col("deg_in_core").desc, col("node_id").asc)

@@ -382,6 +382,36 @@ object StreamingOps {
     * the horizon are flagged, not just byte-identical ones. Emits
     * verdicts; compose with [[admittedFromVerdicts]] in `foreachBatch`
     * to materialize the admitted corpus. */
+  /** Online ANN serving: a micro-batch stream of query vectors
+    * (query_id, q: array<float>) served against a durable IVF index
+    * ([[graft.operators.IvfIndex]]). `foreachBatch` is the honest
+    * composition here — per-query top-k ranking is state-free across
+    * batches, so running the BATCH serving plan per micro-batch is
+    * semantically exact (pinned against `IvfIndex.serve` in
+    * StreamingOpsSpec), where a streaming window/rank would be
+    * rejected by the planner in append mode. The index relations load
+    * once and are reused every batch: centroids broadcast, and the
+    * corpus is touched only in the probed c_id partitions — the
+    * partition-pruned scan that makes per-batch serving O(probed
+    * lists), not O(corpus), at 100 TB. */
+  def ivfServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      nProbe: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    val (assigned, centroids) = graft.operators.IvfIndex.read(spark, indexPath)
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Similarity.ivfServe(
+          assigned, centroids, batch.toDF(), k, nProbe))
+        ()
+      }
+      .start()
+  }
+
   def pretrainGateFuzzy(
       spark: SparkSession,
       docs: DataFrame,

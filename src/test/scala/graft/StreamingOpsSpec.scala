@@ -331,6 +331,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serve equals the batch index serve per micro-batch") {
+    // online serving: query vectors arriving over two micro-batches
+    // against a persisted IVF index must produce exactly the batch
+    // serve's rows for the union of queries (serving is state-free
+    // across batches, so streaming == batch restricted per batch).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where(F.col("vec_id") < 8)
+      .select(F.col("vec_id").as("c_id"), F.col("embedding").as("c_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    graft.operators.IvfIndex.write(e, seeds, path)
+    val queryVecs = e.where(F.col("vec_id") < 6)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("q"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    val q = StreamingOps.ivfServeStream(
+      mem.toDF().toDF("query_id", "q"), path, k = 5, nProbe = 2) { batchOut =>
+      served.synchronized {
+        served ++= batchOut.as[(Long, Long, Int, Double)].collect()
+      }
+    }
+    try {
+      mem.addData(queryVecs.take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(queryVecs.drop(3).toSeq: _*)
+      q.processAllAvailable()
+      val want = graft.operators.IvfIndex.serve(
+        spark, path,
+        e.where(F.col("vec_id") < 6)
+          .select(F.col("vec_id").as("query_id"), F.col("embedding").as("q")),
+        k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect()
+      assert(served.sortBy(r => (r._1, r._3)).toSeq ==
+        want.sortBy(r => (r._1, r._3)).toSeq && served.nonEmpty,
+        s"streamed serve diverged: ${served.size} vs ${want.length} rows")
+    } finally q.stop()
+  }
+
   test("streaming fuzzy dedup saturates megabuckets like the batch skew cap") {
     // batch minhashLsh drops buckets with > MAX_BUCKET members whole
     // (boilerplate megabuckets flag nothing); the streaming form

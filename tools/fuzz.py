@@ -216,6 +216,10 @@ def gen_query(rng):
         frm = t
         ints = TABLES[t]["int"]
         strs = TABLES[t]["str"]
+    # a unique non-null per-row key makes argmax deterministic; only
+    # the single-table shape has one (a one-to-many join repeats t1's
+    # key, and a nondeterministic argmax would fuzz the fuzzer)
+    ukey = TABLES[frm]["key"] if frm in TABLES else None
     # FULL JOIN runs unfiltered: a WHERE over either side would drop
     # the null-extended rows that make the shape worth fuzzing
     where = (f" WHERE {pred(rng, ints, strs)}"
@@ -229,6 +233,12 @@ def gen_query(rng):
                 f"max({rng.choice(ints)}) AS mx",
                 # count(expr) skips the NULLs the nullif/CASE forms inject
                 f"count({int_expr(rng, ints)}) AS cn"]
+        if ukey is not None:
+            # argmax over the unique key (tie-free); the value is
+            # coalesced because the engines disagree on whether a NULL
+            # value at the extremum row is returned or skipped
+            aggs.append(f"max_by(coalesce({rng.choice(ints)}, 0), {ukey}) AS ab")
+            aggs.append(f"min_by(coalesce({rng.choice(ints)}, 0), {ukey}) AS bb")
         rng.shuffle(aggs)
         aggs = aggs[:rng.randrange(1, len(aggs) + 1)]
         sel = f"{g} AS g, " + ", ".join(aggs)
