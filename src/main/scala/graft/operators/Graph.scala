@@ -96,6 +96,69 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass returns to the SOURCE set every step instead of spreading
+    * uniformly, so ranks measure proximity to the sources — the
+    * standard graph-feature / recommendation primitive. Same
+    * integer-exact arithmetic and per-round plan as [[pageRank]]
+    * (1e12 = 1.0, damping ×85 div 100, one shuffle_hash join
+    * streaming the pre-partitioned edges + one combinable sum per
+    * round); the only deltas are the source-indicator column riding
+    * the rank state and the base term `is_src · BASE` replacing the
+    * uniform BASE. pr₀ = SCALE on sources, 0 elsewhere; un-normalized
+    * per-source restart mass (deterministic, oracle-replayable —
+    * rescale externally if a probability vector is needed). */
+  def personalizedPageRank(
+      edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.toSet.toSeq.sorted
+    val nodeInfo = e
+      .select(explode(array(
+        struct(col("src").as("node_id"), lit(1L).as("o")),
+        struct(col("dst").as("node_id"), lit(0L).as("o")))).as("x"))
+      .groupBy(col("x.node_id").as("node_id"))
+      .agg(sum(col("x.o")).as("outdeg"))
+      .withColumn("is_src",
+        col("node_id").isInCollection(srcSet).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodeInfo.count()
+    var pr = nodeInfo.withColumn("pr", col("is_src") * lit(SCALE))
+    var prOwned = false
+    try {
+      for (_ <- 1 to iters) {
+        val next = pprRound(e, nodeInfo, pr).localCheckpoint(true)
+        if (prOwned) Storage.unpersistLocalCheckpoint(pr)
+        pr = next
+        prOwned = true
+      }
+      if (!prOwned) pr = pr.localCheckpoint(true)
+      pr.select(col("node_id"), col("pr"))
+    } finally {
+      e.unpersist(blocking = false)
+      nodeInfo.unpersist(blocking = false)
+    }
+  }
+
+  /** One PPR superstep — [[pageRankRound]] with the teleport mass
+    * restricted to the source set (base term is_src·BASE). */
+  private[graft] def pprRound(
+      e: DataFrame, nodeInfo: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = pr
+      .where(col("outdeg") > 0 && col("pr") > 0)
+      .select(col("node_id").as("u"), expr("pr div outdeg").as("c"))
+    val inbound = e
+      .join(contrib.hint("shuffle_hash"), e("src") === contrib("u"))
+      .groupBy(col("dst").as("node_id"))
+      .agg(sum(col("c")).as("s"))
+    nodeInfo
+      .join(inbound, Seq("node_id"), "left")
+      .select(col("node_id"), col("outdeg"), col("is_src"),
+        (col("is_src") * lit(BASE) +
+          expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+  }
+
   /** ONE Pregel superstep as two relational ops — factored out so the
     * plan-shape spec can pin the exchange budget (the public entry
     * checkpoints each round, which hides the joins): contrib is a pure

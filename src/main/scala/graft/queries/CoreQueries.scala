@@ -628,6 +628,29 @@ object CoreQueries {
       out
     }),
 
+    // personalized PageRank from a 3-customer source set over the
+    // same purchase graph — proximity-to-sources ranking (the
+    // recommendation / graph-feature primitive). Integer-exact; the
+    // oracle unrolls all 3 iterations with the restricted teleport.
+    "graph_ppr" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val pr = graft.operators.Graph.personalizedPageRank(
+        edges, sources = Seq(1L, 2L, 3L), iters = 3)
+      val out = pr
+        .orderBy(col("pr").desc, col("node_id").asc)
+        .limit(20)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(pr)
+      out
+    }),
+
     // k-core decomposition (8-round peel budget, early-exit at the
     // fixpoint) over the part co-purchase graph — the subgraph where
     // every surviving part co-occurs with >= 60 other surviving parts.
@@ -1108,6 +1131,33 @@ object CoreQueries {
             SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
           outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
           pr0 AS (SELECT node_id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+          it1 AS (${iter("pr0")}),
+          it2 AS (${iter("it1")}),
+          it3 AS (${iter("it2")})
+          SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
+    },
+
+    "graph_ppr" -> {
+      def iter(prev: String): String =
+        s"""SELECT n.node_id, n.is_src,
+              CAST(n.is_src * 150000000000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node_id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+              FROM edges e JOIN $prev p ON e.src = p.node_id
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst) i ON n.node_id = i.node_id"""
+      s"""WITH e0 AS (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS (SELECT c AS src, sp AS dst FROM e0
+                    UNION ALL SELECT sp, c FROM e0),
+          nodes AS (SELECT node_id,
+              CASE WHEN node_id IN (1, 2, 3) THEN 1 ELSE 0 END AS is_src
+            FROM (SELECT DISTINCT x AS node_id FROM (
+              SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges))),
+          outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          pr0 AS (SELECT node_id, is_src,
+              CAST(is_src * 1000000000000 AS BIGINT) AS pr FROM nodes),
           it1 AS (${iter("pr0")}),
           it2 AS (${iter("it1")}),
           it3 AS (${iter("it2")})

@@ -135,6 +135,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized pagerank localizes mass to the source component") {
+    // two disjoint chains; restart set {1} lives in the first. All
+    // rank mass must stay in component A (component B ranks exactly
+    // 0 — integer arithmetic, no epsilon), and the source itself
+    // keeps the restart mass every round, outranking the far end.
+    def sym(ps: (Long, Long)*): Seq[(Long, Long)] =
+      ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (sym((1L, 2L), (2L, 3L)) ++ sym((10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, sources = Seq(1L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 0L),
+      s"mass leaked into the disconnected component: $got")
+    assert(got(2L) > 0L && got(3L) > 0L, s"mass failed to spread: $got")
+    assert(got(1L) > got(3L), s"source must outrank the far end: $got")
+  }
+
   test("kCore peels a tail chain round by round and keeps the clique") {
     // lollipop: K4 on {0,1,2,3} (every degree 3) + a 6-node path
     // 3-10-11-12-13-14-15 hanging off node 3. With k = 2 the path
