@@ -181,6 +181,24 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(und.limit(0), k = 1, rounds = 3).count() == 0L)
   }
 
+  test("kCore dedupes parallel edges: multigraph equals its simple graph") {
+    // degree counts DISTINCT neighbors — a triplicated pair multiset
+    // must produce exactly the simple graph's core (the in-row
+    // collect_set dedup is what lets callers skip a pre-distinct)
+    val simple = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val multi = simple ++ simple ++ simple
+    val want = Graph.kCore(simple.toDF("a", "b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val got = Graph.kCore(multi.toDF("a", "b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && want.nonEmpty, s"multigraph core diverged: $got vs $want")
+  }
+
+  test("label propagation: empty edge list yields an empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagation(empty, rounds = 2).count() == 0L)
+  }
+
   test("label propagation merges a weighted vote deterministically") {
     // two triangles {1,2,3} and {8,9,7} bridged by NO edge: each
     // converges to its own min label. Parallel edges 5→6 (weight 3)
