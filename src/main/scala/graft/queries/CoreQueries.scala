@@ -391,6 +391,34 @@ object CoreQueries {
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
     }),
 
+    // NTILE bucket assignment — equi-depth quartiles per customer.
+    // Bucket-boundary arithmetic (how the remainder rows distribute)
+    // is exactly the kind of off-by-one that diverges engines, hence
+    // worth an oracled entry; the (date, key) order is tie-free.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // IGNORE NULLS navigation — last non-null observation carried
+    // forward (the gap-fill idiom). NULL handling inside window
+    // frames is a classic cross-engine divergence; the NULLs are
+    // injected deterministically (every 3rd line has no comment).
+    "q_window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") % 3 =!= 0, col("l_quantity").cast("double"))
+            .as("obs"))
+        .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+    }),
+
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1260,6 +1288,23 @@ object CoreQueries {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders) WHERE rk <= 3""",
+
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT)
+             AS quartile
+         FROM orders WHERE o_custkey < 200""",
+
+    "q_window_ignore_nulls" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber % 3 <> 0
+                THEN CAST(l_quantity AS DOUBLE) END AS obs,
+           last_value(CASE WHEN l_linenumber % 3 <> 0
+                           THEN CAST(l_quantity AS DOUBLE) END IGNORE NULLS)
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM lineitem WHERE l_orderkey < 1000""",
 
     "q_window_running" ->
       """SELECT l_orderkey, l_linenumber,
