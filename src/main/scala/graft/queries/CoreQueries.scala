@@ -656,6 +656,27 @@ object CoreQueries {
       out
     }),
 
+    // link-prediction features over the part co-purchase graph:
+    // common-neighbor count + integer-exact resource-allocation index
+    // per existing edge — the "customers also bought" scoring core.
+    // Top-100, tie-free.
+    "graph_link_pred" -> ((s, d) => {
+      val und = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val lp = graft.operators.Graph.linkPredictionScores(und)
+      val out = lp
+        .orderBy(col("ra").desc, col("cn").desc, col("a").asc, col("b").asc)
+        .limit(100)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(lp)
+      out
+    }),
+
     // personalized PageRank from a 3-customer source set over the
     // same purchase graph — proximity-to-sources ranking (the
     // recommendation / graph-feature primitive). Integer-exact; the
@@ -1164,6 +1185,29 @@ object CoreQueries {
           it3 AS (${iter("it2")})
           SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
     },
+
+    "graph_link_pred" ->
+      """WITH os AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT DISTINCT a.p AS a, b.p AS b
+            FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),
+          sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                 UNION ALL SELECT b, a FROM und),
+          deg AS MATERIALIZED (
+            SELECT src AS n, count(*) AS dg FROM sym GROUP BY src),
+          common AS (
+            SELECT e.a, e.b, e1.dst AS w
+            FROM und e
+            JOIN sym e1 ON e1.src = e.a
+            JOIN sym e2 ON e2.src = e.b AND e2.dst = e1.dst),
+          scored AS (
+            SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS cn,
+                   CAST(sum(1000000000000 // d.dg) AS BIGINT) AS ra
+            FROM common c JOIN deg d ON d.n = c.w
+            GROUP BY c.a, c.b)
+          SELECT a, b, cn, ra FROM scored
+          ORDER BY ra DESC, cn DESC, a ASC, b ASC LIMIT 100""",
 
     "graph_ppr" -> {
       def iter(prev: String): String =

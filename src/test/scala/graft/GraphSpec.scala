@@ -194,6 +194,27 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty, s"multigraph core diverged: $got vs $want")
   }
 
+  test("link prediction matches brute-force CN and RA, omits zero-CN edges") {
+    // K4 with a pendant node: every clique edge has the other two
+    // clique nodes in common; the pendant edge (3,9) has none and
+    // must be absent. Triplicated multiset input must change nothing.
+    val simple = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)) :+ (3L, 9L)
+    val nbrs = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    def ref(a: Long, b: Long): (Long, Long) = {
+      val ws = nbrs(a) & nbrs(b)
+      (ws.size.toLong, ws.toSeq.map(w => 1000000000000L / nbrs(w).size).sum)
+    }
+    val want = simple.filter { case (a, b) => (nbrs(a) & nbrs(b)).nonEmpty }
+      .map { case (a, b) => (a, b) -> ref(a, b) }.toMap
+    for (input <- Seq(simple, simple ++ simple ++ simple)) {
+      val got = Graph.linkPredictionScores(input.toDF("a", "b"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got == want && want.nonEmpty, s"scores diverged: $got vs $want")
+    }
+  }
+
   test("label propagation: empty edge list yields an empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.labelPropagation(empty, rounds = 2).count() == 0L)
