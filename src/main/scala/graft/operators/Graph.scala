@@ -328,6 +328,86 @@ object Graph {
       .agg(sum(col("e.c")).as("n_triangles"))
   }
 
+  /** HITS hubs-and-authorities over a DIRECTED edge list (parallel
+    * edges act as weight): per iteration the authority score is the
+    * weighted sum of in-neighbor hub scores and the hub score the
+    * weighted sum of out-neighbor authorities, each half-step
+    * max-normalized back to the 1e12 scale with floor division — the
+    * integer-exact stand-in for the usual L2 normalization (same
+    * fixpoint direction, deterministic, oracle-replayable; the raw
+    * sums stay int64 — Σ over a ≤2²⁰-degree node of ≤1e12 scores —
+    * and the score·SCALE normalization numerator widens to
+    * decimal(38,0), HUGEINT on the oracle side).
+    * Returns (node_id, hub, auth). The classic bipartite ranking —
+    * here: customers as hubs, suppliers as authorities.
+    *
+    * 100 TB shape: per half-step one shuffle_hash join streaming the
+    * pre-partitioned edge list against the O(|V|) score state + one
+    * combinable sum + a one-row max that broadcasts back — the
+    * pageRank budget, twice per iteration. Score state is
+    * checkpointed per round (it changes); the edge list and its
+    * dst-keyed twin persist once. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val eSrc = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = eSrc.select(col("src").as("node_id"))
+      .union(eSrc.select(col("dst").as("node_id")))
+      .distinct()
+      .select(col("node_id"), lit(SCALE).as("hub"), lit(SCALE).as("auth"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        // authority step: sum of in-neighbor hubs, max-normalized
+        val rawA = eDst
+          .join(state.select(col("node_id").as("u"), col("hub"))
+            .hint("shuffle_hash"), col("src") === col("u"))
+          .groupBy(col("dst").as("node_id"))
+          .agg(sum(col("hub")).as("ra"))
+        val aNorm = rawA
+          .crossJoin(broadcast(rawA.agg(max(col("ra")).as("mx"))))
+          // ra·SCALE reaches ~1e28 — widen to decimal(38,0) before the
+          // floor division (DuckDB mirrors with HUGEINT)
+          .select(col("node_id"),
+            call_function("div",
+              col("ra").cast("decimal(38,0)") * lit(SCALE),
+              col("mx")).as("auth"))
+        val mid = state
+          .join(aNorm, Seq("node_id"), "left")
+          .select(col("node_id"), col("hub"),
+            coalesce(aNorm("auth"), lit(0L)).as("auth"))
+          .localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(state)
+        // hub step: sum of out-neighbor authorities, max-normalized
+        val rawH = eSrc
+          .join(mid.select(col("node_id").as("v"), col("auth"))
+            .hint("shuffle_hash"), col("dst") === col("v"))
+          .groupBy(col("src").as("node_id"))
+          .agg(sum(col("auth")).as("rh"))
+        val hNorm = rawH
+          .crossJoin(broadcast(rawH.agg(max(col("rh")).as("mx"))))
+          .select(col("node_id"),
+            call_function("div",
+              col("rh").cast("decimal(38,0)") * lit(SCALE),
+              col("mx")).as("hub"))
+        val next = mid
+          .join(hNorm, Seq("node_id"), "left")
+          .select(col("node_id"),
+            coalesce(hNorm("hub"), lit(0L)).as("hub"), col("auth"))
+          .localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(mid)
+        state = next
+      }
+      state
+    } finally {
+      eSrc.unpersist(blocking = false)
+      eDst.unpersist(blocking = false)
+    }
+  }
+
   /** Link-prediction scores for every existing edge of an undirected
     * graph `und(a, b)` (canonical a < b, no self-loops; parallel
     * edges deduped in-row): `cn` = number of common neighbors, `ra` =

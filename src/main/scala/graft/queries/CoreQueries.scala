@@ -656,6 +656,25 @@ object CoreQueries {
       out
     }),
 
+    // HITS hubs/authorities over the DIRECTED customer→supplier
+    // purchase multigraph (purchase multiplicity = weight): customers
+    // score as hubs, suppliers as authorities. 3 iterations,
+    // max-normalized integer arithmetic; top-20 authorities, tie-free.
+    "graph_hits" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val h = graft.operators.Graph.hits(edges, iters = 3)
+      val out = h
+        .orderBy(col("auth").desc, col("node_id").asc)
+        .limit(20)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(h)
+      out
+    }),
+
     // link-prediction features over the part co-purchase graph:
     // common-neighbor count + integer-exact resource-allocation index
     // per existing edge — the "customers also bought" scoring core.
@@ -1184,6 +1203,42 @@ object CoreQueries {
           it2 AS (${iter("it1")}),
           it3 AS (${iter("it2")})
           SELECT node_id, pr FROM it3 ORDER BY pr DESC, node_id ASC LIMIT 20"""
+    },
+
+    "graph_hits" -> {
+      // one HITS iteration = authority half-step then hub half-step,
+      // each max-normalized; HUGEINT carries the score·1e12 numerator
+      def iter(prev: String, n: Int): String =
+        s"""ra$n AS MATERIALIZED (
+              SELECT e.dst AS node_id, CAST(sum(p.hub) AS BIGINT) AS ra
+              FROM edges e JOIN $prev p ON e.src = p.node_id GROUP BY e.dst),
+          mid$n AS MATERIALIZED (
+              SELECT s.node_id, s.hub,
+                coalesce(CAST(CAST(r.ra AS HUGEINT) * 1000000000000
+                  // (SELECT max(ra) FROM ra$n) AS BIGINT), 0) AS auth
+              FROM $prev s LEFT JOIN ra$n r ON s.node_id = r.node_id),
+          rh$n AS MATERIALIZED (
+              SELECT e.src AS node_id, CAST(sum(p.auth) AS BIGINT) AS rh
+              FROM edges e JOIN mid$n p ON e.dst = p.node_id GROUP BY e.src),
+          it$n AS MATERIALIZED (
+              SELECT s.node_id,
+                coalesce(CAST(CAST(r.rh AS HUGEINT) * 1000000000000
+                  // (SELECT max(rh) FROM rh$n) AS BIGINT), 0) AS hub,
+                s.auth
+              FROM mid$n s LEFT JOIN rh$n r ON s.node_id = r.node_id)"""
+      val rounds = (1 to 3).map(n => iter(if (n == 1) "it0" else s"it${n - 1}", n))
+        .mkString(",\n          ")
+      s"""WITH edges AS MATERIALIZED (
+            SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          nodes AS MATERIALIZED (SELECT DISTINCT x AS node_id FROM (
+            SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
+          it0 AS MATERIALIZED (SELECT node_id,
+            CAST(1000000000000 AS BIGINT) AS hub,
+            CAST(1000000000000 AS BIGINT) AS auth FROM nodes),
+          $rounds
+          SELECT node_id, hub, auth FROM it3
+          ORDER BY auth DESC, node_id ASC LIMIT 20"""
     },
 
     "graph_link_pred" ->

@@ -215,6 +215,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("HITS: popularity concentrates authority; weight concentrates hubness") {
+    // customers 1..5 all buy from supplier 100; customer 1 also buys
+    // from fringe supplier 200; customer 2's edge to 100 is
+    // triplicated (weight 3). The popular supplier must carry the
+    // maximal (= SCALE-normalized) authority; suppliers have no
+    // out-edges, so their hub score is exactly 0; the weighted
+    // customer out-hubs the single-edge ones.
+    val edges = ((1L to 5L).map(c => (c, 100L)) ++
+      Seq((1L, 200L), (2L, 100L), (2L, 100L))).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val SCALE = 1000000000000L
+    assert(got(100L)._2 == SCALE, s"popular supplier must top authority: $got")
+    assert(got(200L)._2 < SCALE && got(200L)._2 > 0, s"fringe supplier mid: $got")
+    assert(got(100L)._1 == 0L && got(200L)._1 == 0L,
+      s"suppliers have no out-edges, hub must be 0: $got")
+    assert(got(2L)._1 > got(3L)._1, s"weighted edge must raise hubness: $got")
+    assert(got(3L)._1 == got(4L)._1, s"symmetric customers tie: $got")
+  }
+
   test("label propagation: empty edge list yields an empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.labelPropagation(empty, rounds = 2).count() == 0L)
