@@ -341,12 +341,29 @@ object Graph {
     * Returns (node_id, hub, auth). The classic bipartite ranking —
     * here: customers as hubs, suppliers as authorities.
     *
-    * 100 TB shape: per half-step one shuffle_hash join streaming the
-    * pre-partitioned edge list against the O(|V|) score state + one
-    * combinable sum + a one-row max that broadcasts back — the
-    * pageRank budget, twice per iteration. Score state is
-    * checkpointed per round (it changes); the edge list and its
-    * dst-keyed twin persist once. */
+    * 100 TB shape: per half-step one shuffle_hash join STREAMING the
+    * edge cache that is pre-partitioned on that half-step's join key
+    * (authority joins on `src` → the hash(src) cache; hub joins on
+    * `dst` → the hash(dst) twin — each cache is consumed exactly
+    * where its layout is reused, so the O(|E|) edge list never
+    * re-exchanges; pinned in PlanShapeSpec) against the O(|V|) score
+    * build side + one combinable sum. The raw sums are materialized
+    * ONCE per half-step and both their consumers — the one-row
+    * broadcast max-normalizer and the next half-step's join — read
+    * the materialized relation, so the heavy join+agg is never
+    * re-evaluated by the normalizer job. There is NO merged per-round
+    * state relation at all: the hub half-step joins the normalized
+    * authorities directly and the next round's authority half-step
+    * joins the normalized hubs directly — sum-identical to a merged
+    * state because every edge's dst has ≥1 in-edge (so appears in the
+    * authority relation) and every edge's src has ≥1 out-edge (so
+    * appears in the hub relation), and nodes absent from either would
+    * contribute score 0 anyway. Nodes outside both relations
+    * re-attach with score 0 in ONE final left-join merge. Net budget:
+    * two materializations per iteration (the two raw-sum relations)
+    * plus one final merge — down from three per iteration in the r9
+    * form, which also recomputed each half-step inside its
+    * broadcast-max job. */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     val eSrc = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
@@ -354,59 +371,92 @@ object Graph {
     val eDst = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var state = eSrc.select(col("src").as("node_id"))
+    // the node set is fixed — materialized once (this job also warms
+    // the eSrc cache), read by round 1 and the final merge
+    val nodes = eSrc.select(col("src").as("node_id"))
       .union(eSrc.select(col("dst").as("node_id")))
       .distinct()
-      .select(col("node_id"), lit(SCALE).as("hub"), lit(SCALE).as("auth"))
       .localCheckpoint(true)
+    var hubState = nodes.select(col("node_id"), lit(SCALE).as("hub"))
+    var aNorm: DataFrame = null
+    var hNorm: DataFrame = null
+    var rawAPrev: DataFrame = null
+    var rawHPrev: DataFrame = null
     try {
       for (_ <- 1 to iters) {
-        // authority step: sum of in-neighbor hubs, max-normalized
-        val rawA = eDst
-          .join(state.select(col("node_id").as("u"), col("hub"))
-            .hint("shuffle_hash"), col("src") === col("u"))
-          .groupBy(col("dst").as("node_id"))
-          .agg(sum(col("hub")).as("ra"))
-        val aNorm = rawA
-          .crossJoin(broadcast(rawA.agg(max(col("ra")).as("mx"))))
-          // ra·SCALE reaches ~1e28 — widen to decimal(38,0) before the
-          // floor division (DuckDB mirrors with HUGEINT)
-          .select(col("node_id"),
-            call_function("div",
-              col("ra").cast("decimal(38,0)") * lit(SCALE),
-              col("mx")).as("auth"))
-        val mid = state
-          .join(aNorm, Seq("node_id"), "left")
-          .select(col("node_id"), col("hub"),
-            coalesce(aNorm("auth"), lit(0L)).as("auth"))
-          .localCheckpoint(true)
-        Storage.unpersistLocalCheckpoint(state)
-        // hub step: sum of out-neighbor authorities, max-normalized
-        val rawH = eSrc
-          .join(mid.select(col("node_id").as("v"), col("auth"))
-            .hint("shuffle_hash"), col("dst") === col("v"))
-          .groupBy(col("src").as("node_id"))
-          .agg(sum(col("auth")).as("rh"))
-        val hNorm = rawH
-          .crossJoin(broadcast(rawH.agg(max(col("rh")).as("mx"))))
-          .select(col("node_id"),
-            call_function("div",
-              col("rh").cast("decimal(38,0)") * lit(SCALE),
-              col("mx")).as("hub"))
-        val next = mid
-          .join(hNorm, Seq("node_id"), "left")
-          .select(col("node_id"),
-            coalesce(hNorm("hub"), lit(0L)).as("hub"), col("auth"))
-          .localCheckpoint(true)
-        Storage.unpersistLocalCheckpoint(mid)
-        state = next
+        // authority half-step: raw in-neighbor hub sums, materialized
+        // once — the heavy O(|E|) join+agg job of this half-step
+        val rawA = hitsRawAuth(eSrc, hubState).localCheckpoint(true)
+        // the previous round's raw relations fed this job (via the
+        // lazy normalizers); safe to release only now
+        if (rawAPrev != null) Storage.unpersistLocalCheckpoint(rawAPrev)
+        if (rawHPrev != null) Storage.unpersistLocalCheckpoint(rawHPrev)
+        aNorm = hitsMaxNorm(rawA, "ra", "auth")
+        // hub half-step over the NEW authorities
+        val rawH = hitsRawHub(eDst, aNorm).localCheckpoint(true)
+        hNorm = hitsMaxNorm(rawH, "rh", "hub")
+        hubState = hNorm
+        rawAPrev = rawA
+        rawHPrev = rawH
       }
-      state
+      val result =
+        if (iters == 0)
+          nodes.select(col("node_id"),
+            lit(SCALE).as("hub"), lit(SCALE).as("auth"))
+            .localCheckpoint(true)
+        else
+          nodes
+            .join(hNorm, Seq("node_id"), "left")
+            .join(aNorm, Seq("node_id"), "left")
+            .select(col("node_id"),
+              coalesce(col("hub"), lit(0L)).as("hub"),
+              coalesce(col("auth"), lit(0L)).as("auth"))
+            .localCheckpoint(true)
+      result
     } finally {
+      if (rawAPrev != null) Storage.unpersistLocalCheckpoint(rawAPrev)
+      if (rawHPrev != null) Storage.unpersistLocalCheckpoint(rawHPrev)
+      Storage.unpersistLocalCheckpoint(nodes)
       eSrc.unpersist(blocking = false)
       eDst.unpersist(blocking = false)
     }
   }
+
+  /** Raw authority sums for one HITS half-step — factored out so the
+    * plan-shape spec and digest can pin the exchange budget: the
+    * hash(src)-partitioned edge cache streams into a shuffle_hash
+    * join on `src` (no edge re-exchange) against the O(|V|) hub
+    * state, then one map-side-combinable sum keyed on `dst`. */
+  private[graft] def hitsRawAuth(eSrc: DataFrame, state: DataFrame): DataFrame =
+    eSrc
+      .join(state.select(col("node_id").as("u"), col("hub"))
+        .hint("shuffle_hash"), col("src") === col("u"))
+      .groupBy(col("dst").as("node_id"))
+      .agg(sum(col("hub")).as("ra"))
+
+  /** Raw hub sums for one HITS half-step — the mirror of
+    * [[hitsRawAuth]]: the hash(dst)-partitioned edge cache streams
+    * into a shuffle_hash join on `dst` against the O(|V|) authority
+    * relation, then one combinable sum keyed on `src`. */
+  private[graft] def hitsRawHub(eDst: DataFrame, auth: DataFrame): DataFrame =
+    eDst
+      .join(auth.select(col("node_id").as("v"), col("auth"))
+        .hint("shuffle_hash"), col("dst") === col("v"))
+      .groupBy(col("src").as("node_id"))
+      .agg(sum(col("auth")).as("rh"))
+
+  /** Max-normalize a raw HITS score relation back to the 1e12 scale:
+    * one-row max broadcast back via crossJoin, floor division on a
+    * decimal(38,0)-widened numerator (raw·SCALE reaches ~1e28;
+    * DuckDB mirrors with HUGEINT). */
+  private[graft] def hitsMaxNorm(
+      raw: DataFrame, in: String, out: String): DataFrame =
+    raw
+      .crossJoin(broadcast(raw.agg(max(col(in)).as("mx"))))
+      .select(col("node_id"),
+        call_function("div",
+          col(in).cast("decimal(38,0)") * lit(SCALE),
+          col("mx")).as(out))
 
   /** Link-prediction scores for every existing edge of an undirected
     * graph `und(a, b)` (canonical a < b, no self-loops; parallel
@@ -631,7 +681,17 @@ object Graph {
       .groupBy(col("dst").as("node_id"), col("community").as("c"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("node_id"))
-      .agg(max_by(col("c"), col("cnt") * lit(10000000000L) - col("c")).as("voted"))
+      // composite vote order cnt·10¹⁰ − c needs cnt·10¹⁰ ≤ int64 max;
+      // guarded like the label-id bound (Spark with ANSI off would
+      // wrap silently to a wrong community while the oracle's BIGINT
+      // errors — an asymmetric divergence without the guard)
+      .agg(max_by(col("c"),
+        when(col("cnt") <= lit(922337203L),
+          col("cnt") * lit(10000000000L) - col("c"))
+          .otherwise(raise_error(concat(
+            lit("labelPropagation: vote count "), col("cnt").cast("string"),
+            lit(" overflows the composite vote order (max 922337203 "),
+            lit("weighted in-edges per label)"))))).as("voted"))
     lbl
       .join(votes, Seq("node_id"), "left")
       .select(col("node_id"),

@@ -460,6 +460,67 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("HITS half-steps stream each edge cache without re-exchanging it") {
+    // the authority step joins on `src` and must consume the
+    // hash(src)-partitioned edge cache in place; the hub step joins
+    // on `dst` and must consume the hash(dst) twin in place. Keying
+    // either half-step against the WRONG cache keeps results correct
+    // but re-exchanges the full O(|E|) edge list every half-step —
+    // the regression this pin exists to catch (r9 shipped exactly
+    // that: eDst in the authority step, eSrc in the hub step).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 300L).map(i => (i % 40, 100 + i % 37)).toDF("src", "dst")
+    val eSrc = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = edges.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      eSrc.count(); eDst.count()
+      val state = eSrc.select(col("src").as("node_id"))
+        .union(eSrc.select(col("dst").as("node_id")))
+        .distinct()
+        .select(col("node_id"), lit(1000000000000L).as("hub"),
+          lit(1000000000000L).as("auth"))
+        .localCheckpoint(true)
+      def isEdgeScan(pl: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        pl match {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.output.map(_.name).toSet == Set("src", "dst")
+          case _ => false
+        }
+      def assertNoEdgeReExchange(
+          df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val qe = df.queryExecution
+        qe.toRdd.count()
+        val nodes = walkPlan(qe.executedPlan)
+        // the half-step join must sit over the cache scan...
+        val halfJoin = nodes.find {
+          case j: org.apache.spark.sql.execution.joins.HashJoin =>
+            walkPlan(j).exists(isEdgeScan)
+          case _ => false
+        }
+        assert(halfJoin.isDefined, s"$label: edge-cache join not found")
+        // ...and consume it DIRECTLY: no exchange between the join and
+        // the edge scan (the aggregation shuffle ABOVE the join moves
+        // map-side-combined O(|V|) partials and is expected)
+        val exchangedEdges = walkPlan(halfJoin.get).collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if walkPlan(s).exists(isEdgeScan) => s
+        }
+        assert(exchangedEdges.isEmpty,
+          s"$label: edge cache re-exchanged below the half-step join — " +
+            s"wrong cache keyed:\n${exchangedEdges.mkString("\n")}")
+      }
+      val rawA = graft.operators.Graph.hitsRawAuth(eSrc, state)
+      assertNoEdgeReExchange(rawA, "authority step")
+      val aNorm = graft.operators.Graph
+        .hitsMaxNorm(rawA.localCheckpoint(true), "ra", "auth")
+      assertNoEdgeReExchange(
+        graft.operators.Graph.hitsRawHub(eDst, aNorm), "hub step")
+    } finally { eSrc.unpersist(); eDst.unpersist() }
+  }
+
   test("graph_triangles never sorts the wedge stream") {
     // the adjacency joins must stay hash-family; a sort-merge shape
     // would sort the edge stream (and its attached neighbor lists)
