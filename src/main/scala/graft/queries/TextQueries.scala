@@ -616,7 +616,14 @@ object TextQueries {
   // checkpointed relations of dead sessions forever.
   private val bpeMergeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
-  private def learnedMerges(s: SparkSession, d: String): DataFrame = {
+  // test seam: the eviction rule needs a JVM with two SEQUENTIAL Spark
+  // contexts to be observable (MemoEvictionProbe, forked from
+  // TextFunctionsSpec)
+  private[graft] def bpeMemoKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    bpeMergeMemo.keySet().asScala.toSet
+  }
+  private[graft] def learnedMerges(s: SparkSession, d: String): DataFrame = {
     bpeMergeMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     bpeMergeMemo.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ =>
       (s, graft.operators.Bpe.learn(Tables.documents(s, d), merges = 6)

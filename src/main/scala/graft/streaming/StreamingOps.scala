@@ -398,18 +398,27 @@ object StreamingOps {
       queries: DataFrame,
       indexPath: String,
       k: Int = 5,
-      nProbe: Int = 4)(
+      nProbe: Int = 4,
+      // writeStream pass-throughs: a serving deployment needs at least
+      // a durable checkpointLocation (restartable offsets) and usually
+      // a queryName/trigger; defaults preserve the ephemeral test shape
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
     val (assigned, centroids) = graft.operators.IvfIndex.read(spark, indexPath)
-    queries.writeStream
+    val writer = queries.writeStream
       .outputMode("append")
+      .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         sink(graft.operators.Similarity.ivfServe(
           assigned, centroids, batch.toDF(), k, nProbe))
         ()
       }
-      .start()
+    queryName.foreach(writer.queryName)
+    trigger.foreach(writer.trigger)
+    writer.start()
   }
 
   def pretrainGateFuzzy(

@@ -112,6 +112,30 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == Seq("abab", "c", "d", "ab"))
   }
 
+  test("merge memo evicts checkpoints of stopped sessions (forked 2-session JVM)") {
+    // the eviction rule (TextQueries.learnedMerges removes entries
+    // whose SparkContext is stopped) needs two SEQUENTIAL contexts in
+    // one JVM — impossible under the shared test session, so the
+    // scenario forks: session 1 learns + memoizes, stops; session 2
+    // learns again; the probe asserts the dead entry was evicted and
+    // the key rotated with the new applicationId.
+    import scala.jdk.CollectionConverters._
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a == "--add-opens" || a.endsWith("=ALL-UNNAMED"))
+      .toSeq
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ jvmOpts ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.MemoEvictionProbe", TestSpark.sfDir)
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(cmd)
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    assert(rc == 0 && out.toString.contains("MEMO_EVICTION_OK"),
+      s"probe failed (rc=$rc):\n${out.toString.takeRight(2000)}")
+  }
+
   test("learn leaves no persisted vocab rounds behind (storage flat)") {
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(100)
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -348,17 +348,27 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val mem = MemoryStream[(Long, Array[Float])]
     val served = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    // serving deployments need a durable checkpoint + a query name —
+    // pass both through the writeStream options seam
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivf_chk").toString
     val q = StreamingOps.ivfServeStream(
-      mem.toDF().toDF("query_id", "q"), path, k = 5, nProbe = 2) { batchOut =>
+      mem.toDF().toDF("query_id", "q"), path, k = 5, nProbe = 2,
+      options = Map("checkpointLocation" -> chk),
+      queryName = Some("ivf_serve_test")) { batchOut =>
       served.synchronized {
         served ++= batchOut.as[(Long, Long, Int, Double)].collect()
       }
     }
     try {
+      assert(q.name == "ivf_serve_test", "queryName not passed through")
       mem.addData(queryVecs.take(3).toSeq: _*)
       q.processAllAvailable()
       mem.addData(queryVecs.drop(3).toSeq: _*)
       q.processAllAvailable()
+      // the checkpoint is live: offsets/commits recorded per batch —
+      // the restartability the default temp checkpoint cannot give
+      assert(new java.io.File(s"$chk/commits").list().nonEmpty,
+        "checkpointLocation option did not reach the streaming writer")
       val want = graft.operators.IvfIndex.serve(
         spark, path,
         e.where(F.col("vec_id") < 6)
@@ -419,7 +429,13 @@ class StreamingOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       // near-dup (one appended token, J = 10/11) in a LATER micro-batch:
       // the bucket state must have carried across batches
-      mem.addData((2L, T("2024-01-01 10:30:00"), txt + " indeed"))
+      mem.addData((2L, T("2024-01-01 10:05:00"), txt + " indeed"))
+      q.processAllAvailable()
+      // beyond-horizon LAGGARD: byte-identical copy 66/61 minutes after
+      // docs 1/2, while the one-batch-lagging watermark (09:05) has NOT
+      // evicted either entry yet — only the pairwise t - e.tsMs <=
+      // horizonMs bound keeps this admission honest
+      mem.addData((5L, T("2024-01-01 11:06:00"), txt))
       q.processAllAvailable()
       // unrelated doc advances the watermark to 12:00 (13:00 - 1h)
       mem.addData((3L, T("2024-01-01 13:00:00"),
@@ -434,6 +450,8 @@ class StreamingOpsSpec extends AnyFunSuite {
         .as[(Long, Int)].collect().toMap
       assert(dup(1L) == 0)
       assert(dup(2L) == 1, "cross-batch near-dup not flagged")
+      assert(dup(5L) == 0,
+        "not-yet-evicted entries beyond the horizon must not flag a laggard copy")
       assert(dup(3L) == 0)
       assert(dup(4L) == 0, "beyond-horizon copy should re-admit")
     } finally q.stop()

@@ -2,7 +2,7 @@
 """Differential query fuzzer: random plans, Spark vs DuckDB.
 
 Usage: python3 tools/fuzz.py [--sf DIR] [--seeds N] [--start S]
-                             [--grammar rel|text]
+                             [--grammar rel|text|kernels] [--guard-selftest]
 
 Generates random small queries (project / filter / join / aggregate /
 order-limit compositions) in a grammar both engines parse identically,
@@ -56,6 +56,16 @@ identical, only the rendering differs. Shared-subset rules:
    wrap split-derived arrays (non-null elements by construction);
  - lambda bodies stick to functions spelled identically in both
    dialects (length, upper, lower, left, reverse, contains, ||).
+
+The KERNELS grammar (--grammar kernels) fuzzes the single-pass
+dedup/fingerprint Catalyst kernels (shingle_set / minhash_sig /
+simhash64 / md5_simhash64, SQL-registered by GraftExtensions) against
+their explode+aggregate reference formulations — BOTH sides run on
+Spark (the harness routes that grammar spark-vs-spark), over random
+slices of `documents` unioned with adversarial literal rows (empties,
+repeated whitespace, tabs/newlines, unicode, heavy repetition). This
+extends the hand-picked parity property specs (TextFunctionsSpec /
+DedupSpec) to randomized (text, n, k) coverage.
 """
 import argparse
 import math
@@ -475,6 +485,94 @@ def gen_text_query(rng):
               cte, sel, wh, ap(str(rng.randrange(1, 120))))
 
 
+# ---------------- kernel-parity grammar (spark vs spark) ----------------
+
+# adversarial texts the documents table never contains: empties, runs
+# of whitespace, tabs/newlines, unicode, heavy token repetition (no
+# apostrophes — these are spliced into SQL literals)
+KERNEL_ADVERSARIAL = [
+    "", " ", "  a  b ", "a\tb\nc", "é ß 中 文",
+    "the the the data data", "x", "zebra  zebra\tzebra", " \t ",
+]
+
+# tokenization shared by every kernel: \s+ split of lowercase text
+# (keeps empty tokens, like TextFunctions.tokens)
+KTOKS = "split(lower(text), '\\\\s+')"
+
+
+def _kshingle_agg(n):
+    # HOF reference form of shingle_set(text, n) over a `toks` column:
+    # guarded sequence (Spark's sequence(0, -1) DESCENDS), first-
+    # occurrence-order distinct
+    return (f"array_distinct(CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+            f"ELSE cast(array() AS array<string>) END)")
+
+
+def gen_kernel_query(rng):
+    """One kernel-parity pair (kernel_sql, aggform_sql) — both Spark."""
+    pred = (f"(abs(doc_id) % {rng.randrange(2, 8)}) = {rng.randrange(0, 2)}"
+            if rng.random() < 0.7 else "true")
+    lits = rng.sample(KERNEL_ADVERSARIAL,
+                      rng.randrange(1, len(KERNEL_ADVERSARIAL)))
+    vals = ", ".join(f"({90000 + i}, '{t}')" for i, t in enumerate(lits))
+    cte = (f"WITH d AS (SELECT doc_id, text FROM documents WHERE {pred} "
+           f"UNION ALL SELECT * FROM VALUES {vals} AS v(doc_id, text)) ")
+    n = rng.randrange(1, 5)
+    kind = rng.randrange(4)
+    if kind == 0:
+        return (cte + f"SELECT doc_id AS k, shingle_set(text, {n}) AS v FROM d",
+                cte + f"SELECT doc_id AS k, {_kshingle_agg(n)} AS v FROM "
+                      f"(SELECT doc_id, {KTOKS} AS toks FROM d)")
+    if kind == 1:
+        # minhash: null signature (no shingles) <=> absent from the agg
+        # form (explode emits no rows) — filter the kernel side to match
+        k = rng.choice([4, 8, 16])
+        mins = ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(k))
+        return (cte + f"SELECT k, v FROM (SELECT doc_id AS k, "
+                      f"minhash_sig(text, {n}, {k}) AS v FROM d) "
+                      f"WHERE v IS NOT NULL",
+                cte + f"SELECT doc_id AS k, array({mins}) AS v FROM "
+                      f"(SELECT doc_id, explode({_kshingle_agg(n)}) AS shingle "
+                      f"FROM (SELECT doc_id, {KTOKS} AS toks FROM d)) "
+                      f"GROUP BY doc_id")
+    if kind == 2:
+        # xxhash64 simhash: empty tokens vote too (split keeps them),
+        # so every doc appears on both sides
+        bits = " | ".join(
+            f"(CASE WHEN sum(CASE WHEN (shiftright(xxhash64(tok), {j}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+            for j in range(64))
+        return (cte + "SELECT doc_id AS k, simhash64(text) AS v FROM d",
+                cte + f"SELECT doc_id AS k, ({bits}) AS v FROM "
+                      f"(SELECT doc_id, explode({KTOKS}) AS tok FROM d) "
+                      f"GROUP BY doc_id")
+    # md5 simhash, compared in the 4x16-bit chunk form the pair
+    # pipeline consumes; kernel NULL (no non-empty tokens) <=> absent
+    # from the agg form (length filter drops every row)
+    chunks_k = ", ".join(
+        f"cast((shiftrightunsigned(v, {c * 16}) & 65535) AS int) AS c{c}"
+        for c in range(4))
+
+    def bvote(j):
+        # bit j of a token = bit (j mod 4) of hex nibble (j div 4)
+        return (f"sum(CASE WHEN (shiftright(cast(conv(substring(h, "
+                f"{j // 4 + 1}, 1), 16, 10) AS int), {j % 4}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END)")
+    chunks_a = ", ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN {bvote(c * 16 + b)} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)) + f") AS c{c}"
+        for c in range(4))
+    return (cte + f"SELECT k, {chunks_k} FROM (SELECT doc_id AS k, "
+                  f"md5_simhash64(text) AS v FROM d) WHERE v IS NOT NULL",
+            cte + f"SELECT doc_id AS k, {chunks_a} FROM "
+                  f"(SELECT doc_id, md5(tok) AS h FROM "
+                  f"(SELECT doc_id, explode({KTOKS}) AS tok FROM d) "
+                  f"WHERE length(tok) > 0) GROUP BY doc_id")
+
+
 def canon(rows):
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
@@ -493,16 +591,38 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--seeds", type=int, default=200)
     ap.add_argument("--start", type=int, default=0)
-    ap.add_argument("--grammar", choices=["rel", "text"], default="rel")
+    ap.add_argument("--grammar", choices=["rel", "text", "kernels"],
+                    default="rel")
+    ap.add_argument("--guard-selftest", action="store_true",
+                    help="assert the dialect-divergence guards fire, then exit")
     args = ap.parse_args()
+
+    if args.guard_selftest:
+        # adversarial separator: Spark split() treats it as regex
+        # alternation, DuckDB string_split() as a literal — the guard
+        # must refuse it instead of silently diverging the dialects
+        try:
+            t_splitws(("text", "text"), "|")
+        except AssertionError:
+            print("guard ok: t_splitws rejects regex-metachar separators")
+            sys.exit(0)
+        print("GUARD FAIL: t_splitws accepted regex metachar '|'")
+        sys.exit(1)
 
     import duckdb
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", 8)
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    builder = (SparkSession.builder.master("local[8]")
+               .config("spark.sql.shuffle.partitions", 8)
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.ui.enabled", "false"))
+    if args.grammar == "kernels":
+        # the kernels are Catalyst expressions in the library jar —
+        # register them as SQL functions in the pyspark JVM
+        builder = (builder
+                   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+                   .config("spark.driver.extraClassPath",
+                           "/root/repo/target/scala-2.13/classes"))
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in list(TABLES) + ["documents"]:
@@ -517,11 +637,18 @@ def main():
         if args.grammar == "text":
             s_sql, d_sql = gen_text_query(rng)
             sql = s_sql if s_sql == d_sql else f"spark: {s_sql}\n  duck: {d_sql}"
+        elif args.grammar == "kernels":
+            s_sql, d_sql = gen_kernel_query(rng)
+            sql = f"kernel: {s_sql}\n  aggform: {d_sql}"
         else:
             sql = s_sql = d_sql = gen_query(rng)
         try:
             s_rows = [tuple(r) for r in spark.sql(s_sql).collect()]
-            d_rows = con.execute(d_sql).fetchall()
+            # kernel parity is spark-vs-spark; the other grammars diff
+            # against DuckDB
+            d_rows = ([tuple(r) for r in spark.sql(d_sql).collect()]
+                      if args.grammar == "kernels"
+                      else con.execute(d_sql).fetchall())
         except Exception as e:
             n_fail += 1
             fails.append((seed, sql, f"exec: {str(e).splitlines()[0][:160]}"))
