@@ -510,25 +510,38 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       adj.count() // one eager job; both consumers below hit memory
-      // packed values are non-negative (ids guarded), so unpacking is
-      // shift/mask — both codegen'd single instructions
-      val scored = adj
-        .select(col("node").as("a"), col("packed").as("pa"),
-          explode(col("packed")).as("bp"))
-        .select(col("a"), col("pa"), shiftright(col("bp"), 20).as("b"))
-        .where(col("a") < col("b"))
-        .join(adj.select(col("node").as("b_"), col("packed").as("pb"))
-          .hint("shuffle_hash"), col("b") === col("b_"))
-        .select(col("a"), col("b"),
-          graft.functions.SortedIntersect(col("pa"), col("pb")).as("ws"))
-        .where(size(col("ws")) > 0)
-        .select(col("a"), col("b"),
-          size(col("ws")).cast("long").as("cn"),
-          aggregate(col("ws"), lit(0L),
-            (acc, w) => acc + call_function("div", lit(SCALE),
-              w.bitwiseAND(lit(PACK - 1)))).as("ra"))
-      scored.localCheckpoint(true)
+      linkPredScorePlan(adj).localCheckpoint(true)
     } finally adj.unpersist(blocking = false)
+  }
+
+  /** The edge-stream + intersect + in-row reduce stage of
+    * [[linkPredictionScores]] over the materialized degree-packed
+    * adjacency `adj(node, packed)` — factored out so the plan-shape
+    * spec and digest can pin the exchange budget (the public entry
+    * checkpoints its result, hiding the joins): the exploded edge
+    * stream arrives with out(a) attached, one shuffle_hash join
+    * attaches out(b), and both `cn` and `ra` reduce IN-ROW from the
+    * codegen'd SortedIntersect — the Σ deg² wedge volume never
+    * shuffles and no per-wedge degree join exists. */
+  private[graft] def linkPredScorePlan(adj: DataFrame): DataFrame = {
+    val PACK = 1L << 20
+    // packed values are non-negative (ids guarded), so unpacking is
+    // shift/mask — both codegen'd single instructions
+    adj
+      .select(col("node").as("a"), col("packed").as("pa"),
+        explode(col("packed")).as("bp"))
+      .select(col("a"), col("pa"), shiftright(col("bp"), 20).as("b"))
+      .where(col("a") < col("b"))
+      .join(adj.select(col("node").as("b_"), col("packed").as("pb"))
+        .hint("shuffle_hash"), col("b") === col("b_"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedIntersect(col("pa"), col("pb")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("a"), col("b"),
+        size(col("ws")).cast("long").as("cn"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + call_function("div", lit(SCALE),
+            w.bitwiseAND(lit(PACK - 1)))).as("ra"))
   }
 
   /** `rounds`-round k-core peel over an undirected graph `und(a, b)`
