@@ -457,6 +457,78 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental triangle maintenance equals the batch operator on every snapshot") {
+    // edge stream over four micro-batches exercising every delta case:
+    // a triangle fully inside one batch (3-new), one closed by a later
+    // single edge (1-new), one whose two final edges arrive together
+    // over an old base edge (2-new), re-sent duplicate edges (no-ops),
+    // reversed-orientation duplicates, and a self-loop (dropped). The
+    // invariant: after EVERY batch the maintained snapshot equals
+    // Graph.triangleCounts over the distinct canonical edges so far.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val mem = MemoryStream[(Long, Long)]
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val q = StreamingOps.triangleMaintenanceStream(
+      mem.toDF().toDF("src", "dst")) { (snap, _) =>
+      snaps.synchronized {
+        snaps += snap.as[(Long, Long)].collect().toMap
+      }
+    }
+    val batches = Seq(
+      // b0: triangle 1-2-3 entirely in one batch + stray edge 3-4
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 5L)),
+      // b1: duplicates (same + reversed orientation) — must change nothing
+      Seq((1L, 2L), (3L, 2L)),
+      // b2: single new edge closes 1-3-4 against two old edges (1-new);
+      // 4-5 is new but closes nothing yet
+      Seq((1L, 4L), (4L, 5L)),
+      // b3: two new edges 2-5, 5-1 wedge at 5 over OLD base 1-2 (2-new);
+      // plus 4-6 and 5-6 forming 4-5-6 with old 4-5 (2-new at center 6)
+      Seq((2L, 5L), (5L, 1L), (4L, 6L), (5L, 6L)))
+    try {
+      val seen = scala.collection.mutable.Set[(Long, Long)]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b.filter(e => e._1 != e._2)
+          .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        val und = seen.toSeq.toDF("a", "b")
+        val want = graft.operators.Graph.triangleCounts(und, packIds = false)
+          .as[(Long, Long)].collect().toMap
+        assert(snaps.synchronized(snaps(i)) == want,
+          s"batch $i snapshot diverged: got ${snaps(i)}, want $want")
+      }
+      // the final graph has triangles from all three delta classes
+      assert(snaps.last.nonEmpty && snaps.last.values.sum / 3 >= 4,
+        s"test graph too weak: ${snaps.last}")
+    } finally q.stop()
+  }
+
+  test("incremental triangle maintenance keeps state storage flat across batches") {
+    // each batch checkpoints the new adjacency/counts generation and
+    // must release the superseded one (plus every transient the batch
+    // operator pins) — otherwise a long-lived maintenance stream
+    // accretes executor storage per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.triangleMaintenanceStream(
+      mem.toDF().toDF("src", "dst")) { (_, _) => () }
+    try {
+      mem.addData((1L, 2L), (2L, 3L), (1L, 3L))
+      q.processAllAvailable()
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      (0 until 4).foreach { i =>
+        mem.addData((10L + i, 20L + i), (20L + i, 30L + i), (10L + i, 30L + i))
+        q.processAllAvailable()
+      }
+      val after5 = spark.sparkContext.getPersistentRDDs.size
+      assert(after5 <= after1 + 1,
+        s"state generations accrete: $after1 cached RDDs after batch 1, " +
+          s"$after5 after batch 5")
+    } finally q.stop()
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with
