@@ -638,4 +638,117 @@ object StreamingOps {
       }
       .start()
   }
+
+  // ---- streaming graph maintenance (incremental connected components) ----
+
+  /** Maintained label state between micro-batches: one row per node
+    * seen so far, labeled with the MINIMUM node id of its component —
+    * exactly the [[graft.operators.Dedup.connectedComponents]]
+    * assignment over every edge ingested. localCheckpoint'ed;
+    * superseded generations released per batch. */
+  final class CcState private[streaming] (
+      private[streaming] var labels: DataFrame) {
+    /** Current (node_id, cluster_id) snapshot. */
+    def snapshot: DataFrame = labels
+  }
+
+  def emptyCcState(spark: SparkSession): CcState = {
+    import spark.implicits._
+    new CcState(
+      Seq.empty[(Long, Long)].toDF("node_id", "cluster_id")
+        .localCheckpoint(true))
+  }
+
+  /** One incremental maintenance step: ingest a micro-batch of edges
+    * (src, dst), updating component labels EXACTLY — the invariant
+    * (pinned in StreamingOpsSpec) is that after any batch sequence the
+    * snapshot equals the batch [[graft.operators.Dedup.connectedComponents]]
+    * over the distinct canonical union of every edge seen.
+    *
+    * A new edge can only MERGE components (and introduce new nodes),
+    * never split them, so the delta computation runs entirely on the
+    * micro-batch-sized merge graph: map each Δ endpoint to its current
+    * label (new nodes label themselves), keep the label pairs that
+    * differ, and run the batch CC operator over THOSE pairs alone.
+    * Because every existing label is already the minimum of its old
+    * component, the minimum over a merged group of labels is the
+    * global minimum of the merged component — so the tiny mapping
+    * (old_label → new_label) is exact.
+    *
+    * 100 TB shape: the merge graph and its CC run are sized by the
+    * micro-batch, not the accumulated graph. Applying the mapping is
+    * one BROADCAST left-join over the label state — no shuffle, state
+    * partitioning preserved; only rows whose component actually merged
+    * change (a partitioned upsert sink would rewrite just those), and
+    * brand-new nodes append. The one Δ-endpoint lookup against the
+    * state is a hash join keyed on node_id, the state's layout. */
+  def updateCc(state: CcState, batch: DataFrame): CcState = {
+    val cand = batch
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    val la = state.labels.select(col("node_id").as("a_"), col("cluster_id").as("ca_"))
+    val lb = state.labels.select(col("node_id").as("b_"), col("cluster_id").as("cb_"))
+    // Δ endpoints resolved to current labels; new nodes label themselves
+    val resolved = cand
+      .join(la, col("a") === col("a_"), "left")
+      .join(lb, col("b") === col("b_"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("ca_"), col("a")).as("ca"),
+        coalesce(col("cb_"), col("b")).as("cb"))
+      .localCheckpoint(true)
+    try {
+      // merge graph over labels: micro-batch-sized, driver-coordinated
+      // CC is fine here (the budget covers the batch's merge diameter)
+      val mergePairs = resolved
+        .where(col("ca") =!= col("cb"))
+        .select(col("ca").as("a_id"), col("cb").as("b_id"))
+      val mapping = graft.operators.Dedup.connectedComponents(mergePairs)
+        .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
+        .where(col("old_label") =!= col("new_label"))
+      // existing rows: broadcast remap (only merged components change)
+      val remapped = state.labels
+        .join(broadcast(mapping), col("cluster_id") === col("old_label"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+      // new nodes: Δ endpoints not yet in the state, final label =
+      // their self-label pushed through the same mapping
+      val deltaNodes = resolved
+        .select(explode(array(
+          struct(col("a").as("node_id"), col("ca").as("lbl")),
+          struct(col("b").as("node_id"), col("cb").as("lbl")))).as("e"))
+        .select(col("e.node_id").as("node_id"), col("e.lbl").as("lbl"))
+        .groupBy(col("node_id")).agg(min(col("lbl")).as("lbl"))
+        .join(la, col("node_id") === col("a_"), "anti")
+        .join(broadcast(mapping), col("lbl") === col("old_label"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_label"), col("lbl")).as("cluster_id"))
+      val newLabels = remapped.unionByName(deltaNodes).localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(mapping)
+      graft.operators.Storage.unpersistLocalCheckpoint(state.labels)
+      state.labels = newLabels
+      state
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(resolved)
+  }
+
+  /** Streaming graph maintenance: ingest an edge stream (src, dst) via
+    * `foreachBatch`, maintaining exact connected-component labels
+    * across micro-batches with [[updateCc]]; `sink` receives the
+    * updated snapshot and epoch id after every batch. */
+  def ccMaintenanceStream(
+      edges: DataFrame,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = emptyCcState(edges.sparkSession)
+    edges.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        sink(updateCc(state, batch.toDF()).snapshot, epoch)
+        ()
+      }
+      .start()
+  }
 }

@@ -529,6 +529,75 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental connected components equals the batch operator on every snapshot") {
+    // edge stream over four micro-batches exercising every delta case:
+    // components born inside one batch, a later edge MERGING two
+    // previously-separate components, a transitive chain merge of
+    // three components in one batch, a brand-new node whose id becomes
+    // the merged component's new minimum, re-sent duplicate + reversed
+    // edges (no-ops), and a self-loop (dropped). Invariant: after
+    // EVERY batch the snapshot equals Dedup.connectedComponents over
+    // the distinct canonical edges seen so far.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val q = StreamingOps.ccMaintenanceStream(
+      mem.toDF().toDF("src", "dst")) { (snap, _) =>
+      snaps.synchronized {
+        snaps += snap.as[(Long, Long)].collect().toMap
+      }
+    }
+    val batches = Seq(
+      // b0: two separate components {10,11,12} and {20,21} + self-loop
+      Seq((10L, 11L), (11L, 12L), (20L, 21L), (10L, 10L)),
+      // b1: duplicates (same + reversed orientation) — must change nothing
+      Seq((10L, 11L), (21L, 20L)),
+      // b2: 12-20 merges the two components; 30-31 starts a third
+      Seq((12L, 20L), (30L, 31L)),
+      // b3: new node 1 joins {30,31} and becomes its new minimum, and
+      // 31-10 chains that component onto the merged {10..21} one —
+      // a transitive multi-component merge within a single batch
+      Seq((1L, 30L), (31L, 10L)))
+    try {
+      val seen = scala.collection.mutable.Set[(Long, Long)]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b.filter(e => e._1 != e._2)
+          .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        val pairs = seen.toSeq.toDF("a_id", "b_id")
+        val want = graft.operators.Dedup.connectedComponents(pairs)
+          .as[(Long, Long)].collect().toMap
+        assert(snaps.synchronized(snaps(i)) == want,
+          s"batch $i snapshot diverged: got ${snaps(i)}, want $want")
+      }
+      // the final graph is one component rooted at the late-arriving 1
+      // plus nothing else — the new-node-becomes-minimum case really ran
+      assert(snaps.last.values.toSet == Set(1L), s"final: ${snaps.last}")
+    } finally q.stop()
+  }
+
+  test("incremental connected components keeps state storage flat across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.ccMaintenanceStream(
+      mem.toDF().toDF("src", "dst")) { (_, _) => () }
+    try {
+      mem.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      (0 until 4).foreach { i =>
+        // each batch both creates a component and merges into the old one
+        mem.addData((100L + i, 200L + i), (200L + i, 1L))
+        q.processAllAvailable()
+      }
+      val after5 = spark.sparkContext.getPersistentRDDs.size
+      assert(after5 <= after1 + 1,
+        s"state generations accrete: $after1 cached RDDs after batch 1, " +
+          s"$after5 after batch 5")
+    } finally q.stop()
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with
