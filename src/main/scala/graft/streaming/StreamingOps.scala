@@ -639,6 +639,41 @@ object StreamingOps {
       .start()
   }
 
+  /** Durable, restartable [[triangleMaintenanceStream]]: state is
+    * snapshotted per epoch into an [[EpochStateStore]] under
+    * `stateDir` and the update is idempotent per epoch — a batch
+    * replayed after a crash (stream checkpoint commit lost) finds its
+    * generation already committed and is NOT re-applied, so counts
+    * never double. Restart resumes from the latest committed
+    * generation; pass the stream's own `checkpointLocation` in
+    * `options` to make the source offsets replayable too. */
+  def durableTriangleMaintenanceStream(
+      edges: DataFrame,
+      stateDir: String,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = edges.sparkSession
+    val store = new EpochStateStore(spark, stateDir)
+    val state = store.latestCommitted(Seq("adj", "counts")) match {
+      case Some((_, m)) => new TriangleState(
+        m("adj").localCheckpoint(true), m("counts").localCheckpoint(true))
+      case None => emptyTriangleState(spark)
+    }
+    edges.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!store.isCommitted(epoch)) {
+          updateTriangles(state, batch.toDF())
+          store.commit(epoch,
+            Map("adj" -> state.adj, "counts" -> state.counts))
+        }
+        sink(state.snapshot, epoch)
+        ()
+      }
+      .start()
+  }
+
   // ---- streaming graph maintenance (incremental connected components) ----
 
   /** Maintained label state between micro-batches: one row per node
@@ -747,6 +782,34 @@ object StreamingOps {
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         sink(updateCc(state, batch.toDF()).snapshot, epoch)
+        ()
+      }
+      .start()
+  }
+
+  /** Durable, restartable [[ccMaintenanceStream]] — same epoch-
+    * snapshot + idempotent-replay protocol as
+    * [[durableTriangleMaintenanceStream]]. */
+  def durableCcMaintenanceStream(
+      edges: DataFrame,
+      stateDir: String,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = edges.sparkSession
+    val store = new EpochStateStore(spark, stateDir)
+    val state = store.latestCommitted(Seq("labels")) match {
+      case Some((_, m)) => new CcState(m("labels").localCheckpoint(true))
+      case None => emptyCcState(spark)
+    }
+    edges.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!store.isCommitted(epoch)) {
+          updateCc(state, batch.toDF())
+          store.commit(epoch, Map("labels" -> state.labels))
+        }
+        sink(state.snapshot, epoch)
         ()
       }
       .start()

@@ -598,6 +598,91 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("durable triangle maintenance: restart resumes, replayed epoch never double-counts") {
+    // the production protocol the session-lived state cannot offer:
+    // state snapshots per epoch + a streaming checkpoint. Three acts —
+    // (1) ingest, stop; (2) RESTART the query and ingest more: the
+    // state must resume from the committed generation, not recount;
+    // (3) truncate the stream's commit log (crash after the state
+    // commit, before the stream commit — the replay window) and
+    // restart: the replayed epoch finds its generation committed and
+    // must be skipped, or every count in it doubles.
+    import org.apache.spark.sql.{functions => F}
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_tri").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    def start() = StreamingOps.durableTriangleMaintenanceStream(
+      spark.readStream.schema("src LONG, dst LONG").parquet(src),
+      st, Map("checkpointLocation" -> ckpt)) { (snap, _) =>
+      snaps.synchronized { snaps += snap.as[(Long, Long)].collect().toMap }
+    }
+    def expect(edges: Seq[(Long, Long)]) =
+      graft.operators.Graph.triangleCounts(
+        edges.toDF("a", "b"), packIds = false)
+        .as[(Long, Long)].collect().toMap
+    // act 1: triangle 1-2-3 plus a base edge for later
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst").write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(snaps.synchronized(snaps.last) == expect(e1))
+    // act 2: restart; a new file closes triangle 1-3-4
+    Seq((1L, 4L)).toDF("src", "dst").write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val e2 = e1 :+ (1L, 4L)
+    assert(snaps.synchronized(snaps.last) == expect(e2),
+      "restart did not resume from the committed state generation")
+    // act 3: lose the last stream commit (keep the state commit) —
+    // the replayed epoch must be recognized and skipped
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    assert(last.delete())
+    new java.io.File(s"$ckpt/commits/.${last.getName}.crc").delete()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snaps.synchronized(snaps.last) == expect(e2),
+      "replayed epoch was re-applied: triangle counts doubled")
+    // exactly one committed state generation remains on disk
+    val gens = new java.io.File(st).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .filter(f => new java.io.File(f, "_COMMITTED").exists())
+    assert(gens.length == 1, s"superseded generations not pruned: ${gens.toSeq}")
+  }
+
+  test("durable CC maintenance: restart resumes and replayed epochs are idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_cc").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    def start() = StreamingOps.durableCcMaintenanceStream(
+      spark.readStream.schema("src LONG, dst LONG").parquet(src),
+      st, Map("checkpointLocation" -> ckpt)) { (snap, _) =>
+      snaps.synchronized { snaps += snap.as[(Long, Long)].collect().toMap }
+    }
+    Seq((10L, 11L), (20L, 21L)).toDF("src", "dst")
+      .write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: the merging edge must see the committed labels
+    Seq((11L, 20L)).toDF("src", "dst").write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L)
+    assert(snaps.synchronized(snaps.last) == want, s"got ${snaps.last}")
+    // replay the merge epoch: labels are already minima — idempotent
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    assert(last.delete())
+    new java.io.File(s"$ckpt/commits/.${last.getName}.crc").delete()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snaps.synchronized(snaps.last) == want,
+      s"replayed merge epoch corrupted labels: ${snaps.last}")
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with

@@ -172,14 +172,30 @@ def gen_query(rng):
         key = TABLES[t]["key"]
         part = rng.choice(strs + [f"(abs({rng.choice(ints)}) % 5)"])
         over = f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST)"
+        # sliding / RANGE frames over the unique integer key — frame
+        # boundary semantics (inclusive value offsets vs row offsets,
+        # empty frames at partition edges) are where engines diverge
+        k1, k2 = rng.randrange(1, 4), rng.randrange(0, 3)
+        rows_frame = (f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST "
+                      f"ROWS BETWEEN {k1} PRECEDING AND {k2} FOLLOWING)")
+        range_frame = (f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST "
+                       f"RANGE BETWEEN {rng.randrange(1, 2000)} PRECEDING "
+                       f"AND CURRENT ROW)")
         w = rng.choice([
             f"row_number() OVER {over}",
             f"rank() OVER {over}",
             f"dense_rank() OVER {over}",
+            f"ntile({rng.randrange(2, 7)}) OVER {over}",
             f"CAST(sum({int_expr(rng, ints)}) OVER "
             f"(PARTITION BY {part} ORDER BY {key} NULLS FIRST "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"CAST(sum({rng.choice(ints)}) OVER {rows_frame} AS BIGINT)",
+            f"CAST(sum({rng.choice(ints)}) OVER {range_frame} AS BIGINT)",
+            f"CAST(count({int_expr(rng, ints)}) OVER {rows_frame} AS BIGINT)",
             f"lag({rng.choice(ints)}, {rng.randrange(1, 3)}) OVER {over}",
+            f"lead({rng.choice(ints)}, {rng.randrange(1, 3)}) OVER {over}",
+            f"first_value({rng.choice(ints)}) OVER {rows_frame}",
+            f"last_value({rng.choice(ints)}) OVER {rows_frame}",
         ])
         return (f"SELECT {key} AS k, {w} AS w "
                 f"FROM {t} WHERE {pred(rng, ints, strs)}")
