@@ -656,6 +656,33 @@ object CoreQueries {
       out
     }),
 
+    // the INCREMENTAL maintenance path proven at the driver's gate on
+    // real data, not only in specs: the co-purchase graph (restricted
+    // to an eighth of the orders to bound wedge volume) is replayed in two
+    // micro-batch-shaped halves through StreamingOps.updateTriangles —
+    // the delta decomposition (1-new/2-new/3-new) must land on exactly
+    // the counts the batch operator computes, which is what the
+    // independent brute-force oracle checks. Top-20, tie-free.
+    "graph_triangles_incremental" -> ((s, d) => {
+      def pairs(orderMod: Int) = Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 16 === orderMod)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("src"), col("e.b").as("dst"))
+      val st = graft.streaming.StreamingOps.emptyTriangleState(s)
+      graft.streaming.StreamingOps.updateTriangles(st, pairs(0))
+      graft.streaming.StreamingOps.updateTriangles(st, pairs(1))
+      val out = st.snapshot
+        .orderBy(col("n_triangles").desc, col("node_id").asc)
+        .limit(20)
+        .localCheckpoint(true)
+      st.release()
+      out
+    }),
+
     // HITS hubs/authorities over the DIRECTED customer→supplier
     // purchase multigraph (purchase multiplicity = weight): customers
     // score as hubs, suppliers as authorities. 3 iterations,
@@ -1354,6 +1381,24 @@ object CoreQueries {
 
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         und AS (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pernode AS (
+           SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT unnest([x, y, z]) AS node_id FROM tri)
+           GROUP BY node_id)
+         SELECT node_id, n_triangles FROM pernode
+         ORDER BY n_triangles DESC, node_id ASC LIMIT 20""",
+
+    "graph_triangles_incremental" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_orderkey % 16 < 2),
          und AS (
            SELECT DISTINCT a.p AS a, b.p AS b
            FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),

@@ -490,6 +490,13 @@ object StreamingOps {
       * exactly [[graft.operators.Graph.triangleCounts]] of every
       * distinct edge ingested so far. */
     def snapshot: DataFrame = counts
+
+    /** Release the state's cached blocks (callers done maintaining —
+      * e.g. a batch replay that keeps only a derived result). */
+    def release(): Unit = {
+      graft.operators.Storage.unpersistLocalCheckpoint(adj)
+      graft.operators.Storage.unpersistLocalCheckpoint(counts)
+    }
   }
 
   def emptyTriangleState(spark: SparkSession): TriangleState = {
@@ -517,7 +524,10 @@ object StreamingOps {
     *    (u,v) — in-row pair expansion of the Δ adjacency, one
     *    membership probe against old nbrs (the wedge's center is
     *    unique, so no double count);
-    *  3-new: the batch operator itself over Δ alone.
+    *  3-new: Δ∩Δ common neighbors of each Δ edge (a,b) restricted to
+    *    w > b — all-new triangles {a<b<w} counted exactly once, at
+    *    their smallest edge (the batch operator's orientation
+    *    argument), fused into the SAME closure pipeline as 1-new.
     * Δ excludes edges already present, so "old" and "Δ" are disjoint
     * and the three terms partition the new triangles by construction.
     *
@@ -527,8 +537,6 @@ object StreamingOps {
     * TOUCHED nodes (semi/anti-join on the Δ node set) — the state
     * rewrite a partitioned upsert sink would make in place. */
   def updateTriangles(state: TriangleState, batch: DataFrame): TriangleState = {
-    val Graph = graft.operators.Graph
-    val emptyNbrs = lit(Array.empty[Long])
     // canonical distinct new edges: a < b, non-null, not already in
     // the adjacency (re-sent duplicates are no-ops)
     val cand = batch
@@ -538,64 +546,30 @@ object StreamingOps {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct()
     val adjA = state.adj.select(col("node").as("a_"), col("nbrs").as("na"))
-    val adjB = state.adj.select(col("node").as("b_"), col("nbrs").as("nb"))
     val fresh = cand
       .join(adjA, col("a") === col("a_"), "left")
       .where(col("na").isNull || !array_contains(col("na"), col("b")))
       .select(col("a"), col("b"))
       .localCheckpoint(true)
     try {
-      // 1-new: Δ edge closed by two old edges — old∩old common nbrs
-      val t1 = fresh
-        .join(adjA, col("a") === col("a_"), "left")
-        .join(adjB, col("b") === col("b_"), "left")
-        .select(col("a"), col("b"),
-          graft.functions.SortedIntersect(
-            coalesce(col("na"), emptyNbrs),
-            coalesce(col("nb"), emptyNbrs)).as("ws"))
-        .where(size(col("ws")) > 0)
-        .select(explode(concat(
-          array(
-            struct(col("a").as("node_id"), size(col("ws")).cast("long").as("c")),
-            struct(col("b").as("node_id"), size(col("ws")).cast("long").as("c"))),
-          transform(col("ws"),
-            w => struct(w.as("node_id"), lit(1L).as("c"))))).as("e"))
-        .select(col("e.node_id").as("node_id"), col("e.c").as("c"))
-      // 2-new: two Δ edges wedged at c, closed by an old edge (u,v)
+      // the Δ adjacency serves BOTH the 2-new wedge expansion and the
+      // 3-new oriented closure — checkpointed once (tiny: |Δ| nodes)
+      // so neither branch regroups it (plan branches share nothing)
       val dAdj = fresh
         .select(explode(array(
           struct(col("a").as("node"), col("b").as("nbr")),
           struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
         .groupBy(col("e.node").as("c"))
         .agg(sort_array(collect_list(col("e.nbr"))).as("dn"))
-      val t2 = dAdj
-        .where(size(col("dn")) >= 2)
-        // dn is sorted-distinct, so (i+2)-suffix pairing yields u < v
-        .select(col("c"), explode(flatten(transform(col("dn"), (u, i) =>
-          transform(slice(col("dn"), i + lit(2), size(col("dn"))),
-            v => struct(u.as("u"), v.as("v")))))).as("p"))
-        .select(col("c"), col("p.u").as("u"), col("p.v").as("v"))
-        .join(adjA, col("u") === col("a_"))
-        .where(array_contains(col("na"), col("v")))
-        .select(explode(array(
-          struct(col("c").as("node_id"), lit(1L).as("c")),
-          struct(col("u").as("node_id"), lit(1L).as("c")),
-          struct(col("v").as("node_id"), lit(1L).as("c")))).as("e"))
-        .select(col("e.node_id").as("node_id"), col("e.c").as("c"))
-      // 3-new: triangles entirely inside Δ — the batch operator
-      // (its result is a checkpoint; released once merged below)
-      val t3 = Graph.triangleCounts(fresh, packIds = false)
-      val deltaCounts = t1.unionByName(t2)
-        .unionByName(t3.select(col("node_id"), col("n_triangles").as("c")))
-        .groupBy(col("node_id"))
-        .agg(sum(col("c")).as("dc"))
+        .localCheckpoint(true)
+      val deltaCounts = triangleDeltaPlan(fresh, state.adj, dAdj)
       val newCounts = state.counts
         .join(deltaCounts, Seq("node_id"), "full")
         .select(col("node_id"),
           (coalesce(col("n_triangles"), lit(0L)) +
             coalesce(col("dc"), lit(0L))).as("n_triangles"))
         .localCheckpoint(true)
-      graft.operators.Storage.unpersistLocalCheckpoint(t3)
+      graft.operators.Storage.unpersistLocalCheckpoint(dAdj)
       // adjacency upsert: regroup only the touched nodes
       val touched = fresh.select(col("a").as("node"))
         .union(fresh.select(col("b").as("node"))).distinct()
@@ -637,6 +611,76 @@ object StreamingOps {
         ()
       }
       .start()
+  }
+
+  /** Pure delta-counts plan for one [[updateTriangles]] step —
+    * factored out so PLAN_DIGEST can publish the inner tree (the
+    * checkpointed state hides it from the top-level digest) and so
+    * the one-pipeline shape is pinnable. Inputs: `fresh` = the
+    * batch's genuinely-new canonical edges (a < b), `adj` = the OLD
+    * symmetric sorted adjacency (node, nbrs), `dAdj` = the Δ
+    * adjacency (c, dn) built from `fresh` alone (checkpointed by the
+    * caller — both consumers below reference it, and plan branches
+    * share nothing).
+    *
+    * 1-new and 3-new run in ONE closure pipeline over the Δ edges:
+    *  - ws_old = old∩old common nbrs (Δ edge closed by two old
+    *    edges; every common nbr is a distinct triangle);
+    *  - ws_new = Δ∩Δ common nbrs RESTRICTED to w > b — all-new
+    *    triangles {a<b<w} counted exactly once, at their smallest
+    *    edge (the batch operator's orientation argument, replacing a
+    *    separate triangleCounts(Δ) call and its whole
+    *    adjacency-build/persist/checkpoint job train).
+    * 2-new expands wedges of two Δ edges in-row from dAdj and probes
+    * the old adjacency for the closing edge. */
+  private[graft] def triangleDeltaPlan(
+      fresh: DataFrame, adj: DataFrame, dAdj: DataFrame): DataFrame = {
+    val emptyNbrs = lit(Array.empty[Long])
+    val adjA = adj.select(col("node").as("a_"), col("nbrs").as("na"))
+    val adjB = adj.select(col("node").as("b_"), col("nbrs").as("nb"))
+    val dA = dAdj.select(col("c").as("da_"), col("dn").as("dna"))
+    val dB = dAdj.select(col("c").as("db_"), col("dn").as("dnb"))
+    val t13 = fresh
+      .join(adjA, col("a") === col("a_"), "left")
+      .join(adjB, col("b") === col("b_"), "left")
+      .join(dA, col("a") === col("da_"))
+      .join(dB, col("b") === col("db_"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedIntersect(
+          coalesce(col("na"), emptyNbrs),
+          coalesce(col("nb"), emptyNbrs)).as("ws_old"),
+        filter(graft.functions.SortedIntersect(col("dna"), col("dnb")),
+          w => w > col("b")).as("ws_new"))
+      .where(size(col("ws_old")) > 0 || size(col("ws_new")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("a").as("node_id"),
+            (size(col("ws_old")) + size(col("ws_new"))).cast("long").as("c")),
+          struct(col("b").as("node_id"),
+            (size(col("ws_old")) + size(col("ws_new"))).cast("long").as("c"))),
+        transform(col("ws_old"),
+          w => struct(w.as("node_id"), lit(1L).as("c"))),
+        transform(col("ws_new"),
+          w => struct(w.as("node_id"), lit(1L).as("c"))))).as("e"))
+      .select(col("e.node_id").as("node_id"), col("e.c").as("c"))
+    // 2-new: two Δ edges wedged at c, closed by an old edge (u,v)
+    val t2 = dAdj
+      .where(size(col("dn")) >= 2)
+      // dn is sorted-distinct, so (i+2)-suffix pairing yields u < v
+      .select(col("c"), explode(flatten(transform(col("dn"), (u, i) =>
+        transform(slice(col("dn"), i + lit(2), size(col("dn"))),
+          v => struct(u.as("u"), v.as("v")))))).as("p"))
+      .select(col("c"), col("p.u").as("u"), col("p.v").as("v"))
+      .join(adjA, col("u") === col("a_"))
+      .where(array_contains(col("na"), col("v")))
+      .select(explode(array(
+        struct(col("c").as("node_id"), lit(1L).as("c")),
+        struct(col("u").as("node_id"), lit(1L).as("c")),
+        struct(col("v").as("node_id"), lit(1L).as("c")))).as("e"))
+      .select(col("e.node_id").as("node_id"), col("e.c").as("c"))
+    t13.unionByName(t2)
+      .groupBy(col("node_id"))
+      .agg(sum(col("c")).as("dc"))
   }
 
   /** Durable, restartable [[triangleMaintenanceStream]]: state is
@@ -685,6 +729,10 @@ object StreamingOps {
       private[streaming] var labels: DataFrame) {
     /** Current (node_id, cluster_id) snapshot. */
     def snapshot: DataFrame = labels
+
+    /** Release the state's cached blocks. */
+    def release(): Unit =
+      graft.operators.Storage.unpersistLocalCheckpoint(labels)
   }
 
   def emptyCcState(spark: SparkSession): CcState = {

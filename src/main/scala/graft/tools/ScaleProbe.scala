@@ -32,6 +32,7 @@ object ScaleProbe {
   private val QUERIES = Seq(
     "graph_pagerank", "graph_triangles", "graph_kcore",
     "graph_label_prop", "graph_link_pred", "graph_hits", "graph_ppr",
+    "graph_triangles_incremental",
     "dedup_semantic",
     "knn_ivf_trained", "knn_pq_trained", "knn_sq8", "dedup_ngram_prefix",
     "knn_ivf_persisted", "dedup_spans_clean", "dedup_minhash_lsh",
