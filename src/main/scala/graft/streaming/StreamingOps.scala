@@ -421,6 +421,33 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Streaming INGEST into a persisted IVF index: each micro-batch of
+    * (vec_id, embedding) rows is assigned against the index's FIXED
+    * trained centroids and committed as an idempotent delta segment
+    * ([[graft.operators.IvfIndex.appendEpoch]] — replayed epochs are
+    * skipped, torn segments overwritten), so
+    * [[graft.operators.IvfIndex.serveAll]] picks the new vectors up
+    * immediately with no retrain and exactly-once semantics. The
+    * ingest-time sibling of [[ivfServeStream]]; run
+    * [[graft.operators.IvfIndex.compact]] offline to fold deltas back
+    * into the base segment. */
+  def ivfIngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    vectors.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        onBatch(epoch,
+          graft.operators.IvfIndex.appendEpoch(spark, indexPath, epoch, batch.toDF()))
+        ()
+      }
+      .start()
+  }
+
   def pretrainGateFuzzy(
       spark: SparkSession,
       docs: DataFrame,
@@ -490,6 +517,13 @@ object StreamingOps {
       * exactly [[graft.operators.Graph.triangleCounts]] of every
       * distinct edge ingested so far. */
     def snapshot: DataFrame = counts
+
+    /** Current per-node degrees (node_id, degree) — maintained for
+      * free as the size of each adjacency list (the list is a SET of
+      * distinct neighbors, so this is the simple-graph degree over
+      * every distinct edge ingested). */
+    def degreeSnapshot: DataFrame = adj.select(
+      col("node").as("node_id"), size(col("nbrs")).cast("long").as("degree"))
 
     /** Release the state's cached blocks (callers done maintaining —
       * e.g. a batch replay that keeps only a derived result). */

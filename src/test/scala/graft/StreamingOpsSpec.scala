@@ -505,6 +505,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("triangle maintenance state also serves exact degree snapshots") {
+    // degree state rides the maintained adjacency for free: after any
+    // batch sequence, degreeSnapshot equals the distinct-edge degree
+    // count of everything ingested (duplicates and reversals no-ops)
+    val st = StreamingOps.emptyTriangleState(spark)
+    StreamingOps.updateTriangles(st,
+      Seq((1L, 2L), (2L, 3L), (2L, 1L)).toDF("src", "dst"))
+    StreamingOps.updateTriangles(st,
+      Seq((1L, 3L), (1L, 2L), (3L, 4L)).toDF("src", "dst"))
+    val got = st.degreeSnapshot.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L), s"got $got")
+    st.release()
+  }
+
   test("incremental triangle maintenance keeps state storage flat across batches") {
     // each batch checkpoints the new adjacency/counts generation and
     // must release the superseded one (plus every transient the batch
