@@ -52,4 +52,102 @@ object IvfIndex {
     val (assigned, centroids) = read(spark, path)
     Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
   }
+
+  // ---- incremental index maintenance (delta segments, no retrain) ----
+  //
+  // The ingest-time half of a production ANN pipeline: new embeddings
+  // keep arriving after the index is built, and retraining per batch is
+  // off the table. Each epoch's vectors are assigned against the FIXED
+  // trained centroids and written as their own c_id-partitioned delta
+  // segment under `<path>/deltas/<epoch>`, committed by a marker file
+  // under `<path>/epochs/` written LAST — the LSM pattern every real
+  // ANN serving system uses (base segment + deltas + compaction).
+  // Exactly-once: a replayed epoch (stream checkpoint lost the commit
+  // race) finds its marker and is skipped; a TORN delta (crash
+  // mid-write, no marker) is invisible to reads and simply overwritten
+  // by the replay. Serving unions the base with the committed deltas —
+  // every segment is c_id-partitioned parquet, so the probe's
+  // partition pruning holds segment by segment.
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed delta epochs, ascending. */
+  def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = hadoopFs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/epochs")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** Idempotently append one epoch of `vectors` (vec_id, embedding) as
+    * a delta segment: assign against the trained centroids, write the
+    * segment (overwrite — replays clobber torn attempts), then the
+    * commit marker. Returns false if the epoch was already committed
+    * (the replay case — nothing is written). */
+  def appendEpoch(
+      spark: SparkSession, path: String, epoch: Long,
+      vectors: DataFrame): Boolean = {
+    val fs = hadoopFs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/epochs/$epoch")
+    if (fs.exists(marker)) false
+    else {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      graft.sources.FileSources.writePartitionedParquet(
+        Similarity.ivfAssign(vectors, centroids),
+        s"$path/deltas/$epoch", partitionCols = Seq("c_id"))
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** Load the index INCLUDING committed delta segments. Epochs whose
+    * marker survives but whose data segment was folded into the base
+    * by [[compact]] are skipped (the marker outlives the segment ON
+    * PURPOSE — it is the replay guard). */
+  def readAll(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val (base, centroids) = read(spark, path)
+    val fs = hadoopFs(spark, path)
+    val all = committedEpochs(spark, path)
+      .filter(e => fs.exists(new org.apache.hadoop.fs.Path(s"$path/deltas/$e")))
+      .foldLeft(base) { (acc, e) =>
+        acc.unionByName(spark.read.parquet(s"$path/deltas/$e")
+          .select(col("vec_id"), col("embedding"),
+            col("c_id").cast("long").as("c_id")))
+      }
+    (all, centroids)
+  }
+
+  /** [[serve]] over base + committed deltas. */
+  def serveAll(
+      spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = readAll(spark, path)
+    Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** Fold the committed deltas back into the base segment (the LSM
+    * compaction): rewrites `<path>/assignments` from the merged view,
+    * then retires the delta segments AND their markers — epoch ids are
+    * monotone (streaming batch ids), so a replay of a compacted epoch
+    * re-appends nothing only if its marker survives; compaction
+    * therefore KEEPS the markers and deletes only the data segments. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val epochs = committedEpochs(spark, path)
+    if (epochs.nonEmpty) {
+      val (all, _) = readAll(spark, path)
+      // materialize the merged view BEFORE overwriting the directory
+      // it reads from (localCheckpoint cuts the scan lineage)
+      val merged = all.localCheckpoint(true)
+      try {
+        graft.sources.FileSources.writePartitionedParquet(
+          merged, s"$path/assignments", partitionCols = Seq("c_id"))
+        val fs = hadoopFs(spark, path)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(merged)
+    }
+  }
 }

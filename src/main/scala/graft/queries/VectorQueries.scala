@@ -113,6 +113,35 @@ object VectorQueries {
         k = 5, nProbe = 4)
     }),
 
+    // the LSM ingest path under the driver's gate: base segment from
+    // two thirds of the corpus, the rest appended as two committed
+    // epoch DELTA segments against the same trained centroids
+    // (StreamingOps.ivfIngestStream's foreachBatch step, run inline),
+    // served through serveAll (base ∪ deltas, partition pruning per
+    // segment). Assignment is a pure function of (vector, centroids),
+    // so the result is bit-identical to the single-segment build —
+    // which is what the shared oracle asserts.
+    "knn_ivf_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfIndex.write(
+        e.where(col("vec_id") % 3 =!= 2), seeds, path)
+      graft.operators.IvfIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfIndex.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5, nProbe = 4)
+    }),
+
     // two-stage retrieval (the production serving shape): ADC
     // shortlist of 50 per query, exact-cosine re-rank to top-5 — the
     // exact stage's cost is independent of corpus size.
@@ -854,6 +883,10 @@ object VectorQueries {
     // in-memory one — same oracle by construction (float32 embeddings
     // round-trip parquet bit-exactly)
     "knn_ivf_persisted" -> ivfSeedOracle,
+
+    // ...and so must the base∪delta-segment (LSM ingest) view: the
+    // per-vector assignment is segment-independent
+    "knn_ivf_delta" -> ivfSeedOracle,
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",

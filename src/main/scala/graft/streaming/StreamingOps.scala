@@ -465,6 +465,100 @@ object StreamingOps {
       shingleN, numHashes, bands, threshold, horizonMs)
   }
 
+  // ---- streaming embedding near-dup (cosine LSH, bounded state) ----
+
+  case class CosBandedVec(
+      vec_id: Long, ts: Timestamp, v: Seq[Float], band: Int, band_sig: Long)
+  case class CosBucketEntry(vecId: Long, tsMs: Long, v: Seq[Float])
+  case class CosBucketState(entries: List[CosBucketEntry], saturated: Boolean)
+  case class CosVerdict(vec_id: Long, ts: Timestamp, dup: Boolean)
+
+  /** Exact-cosine verify over float32 vectors — the same
+    * double-accumulation loop as the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression, so streaming
+    * verdicts agree with the batch operator's threshold decisions. */
+  private def cosineSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Streaming embedding-cosine near-dup: the streaming counterpart of
+    * [[graft.operators.Similarity.cosineNearDup]], under the same
+    * contracts as [[minhashLshVerdicts]]. Vectors (vec_id, ts,
+    * embedding) band through the IDENTICAL seeded hyperplane kernel as
+    * the batch operator ([[graft.functions.VectorFunctions
+    * .hyperplaneBandSignatures]], seed 42 — buckets are comparable
+    * across the two forms); per (band, band_sig) bucket the newcomer
+    * is exact-cosine-verified against admitted predecessors within the
+    * event-time horizon. Batch-skew-cap semantics carry over: a bucket
+    * reaching `maxBucket` members within a horizon saturates and stops
+    * flagging (the batch form drops such buckets whole); saturation
+    * expires with its generation of entries. The pairwise
+    * `t - e.tsMs <= horizonMs` bound keeps not-yet-evicted laggards
+    * from flagging on-time vectors. State per bucket is ≤ cap vectors
+    * within the horizon — watermark-bounded, never O(stream). */
+  def cosineLshVerdicts(
+      spark: SparkSession,
+      vectors: DataFrame,
+      threshold: Double = 0.35,
+      planesPerBand: Int = 4,
+      bands: Int = 64,
+      maxBucket: Int = 4096,
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[CosVerdict] = {
+    import spark.implicits._
+    val banded = vectors
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneBandSignatures(
+          col("embedding"), planesPerBand, bands)))
+      .toDF("vec_id", "ts", "v", "band", "band_sig")
+      .as[CosBandedVec]
+    banded
+      .groupByKey(r => (r.band, r.band_sig))
+      .flatMapGroupsWithState[CosBucketState, CosVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val kept = state.get.entries.filter(_.tsMs >= wm)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(CosBucketState(kept, state.get.saturated))
+              state.setTimeoutTimestamp(kept.map(_.tsMs).max + horizonMs)
+            }
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            var saturated = state.getOption.exists(_.saturated) && entries.nonEmpty
+            val out = List.newBuilder[CosVerdict]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { r =>
+              val t = r.ts.getTime
+              if (!saturated && entries.size >= maxBucket) saturated = true
+              val dup = !saturated && entries.exists(e =>
+                (e.tsMs < t || (e.tsMs == t && e.vecId < r.vec_id)) &&
+                  t - e.tsMs <= horizonMs &&
+                  cosineSeq(e.v, r.v) >= threshold)
+              out += CosVerdict(r.vec_id, r.ts, dup)
+              if (!saturated)
+                entries = entries :+ CosBucketEntry(r.vec_id, t, r.v)
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(CosBucketState(entries, saturated))
+              state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class KeyedValue(key: Long, value: Double)
   case class RunningMax(key: Long, max: Double)
 

@@ -296,6 +296,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("IVF delta segments: incremental append serves exactly, replays and torn writes are no-ops") {
+    // the ingest-time half: build the base index from part of the
+    // corpus, append the rest as two epoch delta segments against the
+    // SAME trained centroids — serveAll must equal serving an index
+    // built from the full corpus with those centroids (assignment is
+    // a pure function of (vector, centroids), so segment layout can't
+    // change results). Then the exactly-once cases: a replayed epoch
+    // appends nothing, and a TORN segment (files written, no marker)
+    // is invisible until its replay commits it.
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    def served(p: String) =
+      graft.operators.IvfIndex.serveAll(spark, p, queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    graft.operators.IvfIndex.write(e.where($"vec_id" % 3 === 0), seeds, inc)
+    graft.operators.IvfIndex.write(e, seeds, full)
+    assert(graft.operators.IvfIndex.appendEpoch(spark, inc, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding")))
+    assert(graft.operators.IvfIndex.appendEpoch(spark, inc, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding")))
+    val want = served(full)
+    assert(served(inc) == want && want.nonEmpty,
+      "incremental index diverges from the full build")
+    // replayed epoch: already committed -> skipped, results unchanged
+    assert(!graft.operators.IvfIndex.appendEpoch(spark, inc, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding")))
+    assert(served(inc) == want, "replayed epoch changed the index")
+    // torn segment: data written for epoch 2, marker lost -> invisible
+    val centroids = spark.read.parquet(s"$inc/centroids")
+    graft.sources.FileSources.writePartitionedParquet(
+      graft.operators.Similarity.ivfAssign(
+        e.where($"vec_id" < 2).select($"vec_id", $"embedding"), centroids),
+      s"$inc/deltas/2", partitionCols = Seq("c_id"))
+    assert(served(inc) == want, "torn (uncommitted) segment leaked into serving")
+    assert(graft.operators.IvfIndex.committedEpochs(spark, inc) == Seq(0L, 1L))
+    // compaction folds deltas into the base and preserves results
+    graft.operators.IvfIndex.compact(spark, inc)
+    assert(served(inc) == want, "compaction changed serving results")
+    assert(!new java.io.File(s"$inc/deltas").exists(), "deltas not retired")
+  }
+
   test("sq8 dequantized dot stays within the per-dim half-step error bound") {
     // max-abs symmetric SQ8 rounds each coordinate by at most half a
     // quantization step (scale/2 = mx/254), so the de-quantized dot

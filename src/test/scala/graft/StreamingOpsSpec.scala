@@ -697,6 +697,84 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"replayed merge epoch corrupted labels: ${snaps.last}")
   }
 
+  test("streaming cosine near-dup flags cross-batch copies and saturates megabuckets") {
+    // the embedding-side streaming gate, same contracts as the MinHash
+    // one: a direction-preserving copy arriving in a LATER batch is
+    // flagged (sign(w·cv)=sign(w·v) for c>0, so every band bucket
+    // matches and exact cosine is 1.0); orthogonal vectors pass; a
+    // bucket hitting the cap saturates and stops flagging, mirroring
+    // the batch form's megabucket drop.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    def scale(v: Seq[Float], c: Float): Seq[Float] = v.map(_ * c)
+    def T(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val verdicts = StreamingOps.cosineLshVerdicts(
+      spark, mem.toDF().toDF("vec_id", "ts", "embedding"),
+      threshold = 0.9, maxBucket = 2)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("cos_out").start()
+    try {
+      mem.addData(
+        (1L, T("2024-01-01 10:00:00"), axis(0)),
+        (2L, T("2024-01-01 10:00:01"), axis(1)))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, T("2024-01-01 10:05:00"), scale(axis(0), 1.5f)), // copy of 1
+        (4L, T("2024-01-01 10:05:01"), axis(2)))              // fresh
+      q.processAllAvailable()
+      // 5 lands in vec-1's buckets AFTER they saturate (cap=2: members
+      // 1 and 3) — admitted without a flag, like the batch drop
+      mem.addData((5L, T("2024-01-01 10:10:00"), scale(axis(0), 2.0f)))
+      q.processAllAvailable()
+      val dup = spark.table("cos_out")
+        .groupBy("vec_id").agg(F.max(F.col("dup").cast("int")).as("d"))
+        .as[(Long, Int)].collect().toMap
+      assert(dup(1L) == 0 && dup(2L) == 0 && dup(4L) == 0, s"$dup")
+      assert(dup(3L) == 1, s"cross-batch scaled copy not flagged: $dup")
+      assert(dup(5L) == 0, s"saturated bucket must stop flagging: $dup")
+    } finally q.stop()
+  }
+
+  test("streaming IVF ingest commits one delta segment per epoch, served immediately") {
+    // ingest-time sibling of the serve stream: micro-batches of new
+    // embeddings land as committed delta segments against the fixed
+    // centroids; serveAll equals an index built from everything at once
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_sf").toString
+    graft.operators.IvfIndex.write(e.where($"vec_id" % 2 === 0), seeds, inc)
+    graft.operators.IvfIndex.write(e, seeds, full)
+    val rest = e.where($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = StreamingOps.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), inc) { (ep, ok) =>
+      applied.synchronized { applied += ((ep, ok)) }
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.synchronized(applied.toList).forall(_._2) &&
+      applied.size == 2, s"epochs: $applied")
+    assert(graft.operators.IvfIndex.committedEpochs(spark, inc) == Seq(0L, 1L))
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    def served(p: String) =
+      graft.operators.IvfIndex.serveAll(spark, p, queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served(inc) == served(full) && served(inc).nonEmpty)
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // HDFS-backed state lives on the executor heap — a non-starter for
     // 100 TB streaming state. RocksDB spills to local disk with
