@@ -376,6 +376,16 @@ object StreamingOps {
       .where(col("d") === 0)
       .drop("d")
 
+  /** [[admittedFromVerdicts]] for the embedding gate: a vector is
+    * admitted iff NO band flagged it. Same batch-local validity
+    * argument — every [[cosineLshVerdicts]] verdict for a vector
+    * lands in its arrival micro-batch. */
+  def admittedFromCosVerdicts(verdictBatch: DataFrame): DataFrame =
+    verdictBatch.groupBy("vec_id")
+      .agg(min("ts").as("ts"), max(col("dup").cast("int")).as("d"))
+      .where(col("d") === 0)
+      .drop("d")
+
   /** The pretrain gate with FUZZY dedup: the stateless quality and
     * language gates of [[pretrainGate]], then streaming MinHash-LSH
     * instead of exact-hash dedup — near-duplicate crawl records within

@@ -735,6 +735,10 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(dup(1L) == 0 && dup(2L) == 0 && dup(4L) == 0, s"$dup")
       assert(dup(3L) == 1, s"cross-batch scaled copy not flagged: $dup")
       assert(dup(5L) == 0, s"saturated bucket must stop flagging: $dup")
+      // the admission fold drops exactly the flagged copy
+      val admitted = StreamingOps.admittedFromCosVerdicts(spark.table("cos_out"))
+        .select("vec_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 4L, 5L), s"admitted: $admitted")
     } finally q.stop()
   }
 
