@@ -154,6 +154,31 @@ def str_expr(rng, strs):
 
 def gen_query(rng):
     shape = rng.random()
+    if shape < 0.07:
+        # rollup / cube / grouping sets — the Expand-based aggregate
+        # plans; grouping() flags disambiguate the rollup-generated
+        # NULL keys from data NULLs so canonical compare stays exact.
+        # KNOWN DIALECT DIVERGENCE (found by this shape, seeds 96/113):
+        # over EMPTY input the SQL-standard empty grouping set () emits
+        # one global row (count=0) in DuckDB, while Spark's Expand-
+        # based plan emits zero rows. So the variants whose set list
+        # contains () run UNFILTERED (whole table, never empty), and
+        # only the ()-free GROUPING SETS variant takes a random WHERE.
+        t = rng.choice(list(TABLES))
+        ints, strs = TABLES[t]["int"], TABLES[t]["str"]
+        g1, g2 = rng.choice(strs), rng.choice(ints)
+        if rng.random() < 0.5:
+            op = rng.choice([f"ROLLUP({g1}, {g2})", f"CUBE({g1}, {g2})"])
+            where = ""
+        else:
+            op = f"GROUPING SETS (({g1}, {g2}), ({g1}))"
+            where = f" WHERE {pred(rng, ints, strs)}"
+        return (f"SELECT {g1} AS a, {g2} AS b, "
+                f"CAST(grouping({g1}) AS INT) AS ga, "
+                f"CAST(grouping({g2}) AS INT) AS gb, "
+                f"count(*) AS n, CAST(sum({int_expr(rng, ints)}) AS BIGINT) AS s "
+                f"FROM {t}{where} "
+                f"GROUP BY {op}")
     if shape < 0.12:
         # set operation between two filtered projections of one table
         t = rng.choice(list(TABLES))
