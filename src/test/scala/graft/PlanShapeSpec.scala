@@ -598,4 +598,39 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("ivf serveAll: every index segment scan is dynamically partition-pruned") {
+    // the IvfIndex scaladoc's central claim — the probe join's c_id
+    // filter reaches every segment's parquet source as a PARTITION
+    // filter (dynamic partition pruning), so the un-probed share of
+    // the corpus is never read, base and delta segments alike. If a
+    // refactor breaks DPP the serve silently becomes a full-index
+    // scan: correctness holds, the 100 TB story dies. This pins it.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dpp").toString
+    graft.operators.IvfIndex.write(e.where(col("vec_id") % 2 === 0), seeds, path)
+    graft.operators.IvfIndex.appendEpoch(spark, path, 0L,
+      e.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding")))
+    val queries = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val qe = graft.operators.IvfIndex
+      .serveAll(spark, path, queries, k = 5, nProbe = 2).queryExecution
+    qe.toRdd.count()
+    val segScans = walkPlan(qe.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains(path) &&
+          !f.metadata.getOrElse("Location", "").contains("centroids") => f }
+    assert(segScans.size >= 2,
+      s"expected base + delta segment scans, got ${segScans.size}")
+    segScans.foreach { f =>
+      assert(f.partitionFilters.mkString.contains("dynamicpruning"),
+        "segment scan is not dynamically partition-pruned on c_id:\n" +
+          f.metadata.getOrElse("Location", "") + "\n" +
+          f.partitionFilters.mkString("; "))
+    }
+  }
 }
