@@ -481,7 +481,12 @@ object StreamingOps {
       vec_id: Long, ts: Timestamp, v: Seq[Float], band: Int, band_sig: Long)
   case class CosBucketEntry(vecId: Long, tsMs: Long, v: Seq[Float])
   case class CosBucketState(entries: List[CosBucketEntry], saturated: Boolean)
-  case class CosVerdict(vec_id: Long, ts: Timestamp, dup: Boolean)
+  /** `partner` = the EARLIEST-admitted in-horizon bucket member that
+    * verified ≥ threshold (None when !dup) — the edge an online
+    * clustering step needs: (partner, vec_id) pairs fed into
+    * [[updateCc]] maintain near-dup cluster ids at ingest time. */
+  case class CosVerdict(
+      vec_id: Long, ts: Timestamp, dup: Boolean, partner: Option[Long])
 
   /** Exact-cosine verify over float32 vectors — the same
     * double-accumulation loop as the codegen'd
@@ -551,11 +556,13 @@ object StreamingOps {
             rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { r =>
               val t = r.ts.getTime
               if (!saturated && entries.size >= maxBucket) saturated = true
-              val dup = !saturated && entries.exists(e =>
-                (e.tsMs < t || (e.tsMs == t && e.vecId < r.vec_id)) &&
-                  t - e.tsMs <= horizonMs &&
-                  cosineSeq(e.v, r.v) >= threshold)
-              out += CosVerdict(r.vec_id, r.ts, dup)
+              val partner =
+                if (saturated) None
+                else entries.find(e =>
+                  (e.tsMs < t || (e.tsMs == t && e.vecId < r.vec_id)) &&
+                    t - e.tsMs <= horizonMs &&
+                    cosineSeq(e.v, r.v) >= threshold).map(_.vecId)
+              out += CosVerdict(r.vec_id, r.ts, partner.isDefined, partner)
               if (!saturated)
                 entries = entries :+ CosBucketEntry(r.vec_id, t, r.v)
             }

@@ -742,6 +742,58 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online near-dup clustering: cosine-gate pairs feed CC maintenance at ingest") {
+    // the composed pipeline a crawl ingest actually wants: every
+    // vector gets its near-dup CLUSTER id as it arrives — the gate
+    // emits (partner, newcomer) edges, CC maintenance merges them
+    // incrementally, and the snapshot equals the batch clustering over
+    // every pair emitted so far
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    def T(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val cc = StreamingOps.emptyCcState(spark)
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val q = StreamingOps.cosineLshVerdicts(
+      spark, mem.toDF().toDF("vec_id", "ts", "embedding"), threshold = 0.9)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.CosVerdict], _: Long) =>
+        val pairs = batch.where(F.col("dup"))
+          .select(F.col("partner").as("src"), F.col("vec_id").as("dst"))
+        StreamingOps.updateCc(cc, pairs)
+        seen.synchronized {
+          seen ++= pairs.as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, T("2024-01-01 10:00:00"), axis(0)),
+        (2L, T("2024-01-01 10:00:01"), axis(1)))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, T("2024-01-01 10:05:00"), axis(0).map(_ * 1.5f)),
+        (4L, T("2024-01-01 10:05:01"), axis(2)))
+      q.processAllAvailable()
+      mem.addData(
+        (5L, T("2024-01-01 10:10:00"), axis(1).map(_ * 2.0f)),
+        (6L, T("2024-01-01 10:10:01"), axis(0).map(_ * 3.0f)))
+      q.processAllAvailable()
+      val got = cc.snapshot.as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L),
+        s"got $got")
+      // and the maintained labels replay exactly as the batch operator
+      // over every emitted pair
+      val want = graft.operators.Dedup.connectedComponents(
+        seen.synchronized(seen.toSeq).toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest commits one delta segment per epoch, served immediately") {
     // ingest-time sibling of the serve stream: micro-batches of new
     // embeddings land as committed delta segments against the fixed
