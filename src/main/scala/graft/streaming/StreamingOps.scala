@@ -230,7 +230,14 @@ object StreamingOps {
       ts: Timestamp, sh: Array[Long])
   case class BucketEntry(docId: Long, tsMs: Long, sh: Array[Long])
   case class LshBucketState(entries: List[BucketEntry], saturated: Boolean)
-  case class LshVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+  /** `partner` = the EARLIEST-admitted in-horizon bucket member whose
+    * exact Jaccard verified ≥ threshold (None when !dup) — feed
+    * (partner, doc_id) pairs into [[updateCc]] for online near-dup
+    * document clustering at ingest (same composition as the embedding
+    * gate, spec'd there). */
+  case class LshVerdict(
+      doc_id: Long, ts: Timestamp, dup: Boolean,
+      partner: Option[Long] = None)
 
   /** Exact Jaccard of two sorted-distinct hash arrays (two-pointer). */
   private def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
@@ -308,7 +315,8 @@ object StreamingOps {
     // no shingles => no LSH candidates => trivially admitted (matches
     // the batch form, which drops null signatures before banding)
     val noSig = sigs.where(col("signature").isNull)
-      .select(col("doc_id"), col("ts"), lit(false).as("dup")).as[LshVerdict]
+      .select(col("doc_id"), col("ts"), lit(false).as("dup"),
+        lit(null).cast("long").as("partner")).as[LshVerdict]
     val banded = sigs.where(col("signature").isNotNull)
       .select(col("doc_id"), col("ts"), col("sh"),
         posexplode(transform(
@@ -346,11 +354,13 @@ object StreamingOps {
               // the (cap+1)-th member within a horizon makes this the
               // megabucket the batch form drops whole — stop flagging
               if (!saturated && entries.size >= cap) saturated = true
-              val dup = !saturated && entries.exists(e =>
-                (e.tsMs < t || (e.tsMs == t && e.docId < r.doc_id)) &&
-                  t - e.tsMs <= horizonMs &&
-                  jaccardSorted(e.sh, r.sh) >= threshold)
-              out += LshVerdict(r.doc_id, r.ts, dup)
+              val partner =
+                if (saturated) None
+                else entries.find(e =>
+                  (e.tsMs < t || (e.tsMs == t && e.docId < r.doc_id)) &&
+                    t - e.tsMs <= horizonMs &&
+                    jaccardSorted(e.sh, r.sh) >= threshold).map(_.docId)
+              out += LshVerdict(r.doc_id, r.ts, partner.isDefined, partner)
               if (!saturated)
                 entries = entries :+ BucketEntry(r.doc_id, t, r.sh)
             }

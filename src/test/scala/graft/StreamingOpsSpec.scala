@@ -454,6 +454,12 @@ class StreamingOpsSpec extends AnyFunSuite {
         "not-yet-evicted entries beyond the horizon must not flag a laggard copy")
       assert(dup(3L) == 0)
       assert(dup(4L) == 0, "beyond-horizon copy should re-admit")
+      // the flagged doc names its earliest-admitted partner — the
+      // edge the online-clustering composition consumes
+      val partners = spark.table("fuzzy_out")
+        .where(F.col("dup")).select("doc_id", "partner")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(partners == Map(2L -> Some(1L)), s"partners: $partners")
     } finally q.stop()
   }
 
