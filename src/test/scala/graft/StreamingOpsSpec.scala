@@ -672,6 +672,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(gens.length == 1, s"superseded generations not pruned: ${gens.toSeq}")
   }
 
+  test("EpochStateStore ignores torn generations and prunes superseded ones") {
+    // the commit protocol's crash window, tested at the store level:
+    // a generation with data but no marker (died mid-write) must be
+    // invisible to restart, then clobbered by the replay's overwrite;
+    // committing the next generation retires the previous one
+    val dir = java.nio.file.Files.createTempDirectory("graft_ess").toString
+    val store = new graft.streaming.EpochStateStore(spark, dir)
+    assert(store.latestCommitted(Seq("labels")).isEmpty)
+    store.commit(0L, Map("labels" -> Seq((1L, 1L)).toDF("node_id", "cluster_id")))
+    // torn gen 1: data written, marker lost
+    Seq((2L, 2L)).toDF("node_id", "cluster_id")
+      .write.parquet(s"$dir/gen=1/labels")
+    val (e0, m0) = store.latestCommitted(Seq("labels")).get
+    assert(e0 == 0L &&
+      m0("labels").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)),
+      "torn generation leaked into restart")
+    assert(!store.isCommitted(1L))
+    // the replay overwrites the torn attempt and commits; gen 0 retires
+    store.commit(1L, Map("labels" -> Seq((3L, 3L)).toDF("node_id", "cluster_id")))
+    val (e1, m1) = store.latestCommitted(Seq("labels")).get
+    assert(e1 == 1L &&
+      m1("labels").as[(Long, Long)].collect().toSeq == Seq((3L, 3L)))
+    assert(!new java.io.File(s"$dir/gen=0").exists(),
+      "superseded generation not pruned")
+  }
+
   test("durable CC maintenance: restart resumes and replayed epochs are idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_dur_cc").toString
     val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
