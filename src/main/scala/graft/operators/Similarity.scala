@@ -63,6 +63,35 @@ object Similarity {
     saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the
+    * RocketQA / DPR recipe, Qu et al. 2021): for each query, the
+    * top-k most-similar vectors that are NOT positives (different
+    * `label`), with a denoising ceiling `maxCos` — candidates scoring
+    * above it are overwhelmingly mislabeled positives (false
+    * negatives) and poison the contrastive loss, so they are excluded
+    * rather than served as negatives.
+    *
+    * 100 TB shape: identical to [[bruteForceKnn]] — the query batch
+    * broadcasts (training mines negatives for a batch at a time, not
+    * the whole corpus at once), the corpus scan is never shuffled, and
+    * the per-query top-k is salted. The label inequality rides IN the
+    * broadcast-join condition, so positives are dropped before any
+    * scoring output materializes. */
+  def hardNegatives(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      maxCos: Double = 0.95, salts: Int = 32): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val scored = embeddings
+      .join(broadcast(queries), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+      .where(col("cos") < maxCos)
+    saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
+  }
+
   /** Scalar-quantization (SQ8) kNN with asymmetric scoring — the
     * simplest production ANN compression tier between full-precision
     * brute force and PQ: the corpus rides as int8 codes plus ONE

@@ -39,6 +39,13 @@ object VectorQueries {
     "knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 8, k = 5)),
 
+    // hard-negative mining (RocketQA/DPR): per query, the top-k
+    // most-similar DIFFERENT-label vectors below the false-negative
+    // denoising ceiling — the negatives a contrastive retriever
+    // actually trains on.
+    "knn_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // binary quantization: sign bits packed 64-per-long, hamming
     // ranking — output is representation-independent, so the oracle
     // counts sign-disagreeing dimensions directly.
@@ -758,6 +765,22 @@ object VectorQueries {
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, vec_id ASC) AS rank
              FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= 5""",
+
+    "knn_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                     FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT q.query_id, e.vec_id,
+                    ${cosSql("q.qv", "e.embedding")} AS cos
+             FROM embeddings e JOIN q ON e.label <> q.ql),
+           f AS (SELECT * FROM scored WHERE cos < 0.95),
+           ranked AS (
+             SELECT query_id, vec_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM f)
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
 
