@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+  * select raw-corpus documents whose hashed n-gram distribution looks
+  * like a target corpus. The classic pretraining-mix lever — "give me
+  * web pages that look like Wikipedia" — reduced to three passes:
+  *
+  *  1. featurize every doc into hashed n-gram bucket counts
+  *     (unigrams + bigrams, md5 → 16 bits → mod nBuckets);
+  *  2. fit two smoothed bag-of-buckets models — p̂ on the target
+  *     slice, q̂ on the full raw corpus — and keep only the
+  *     per-bucket log ratio ln p̂[b] − ln q̂[b];
+  *  3. score each doc logw = Σ_b c_doc[b]·lr[b] and resample via
+  *     deterministic Gumbel top-k (sampling without replacement
+  *     proportional to the importance weights).
+  *
+  * Scale shape (the 100 TB story): featurization is explode +
+  * map-side-combinable count keyed (doc_id, bucket); the model is ONE
+  * aggregate down to nBuckets rows (thousands — broadcastable by
+  * construction, independent of corpus size); scoring is a broadcast
+  * join + per-doc decimal sum; selection is a global top-k
+  * (TakeOrderedAndProject — per-partition heaps, no global sort). No
+  * stage shuffles more than the per-doc bucket aggregate, and the
+  * model fit re-uses that exchange (ReuseExchange: both consumers
+  * aggregate the same child).
+  *
+  * Determinism contract (what makes this oracle-able): the only
+  * floating-point steps are ln() of *integer-valued* doubles in a
+  * fixed expression order, each rounded to 6 decimals and pinned to
+  * DECIMAL(18,6) BEFORE any data-dependent accumulation; the per-doc
+  * sum is decimal arithmetic — exact and order-independent. The
+  * Gumbel noise is a pure function of doc_id (md5 → dyadic uniform →
+  * two more ln's → round 6), never of partitioning or time.
+  */
+object Dsir {
+
+  /** 16-bit bucket of an n-gram string: first 4 hex chars of md5,
+    * reduced mod nBuckets. Byte-identical in DuckDB (strpos-nibble
+    * arithmetic over the same md5 hex). */
+  private def bucketOf(ng: Column, nBuckets: Int): Column =
+    conv(substring(md5(ng), 1, 4), 16, 10).cast("long") % nBuckets
+
+  /** Per-doc hashed feature counts: (doc_id, is_target, bucket, cnt).
+    * Features are non-distinct unigrams + bigrams over lowercased
+    * whitespace tokens — counts, not sets, per the DSIR bag model. */
+  def bucketCounts(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val unigrams = filter(toks, t => length(t) > 0)
+    val bigrams = TextFunctions.shingles(toks, 2)
+    docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(concat(unigrams, bigrams)).as("ng"))
+      .groupBy(col("doc_id"), col("is_target"),
+        bucketOf(col("ng"), nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The fitted model: DENSE per-bucket log ratio
+    * round(ln p̂[b] − ln q̂[b], 6) pinned to DECIMAL(18,6), with
+    * add-one smoothing over nBuckets. Dense (all nBuckets rows, zero
+    * counts smoothed in) so a consumer scoring a DIFFERENT corpus —
+    * the streaming admission gate — never misses a bucket. nBuckets
+    * rows regardless of corpus size: the broadcastable training
+    * artifact of this operator family. */
+  def logRatioModel(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
+    val bc = bucketCounts(docs, targetPred, nBuckets)
+    val stats = bc.groupBy("bucket").agg(
+      sum(col("cnt")).as("rc"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"))
+    val totals = bc.agg(
+      sum(col("cnt")).as("r"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("t"))
+    val dense = docs.sparkSession.range(nBuckets)
+      .select(col("id").as("bucket"))
+      .join(stats, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    // fixed term order — both engines evaluate the identical ln-of-
+    // integer chain before the 6-decimal pin
+    dense.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      round(log(col("tc") + 1) - log(col("t") + nBuckets)
+          - log(col("rc") + 1) + log(col("r") + nBuckets), 6)
+        .cast(DecimalType(18, 6)).as("lr"))
+  }
+
+  /** Score a corpus against an already-fit model:
+    * logw = Σ_b c[b]·lr[b] as an exact decimal sum. Returns
+    * (doc_id, n_feats, logw DOUBLE). */
+  def scoreAgainst(model: DataFrame, docs: DataFrame, nBuckets: Int): DataFrame =
+    bucketCounts(docs, lit(false), nBuckets)
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("lr")).as("logw_dec"))
+      .select(col("doc_id"), col("n_feats"),
+        col("logw_dec").cast("double").as("logw"))
+
+  /** logw per doc of the corpus the model was fit on (fit + score in
+    * one call — the batch DSIR selection path). */
+  def importanceWeights(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame =
+    scoreAgainst(logRatioModel(docs, targetPred, nBuckets), docs, nBuckets)
+
+  /** In-row scoring expression against a COLLECTED model map
+    * (bucket → lr): the stateless form a streaming gate needs — no
+    * aggregation, no state, one map lookup per n-gram occurrence,
+    * exact-decimal left-to-right accumulation (decimal addition is
+    * associative-exact, so this equals the batch groupBy sum
+    * bit-for-bit). `lrMap` is the one-row broadcast artifact built by
+    * [[modelAsMap]]. */
+  def scoreInRow(text: Column, lrMap: Column, nBuckets: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val ngrams = concat(
+      filter(toks, t => length(t) > 0),
+      TextFunctions.shingles(toks, 2))
+    aggregate(
+      ngrams,
+      lit(0).cast(DecimalType(38, 6)),
+      (acc, ng) => acc + element_at(lrMap, bucketOf(ng, nBuckets).cast("int")))
+  }
+
+  /** One-row (map<int,decimal>) form of [[logRatioModel]]'s output —
+    * the broadcastable literal a stream-static join carries to every
+    * task. */
+  def modelAsMap(model: DataFrame): DataFrame =
+    model.agg(
+      map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("lr")))).as("lrm"))
+
+  /** Gumbel top-k resampling: without-replacement sampling
+    * proportional to exp(logw), derandomized — the Gumbel noise for a
+    * doc is a pure hash of its id (dyadic uniform u=(h16+0.5)/2^16,
+    * g=−ln(−ln u)), so the selected set is reproducible across runs,
+    * partitionings, and engines. Returns the k winners with their
+    * perturbed keys. */
+  def gumbelTopK(weights: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("double") + 0.5) / 65536.0
+    weights
+      .select(col("doc_id"),
+        round(col("logw") - log(-log(u)), 6).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

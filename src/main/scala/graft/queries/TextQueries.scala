@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Dsir}
 
 /** Text-analysis + deduplication query surface over `documents`
   * (SURVEY.md §2.3). Oracle policy:
@@ -245,6 +245,24 @@ object TextQueries {
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
     }),
+
+    // DSIR importance resampling (Xie et al. 2023): score every doc by
+    // how target-like its hashed n-gram distribution is (target = the
+    // English slice, the stand-in for "looks like Wikipedia"), then
+    // resample without replacement via deterministic Gumbel top-k.
+    // Exactness: the only float steps are ln() of integers pinned to
+    // DECIMAL(18,6) per bucket BEFORE accumulation — the per-doc sum
+    // is exact decimal, so the oracle replays bit-for-bit. See
+    // graft.operators.Dsir for the 100 TB shape.
+    "text_dsir_weights" -> ((s, d) =>
+      Dsir.importanceWeights(
+        Tables.documents(s, d), col("lang") === "en", nBuckets = 256)),
+
+    "text_dsir_sample" -> ((s, d) =>
+      Dsir.gumbelTopK(
+        Dsir.importanceWeights(
+          Tables.documents(s, d), col("lang") === "en", nBuckets = 256),
+        k = 100)),
 
     // Benchmark decontamination: flag corpus documents that share any
     // 8-gram with a held-out "benchmark" set (every 25th doc as the
@@ -637,6 +655,51 @@ object TextQueries {
         THEN [array_to_string(($tokensSql)[i:i+${n - 1}], ' ') for i in range(1, len($tokensSql) - ${n - 2})]
         ELSE [] END)"""
 
+  // 16-bit md5 bucket of a string expression — mirrors
+  // Dsir.bucketOf's conv(substr(md5(ng),1,4),16,10): nibble-by-nibble
+  // strpos arithmetic over the same lowercase hex
+  private def md5Bucket16Sql(e: String) =
+    s"""((strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))"""
+
+  // DSIR importance-weight pipeline (shared by text_dsir_weights and
+  // text_dsir_sample): hashed unigram+bigram bucket counts → smoothed
+  // per-bucket log-ratio pinned to DECIMAL(18,6) → exact per-doc
+  // decimal sum. Mirrors graft.operators.Dsir with nBuckets = 256,
+  // target = lang = 'en'.
+  private val dsirWeightsCteSql =
+    s"""WITH d AS (SELECT doc_id, lang = 'en' AS is_target, $tokensSql AS t FROM documents),
+        ngs AS (
+          SELECT doc_id, is_target, unnest(list_concat(
+            list_filter(t, x -> length(x) > 0),
+            CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+              ELSE [] END)) AS ng
+          FROM d),
+        bc AS (
+          SELECT doc_id, is_target, ${md5Bucket16Sql("ng")} % 256 AS bucket,
+                 count(*) AS cnt
+          FROM ngs GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT bucket, sum(cnt) AS rc,
+                 sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS tc
+          FROM bc GROUP BY bucket),
+        tot AS (
+          SELECT sum(cnt) AS r,
+                 sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t
+          FROM bc),
+        lr AS (
+          SELECT bucket,
+                 CAST(round(ln(tc + 1) - ln(t + 256) - ln(rc + 1) + ln(r + 256), 6)
+                      AS DECIMAL(18,6)) AS lr
+          FROM stats CROSS JOIN tot),
+        w AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                 sum(cnt * lr) AS logw
+          FROM bc JOIN lr USING (bucket) GROUP BY doc_id)"""
+
   // TextFunctions.qualityScore mirrored in DuckDB — shared by the
   // text_quality, dedup_keep_best and pipeline_pretrain oracles
   private val qualitySql =
@@ -1026,6 +1089,22 @@ object TextQueries {
             FROM scored)
           SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
           FROM ranked WHERE rank <= 3""",
+
+    "text_dsir_weights" ->
+      s"""$dsirWeightsCteSql
+          SELECT doc_id, n_feats, CAST(logw AS DOUBLE) AS logw FROM w""",
+
+    // derandomized Gumbel noise: u = (md5-16-bit + 0.5)/2^16 is dyadic
+    // (exact in both engines); skey = logw − ln(−ln u) rounded to 6
+    "text_dsir_sample" ->
+      s"""$dsirWeightsCteSql,
+          smp AS (
+            SELECT doc_id,
+                   round(CAST(logw AS DOUBLE) - ln(-ln(
+                     (${md5Bucket16Sql("'dsir:' || CAST(doc_id AS VARCHAR)")} + 0.5) / 65536.0)), 6)
+                     AS skey
+            FROM w)
+          SELECT doc_id, skey FROM smp ORDER BY skey DESC, doc_id LIMIT 100""",
 
     "text_decontaminate" ->
       s"""WITH bg AS (

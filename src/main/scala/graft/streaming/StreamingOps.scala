@@ -224,6 +224,31 @@ object StreamingOps {
       .drop("ingest_ts")
   }
 
+  /** Streaming DSIR admission gate: score each arriving doc against a
+    * PRE-FIT dense log-ratio model ([[graft.operators.Dsir.logRatioModel]],
+    * fit offline on a reference corpus) and admit docs whose
+    * importance weight clears `minLogw` — "keep what looks like the
+    * target distribution", applied at ingest time.
+    *
+    * Completely STATELESS: the nBuckets-row model collapses to a
+    * one-row broadcast map (stream-static join), and the score is an
+    * in-row exact-decimal fold over the doc's own n-grams — no
+    * watermark, no state store, no shuffle. The admitted scores equal
+    * the batch [[graft.operators.Dsir.scoreAgainst]] bit-for-bit
+    * (decimal accumulation is associative-exact; pinned in DsirSpec's
+    * stream==batch test). */
+  def dsirGate(
+      docs: DataFrame, model: DataFrame, nBuckets: Int,
+      minLogw: Double): DataFrame = {
+    import graft.operators.Dsir
+    docs
+      .crossJoin(broadcast(Dsir.modelAsMap(model)))
+      .withColumn("logw",
+        Dsir.scoreInRow(col("text"), col("lrm"), nBuckets).cast("double"))
+      .where(col("logw") >= minLogw)
+      .drop("lrm")
+  }
+
   // ---- streaming fuzzy dedup (MinHash-LSH over micro-batches) ----
 
   case class BandedDoc(band: Int, band_hash: Long, doc_id: Long,

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance resampling (Xie et al. 2023) — semantic properties
+  * the DuckDB hash oracle can't express directly: target enrichment
+  * (the whole point of the method), partitioning-invariance of the
+  * derandomized Gumbel draw, and the feature-count identity. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val isEn = col("lang") === "en"
+  private lazy val docs = Tables.documents(spark, TestSpark.sfDir).cache()
+  private lazy val weights = Dsir.importanceWeights(docs, isEn, nBuckets = 256).cache()
+
+  test("n_feats is exactly unigrams + bigrams = 2·tokens − 1 per doc") {
+    val bad = weights
+      .join(docs.select(col("doc_id"),
+        (size(split(lower(col("text")), "\\s+")) * 2 - 1).as("expect")), "doc_id")
+      .where(col("n_feats") =!= col("expect"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("every doc is scored (weights cover the corpus)") {
+    assert(weights.count() == docs.count())
+  }
+
+  test("target slice scores higher on average than the rest") {
+    val Array(enAvg, otherAvg) = weights
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(isEn.as("t")).agg(avg("logw").as("m"))
+      .orderBy(col("t").desc).collect().map(_.getDouble(1))
+    assert(enAvg > otherAvg,
+      s"importance weights do not favor the target slice: en=$enAvg other=$otherAvg")
+  }
+
+  test("resampled set is enriched in target docs vs the corpus base rate") {
+    val k = 100
+    val picked = Dsir.gumbelTopK(weights, k)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val pickedEnRate = picked.where(isEn).count().toDouble / k
+    val baseEnRate = docs.where(isEn).count().toDouble / docs.count()
+    assert(pickedEnRate > baseEnRate,
+      s"Gumbel top-k not enriched: picked=$pickedEnRate base=$baseEnRate")
+  }
+
+  test("Gumbel draw is partitioning-invariant (derandomized)") {
+    val a = Dsir.gumbelTopK(weights, 50).collect().toSet
+    val b = Dsir.gumbelTopK(weights.repartition(17, col("n_feats")), 50)
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("streaming DSIR gate == batch scores (stateless, model broadcast)") {
+    // fit the model on the batch corpus, then replay the same docs as
+    // a 3-micro-batch file stream through the stateless gate: every
+    // admitted (doc_id, logw) must equal the batch scoreAgainst
+    // bit-for-bit (decimal accumulation is associative-exact), and
+    // every batch doc clearing the threshold must be admitted.
+    val nB = 256
+    val minLogw = 0.0
+    val model = Dsir.logRatioModel(docs, isEn, nB)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    docs.select("doc_id", "lang", "text").repartition(3)
+      .write.parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "lang", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = graft.streaming.StreamingOps.dsirGate(stream, model, nB, minLogw)
+      .select("doc_id", "logw")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Dsir.scoreAgainst(model, docs, nB)
+      .where(col("logw") >= minLogw)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("log-ratio model reacts to the target choice, not just doc length") {
+    // swapping the target to the complement slice must invert the
+    // enrichment direction — guards against a weight that's secretly
+    // a length or frequency artifact
+    val inv = Dsir.importanceWeights(docs, !isEn, nBuckets = 256)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(isEn.as("t")).agg(avg("logw").as("m"))
+      .orderBy(col("t").desc).collect().map(_.getDouble(1))
+    assert(inv(0) < inv(1),
+      s"complement-target weights still favor en: ${inv.mkString(",")}")
+  }
+}
