@@ -20,15 +20,16 @@ import graft.functions.TextFunctions
   *     deterministic Gumbel top-k (sampling without replacement
   *     proportional to the importance weights).
   *
-  * Scale shape (the 100 TB story): featurization is explode +
-  * map-side-combinable count keyed (doc_id, bucket); the model is ONE
-  * aggregate down to nBuckets rows (thousands — broadcastable by
-  * construction, independent of corpus size); scoring is a broadcast
-  * join + per-doc decimal sum; selection is a global top-k
-  * (TakeOrderedAndProject — per-partition heaps, no global sort). No
-  * stage shuffles more than the per-doc bucket aggregate, and the
-  * model fit re-uses that exchange (ReuseExchange: both consumers
-  * aggregate the same child).
+  * Scale shape (the 100 TB story): the model fit is ONE corpus pass —
+  * explode + a map-side-combinable count keyed bucket, collapsing to
+  * nBuckets rows (hundreds — broadcastable by construction,
+  * independent of corpus size; the corpus totals derive from those
+  * rows, never from a second scan). Scoring is ONE more pass: explode
+  * + broadcast model join + per-doc decimal sum (partials combine
+  * map-side, so the only exchange moves ≤ |docs| rows). Selection is
+  * a global top-k (TakeOrderedAndProject — per-partition heaps, no
+  * global sort). Two passes total, two exchanges, nothing keyed finer
+  * than doc_id — the floor for a fit-then-score algorithm.
   *
   * Determinism contract (what makes this oracle-able): the only
   * floating-point steps are ln() of *integer-valued* doubles in a
@@ -46,19 +47,22 @@ object Dsir {
   private def bucketOf(ng: Column, nBuckets: Int): Column =
     conv(substring(md5(ng), 1, 4), 16, 10).cast("long") % nBuckets
 
-  /** Per-doc hashed feature counts: (doc_id, is_target, bucket, cnt).
+  /** One occurrence row per n-gram: (doc_id, is_target, bucket).
     * Features are non-distinct unigrams + bigrams over lowercased
-    * whitespace tokens — counts, not sets, per the DSIR bag model. */
-  def bucketCounts(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
+    * whitespace tokens — occurrences, not sets, per the DSIR bag
+    * model. Both the model fit and the scorer aggregate this relation
+    * directly (each with ONE map-side-combinable exchange on its own
+    * key) — a (doc, bucket) pre-aggregation in between would only add
+    * a shuffle. */
+  def ngramOccurrences(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val unigrams = filter(toks, t => length(t) > 0)
     val bigrams = TextFunctions.shingles(toks, 2)
     docs
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(unigrams, bigrams)).as("ng"))
-      .groupBy(col("doc_id"), col("is_target"),
+      .select(col("doc_id"), col("is_target"),
         bucketOf(col("ng"), nBuckets).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
   }
 
   /** The fitted model: DENSE per-bucket log ratio
@@ -67,21 +71,27 @@ object Dsir {
     * counts smoothed in) so a consumer scoring a DIFFERENT corpus —
     * the streaming admission gate — never misses a bucket. nBuckets
     * rows regardless of corpus size: the broadcastable training
-    * artifact of this operator family. */
+    * artifact of this operator family. ONE corpus pass: the corpus
+    * totals derive from the nBuckets-row stats, never from a second
+    * scan. */
   def logRatioModel(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
-    val bc = bucketCounts(docs, targetPred, nBuckets)
-    val stats = bc.groupBy("bucket").agg(
-      sum(col("cnt")).as("rc"),
-      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"))
-    val totals = bc.agg(
-      sum(col("cnt")).as("r"),
-      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("t"))
+    val stats = ngramOccurrences(docs, targetPred, nBuckets)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
+    // materialized (nBuckets rows — one tiny job): both consumers
+    // below (the totals fold and the lr projection) read this leaf;
+    // lazily each branch would re-run the whole corpus aggregate,
+    // tripling the fit's scan count (plan branches share nothing)
     val dense = docs.sparkSession.range(nBuckets)
       .select(col("id").as("bucket"))
       .join(stats, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(true)
+    val totals = dense.agg(
+      sum(col("rc")).as("r"), sum(col("tc")).as("t"))
     // fixed term order — both engines evaluate the identical ln-of-
     // integer chain before the 6-decimal pin
     dense.crossJoin(broadcast(totals)).select(
@@ -92,15 +102,17 @@ object Dsir {
   }
 
   /** Score a corpus against an already-fit model:
-    * logw = Σ_b c[b]·lr[b] as an exact decimal sum. Returns
-    * (doc_id, n_feats, logw DOUBLE). */
+    * logw = Σ occurrences lr[bucket] as an exact decimal sum (equal to
+    * the Σ_b c[b]·lr[b] form — decimal addition is associative-exact).
+    * One corpus pass, one doc_id exchange (partial sums combine
+    * map-side). Returns (doc_id, n_feats, logw DOUBLE). */
   def scoreAgainst(model: DataFrame, docs: DataFrame, nBuckets: Int): DataFrame =
-    bucketCounts(docs, lit(false), nBuckets)
+    ngramOccurrences(docs, lit(false), nBuckets)
       .join(broadcast(model), "bucket")
       .groupBy("doc_id")
       .agg(
-        sum(col("cnt")).as("n_feats"),
-        sum(col("cnt") * col("lr")).as("logw_dec"))
+        count(lit(1)).as("n_feats"),
+        sum(col("lr")).as("logw_dec"))
       .select(col("doc_id"), col("n_feats"),
         col("logw_dec").cast("double").as("logw"))
 
