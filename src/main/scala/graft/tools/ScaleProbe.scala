@@ -84,9 +84,12 @@ object ScaleProbe {
       }
     }
 
+    // dev-only: probe a subset (args) — a fresh operator's 10× evidence
+    // shouldn't cost a full 20-query sweep on a contended host
+    val probed = if (args.nonEmpty) args.toSeq else QUERIES
     val acc = scala.collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
-    for (pass <- 1 to 3; q <- QUERIES; (dir, tag) <- Seq((base, "1x"), (out, "Fx"))) {
+    for (pass <- 1 to 3; q <- probed; (dir, tag) <- Seq((base, "1x"), (out, "Fx"))) {
       val t = timeOnce(q, dir)
       acc((q, tag)) = acc((q, tag)) :+ t
       println(f"[scale] pass $pass $q%-22s $tag%-3s $t%7.2f s  (load ${load()}%.2f)")
@@ -98,7 +101,7 @@ object ScaleProbe {
       val ok = xs.filterNot(_.isNaN).sorted
       if (ok.isEmpty) Double.NaN else ok(ok.size / 2)
     }
-    QUERIES.foreach { q =>
+    probed.foreach { q =>
       val a = acc((q, "1x")); val b = acc((q, "Fx"))
       val failed = a.count(_.isNaN) + b.count(_.isNaN)
       println(f"""[scale-json] {"query":"$q","t1x":[${a.map(x => f"$x%.2f").mkString(",")}],""" +
