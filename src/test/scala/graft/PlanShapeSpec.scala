@@ -122,6 +122,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "partial window is not salted:\n" + p.take(1200))
   }
 
+  test("knn_hard_negatives broadcasts the query batch (non-equi label join, no shuffle)") {
+    val p = plan("knn_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query batch not broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus side shuffle-joined:\n" + p.take(1200))
+  }
+
+  test("text_dsir_weights scoring pass scans the corpus once; model rides broadcast") {
+    // the fit's scans run inside the eager 256-row checkpoint — the
+    // SCORING plan must contain exactly one parquet scan (the corpus)
+    // joined to the model via broadcast; a second scan means a plan
+    // branch re-derived the model from raw data (the pre-refactor
+    // five-pass shape)
+    val qe = SparkEntry.queries("text_dsir_weights")(spark, TestSpark.sfDir)
+      .queryExecution
+    qe.toRdd.count()
+    val nodes = walkPlan(qe.executedPlan)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"expected 1 corpus scan in the scoring plan, got ${scans.size}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "model join is not broadcast")
+    assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+      "model joined by shuffle")
+  }
+
   test("knn_ivf broadcasts centroids and probes (no shuffle join on the corpus)") {
     val p = plan("knn_ivf")
     assert(p.split("BroadcastHashJoin|BroadcastNestedLoopJoin").length >= 3,
