@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -74,22 +74,63 @@ object Dsir {
     * artifact of this operator family. ONE corpus pass: the corpus
     * totals derive from the nBuckets-row stats, never from a second
     * scan. */
-  def logRatioModel(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
+  def logRatioModel(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame =
+    lrFromStats(denseStats(docs, targetPred, nBuckets), nBuckets)
+
+  /** Dense (bucket, rc, tc) count statistics of a corpus — the
+    * SUFFICIENT STATISTIC of the model, and additive: stats of a
+    * corpus union are the element-wise sum of per-part stats, which is
+    * what makes the fit incrementally maintainable
+    * ([[updateStats]] / [[graft.streaming.StreamingOps.dsirModelStream]]).
+    * Materialized (nBuckets rows — one tiny job): every consumer (the
+    * totals fold, the lr projection, the next incremental update)
+    * reads this leaf; lazily each branch would re-run the whole corpus
+    * aggregate (plan branches share nothing). */
+  def denseStats(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame = {
     val stats = ngramOccurrences(docs, targetPred, nBuckets)
       .groupBy("bucket").agg(
         count(lit(1)).as("rc"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
-    // materialized (nBuckets rows — one tiny job): both consumers
-    // below (the totals fold and the lr projection) read this leaf;
-    // lazily each branch would re-run the whole corpus aggregate,
-    // tripling the fit's scan count (plan branches share nothing)
-    val dense = docs.sparkSession.range(nBuckets)
+    docs.sparkSession.range(nBuckets)
       .select(col("id").as("bucket"))
       .join(stats, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
       .localCheckpoint(true)
+  }
+
+  /** Zero-count initial state for an incremental fit. */
+  def emptyStats(spark: SparkSession, nBuckets: Int): DataFrame =
+    spark.range(nBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("rc"), lit(0L).as("tc"))
+      .localCheckpoint(true)
+
+  /** Fold one micro-batch into dense stats: element-wise count
+    * addition over the nBuckets-row state — the entire incremental
+    * model-maintenance step (the counts are the sufficient statistic;
+    * nothing else carries over). Returns the new materialized state;
+    * the caller owns unpersisting the old one. */
+  def updateStats(
+      state: DataFrame, batch: DataFrame, targetPred: Column,
+      nBuckets: Int): DataFrame = {
+    val delta = denseStats(batch, targetPred, nBuckets)
+      .select(col("bucket"), col("rc").as("drc"), col("tc").as("dtc"))
+    val merged = state.join(delta, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("rc") + coalesce(col("drc"), lit(0L))).as("rc"),
+        (col("tc") + coalesce(col("dtc"), lit(0L))).as("tc"))
+      .localCheckpoint(true)
+    graft.operators.Storage.unpersistLocalCheckpoint(delta)
+    merged
+  }
+
+  /** The lr projection over materialized dense stats — shared by the
+    * one-shot batch fit and the incremental state: identical counts ⇒
+    * identical model, so a fold of [[updateStats]] over any batch
+    * split of a corpus yields EXACTLY [[logRatioModel]] of the whole
+    * (pinned in DsirSpec). */
+  def lrFromStats(dense: DataFrame, nBuckets: Int): DataFrame = {
     val totals = dense.agg(
       sum(col("rc")).as("r"), sum(col("tc")).as("t"))
     // fixed term order — both engines evaluate the identical ln-of-

@@ -249,6 +249,38 @@ object StreamingOps {
       .drop("lrm")
   }
 
+  /** Incremental DSIR model maintenance: fold each micro-batch of
+    * docs into the dense (bucket, rc, tc) count state — the model's
+    * additive sufficient statistic — and hand the refreshed lr model
+    * to `sink` after every batch (feed it to [[dsirGate]] for
+    * fit-continuously / serve-current-model). After any batch
+    * sequence the model equals the one-shot batch fit over the union
+    * EXACTLY (counts are integers; pinned in DsirSpec).
+    *
+    * 100 TB shape: per-batch work is one batch-sized scan collapsing
+    * to nBuckets rows; the carried state IS those nBuckets rows —
+    * fixed-size additive state, the same class as the streaming
+    * CMS/Bloom sketches. */
+  def dsirModelStream(
+      docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dsir, Storage}
+    var state = Dsir.emptyStats(docs.sparkSession, nBuckets)
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val next = Dsir.updateStats(state, batch.toDF(), targetPred, nBuckets)
+        Storage.unpersistLocalCheckpoint(state)
+        state = next
+        sink(Dsir.lrFromStats(state, nBuckets), epoch)
+        ()
+      }
+      .start()
+  }
+
   // ---- streaming fuzzy dedup (MinHash-LSH over micro-batches) ----
 
   case class BandedDoc(band: Int, band_hash: Long, doc_id: Long,

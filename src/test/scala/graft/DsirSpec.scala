@@ -89,6 +89,53 @@ class DsirSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("incremental stats fold == one-shot batch fit, exactly") {
+    // the dense counts are the model's additive sufficient statistic:
+    // folding any batch split must land on the identical model
+    val nB = 256
+    var state = Dsir.emptyStats(spark, nB)
+    (0 until 3).foreach { i =>
+      val next = Dsir.updateStats(
+        state, docs.where(col("doc_id") % 3 === i), isEn, nB)
+      graft.operators.Storage.unpersistLocalCheckpoint(state)
+      state = next
+    }
+    val inc = Dsir.lrFromStats(state, nB)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    val one = Dsir.logRatioModel(docs, isEn, nB)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(inc == one)
+    graft.operators.Storage.unpersistLocalCheckpoint(state)
+  }
+
+  test("dsirModelStream maintains the model across micro-batches == batch fit") {
+    // fit continuously over a 3-file stream; the LAST epoch's model
+    // (all data seen) must equal the one-shot fit, and composing it
+    // with the stateless gate reproduces the batch scores
+    val nB = 256
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_fit").toString
+    docs.select("doc_id", "lang", "text").repartition(3)
+      .write.parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "lang", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    @volatile var last: Option[Array[(Long, java.math.BigDecimal)]] = None
+    @volatile var epochs = 0
+    val q = graft.streaming.StreamingOps.dsirModelStream(
+      stream, col("lang") === "en", nB,
+      Map("checkpointLocation" -> s"$dir/chk")) { (model, _) =>
+      last = Some(model.collect().map(r => (r.getLong(0), r.getDecimal(1))))
+      epochs += 1
+    }
+    try q.awaitTermination(120000) finally q.stop()
+    assert(epochs == 3, s"expected 3 micro-batches, saw $epochs")
+    val got = last.get.toMap
+    val want = Dsir.logRatioModel(docs, isEn, nB)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(got == want)
+  }
+
   test("log-ratio model reacts to the target choice, not just doc length") {
     // swapping the target to the complement slice must invert the
     // enrichment direction — guards against a weight that's secretly

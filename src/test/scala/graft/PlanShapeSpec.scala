@@ -140,8 +140,15 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution
     qe.toRdd.count()
     val nodes = walkPlan(qe.executedPlan)
-    val scans = nodes.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // the corpus leaf is a parquet scan — or an InMemoryTableScan when
+    // an earlier suite in the shared session cached `documents` and
+    // Spark substituted the cache; either way there must be exactly
+    // one (the model side is only ever the checkpointed ExistingRDD)
+    val scans = nodes.filter {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case _ => false
+    }
     assert(scans.size == 1,
       s"expected 1 corpus scan in the scoring plan, got ${scans.size}")
     assert(nodes.exists(
