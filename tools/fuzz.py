@@ -442,9 +442,22 @@ def t_int(rng, depth=0):
         if base < 0.75:
             return ap("length({0})", t_str(rng, depth + 1))
         return t_size(t_arr(rng, depth + 1))
-    form = rng.randrange(5)
+    form = rng.randrange(6)
     if form == 0:
         return ap("({0} + {1})", t_int(rng, depth + 1), t_int(rng, depth + 1))
+    if form == 5:
+        # the DSIR 16-bit md5 bucket (Dsir.bucketOf vs the oracle's
+        # strpos-nibble arithmetic) over an arbitrary string expr —
+        # the exactness linchpin of the text_dsir_* oracles, fuzzed
+        # here beyond the fixed n-gram inputs those queries feed it.
+        # md5 of NULL null-propagates identically in both dialects.
+        s = t_str(rng, depth + 1)
+        nib = "(strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+        duck = "((" + " + ".join(
+            f"{nib.format(e=s[1], i=i + 1)} * {m}"
+            for i, m in enumerate([4096, 256, 16, 1])) + ") % 256)"
+        return (f"(CAST(conv(substring(md5({s[0]}), 1, 4), 16, 10) AS BIGINT)"
+                f" % 256)", duck)
     if form == 1:
         return ap(f"(abs({{0}}) % {rng.randrange(2, 20)})", t_int(rng, depth + 1))
     if form == 2:
