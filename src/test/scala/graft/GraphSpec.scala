@@ -236,6 +236,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L)._1 == got(4L)._1, s"symmetric customers tie: $got")
   }
 
+  test("HITS: non-positive iteration counts return the initial state") {
+    // iters <= 0 means no half-step ran — every node at the initial
+    // SCALE score (a negative count must not NPE on the unset round
+    // state)
+    val edges = Seq((1L, 100L), (2L, 100L)).toDF("src", "dst")
+    val SCALE = 1000000000000L
+    for (it <- Seq(0, -1)) {
+      val got = Graph.hits(edges, iters = it)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == 3 && got.forall(r => r._2 == SCALE && r._3 == SCALE),
+        s"iters=$it must yield the uniform initial state: ${got.toSeq}")
+    }
+  }
+
   test("label propagation: empty edge list yields an empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.labelPropagation(empty, rounds = 2).count() == 0L)

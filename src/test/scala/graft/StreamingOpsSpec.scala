@@ -774,6 +774,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cosine gate honors the batch per-label blocking when labels are present") {
+    // batch cosineNearDup only pairs within a label block (pinned in
+    // SimilaritySpec); the stream must mirror that: a byte-identical
+    // vector under a DIFFERENT label is never flagged, the same vector
+    // under the SAME label is
+    implicit val sqlCtx = spark.sqlContext
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    def T(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float], Int)]
+    val q = StreamingOps.cosineLshVerdicts(
+      spark, mem.toDF().toDF("vec_id", "ts", "embedding", "label"),
+      threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cos_lbl_out").start()
+    try {
+      mem.addData(
+        (10L, T("2024-01-01 10:00:00"), axis(0), 1),
+        (11L, T("2024-01-01 10:00:01"), axis(0), 2), // copy, OTHER label
+        (12L, T("2024-01-01 10:00:02"), axis(0), 1)) // copy, SAME label
+      q.processAllAvailable()
+      val dup = spark.table("cos_lbl_out")
+        .groupBy("vec_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("dup").cast("int")).as("d"))
+        .as[(Long, Int)].collect().toMap
+      assert(dup(10L) == 0, s"$dup")
+      assert(dup(11L) == 0, s"cross-label copy must not pair (batch blocks by label): $dup")
+      assert(dup(12L) == 1, s"same-label copy must pair: $dup")
+    } finally q.stop()
+  }
+
   test("online near-dup clustering: cosine-gate pairs feed CC maintenance at ingest") {
     // the composed pipeline a crawl ingest actually wants: every
     // vector gets its near-dup CLUSTER id as it arrives — the gate
@@ -861,6 +893,14 @@ class StreamingOpsSpec extends AnyFunSuite {
       graft.operators.IvfIndex.serveAll(spark, p, queries, k = 5, nProbe = 2)
         .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(served(inc) == served(full) && served(inc).nonEmpty)
+    // a FRESH lineage (no durable checkpoint) against the now-ingested
+    // index must fail fast: its epoch ids would restart at 0, collide
+    // with the committed markers, and silently skip data
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.ivfIngestStream(
+        mem.toDF().toDF("vec_id", "embedding"), inc)()
+    }
+    assert(ex.getMessage.contains("checkpointLocation"), ex.getMessage)
   }
 
   test("stateful aggregation runs on the RocksDB state store provider") {
