@@ -8,39 +8,58 @@ import org.apache.spark.sql.functions._
   * served WITHOUT retraining or reassignment — how a production
   * pipeline actually uses a trainer's output (train once, serve many).
   *
-  * Layout:
+  * Layout ([[LsmSegments]] holds the generation/epoch metadata):
   *  - `<path>/centroids`: (c_id, c_vec) — k rows;
-  *  - `<path>/assignments`: (vec_id, embedding, c_id) PARTITIONED BY
-  *    c_id — one directory per inverted list, so a probe of `nProbe`
-  *    lists is a partition-pruned scan: the broadcast probe join's
-  *    c_id filter reaches the parquet source as a partition filter
-  *    (dynamic partition pruning), and the un-probed (nCentroids −
+  *  - `<path>/base/<gen>`, `<path>/deltas/<epoch>`: (vec_id,
+  *    embedding, c_id) segments PARTITIONED BY c_id — one directory
+  *    per inverted list, so a probe of `nProbe` lists is a
+  *    partition-pruned scan: the broadcast probe join's c_id filter
+  *    reaches the parquet source as a partition filter (dynamic
+  *    partition pruning), and the un-probed (nCentroids −
   *    nProbe)/nCentroids of the corpus is never read. That pruning is
   *    the entire point of IVF at 100 TB — the on-disk layout makes it
-  *    literal instead of logical.
+  *    literal instead of logical, and it holds segment by segment.
   *
   * float32 embeddings round-trip parquet bit-exactly, so serving from
   * the persisted index is hash-identical to the in-memory
   * [[Similarity.ivfKnnWith]] path (pinned by spec + the
-  * `knn_ivf_persisted` oracle query). */
+  * `knn_ivf_persisted` oracle query).
+  *
+  * Incremental maintenance is the LSM pattern every real ANN serving
+  * system uses: each arriving epoch of vectors is assigned against the
+  * FIXED trained centroids and committed as a marker-guarded delta
+  * segment ([[appendEpoch]] — replayed epochs are skipped, torn
+  * segments invisible), serving unions base ∪ committed deltas
+  * ([[serveAll]]), and [[compact]] folds deltas into a NEW base
+  * generation committed by a generation marker written last — so a
+  * reader interleaved anywhere in the compact sees exactly one
+  * consistent copy of every vector (pinned by SimilaritySpec's
+  * compaction-race test). */
 object IvfIndex {
 
-  /** Build the assignment from `centroids` and persist both halves. */
-  def write(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  private def loadSegment(spark: SparkSession, p: String): DataFrame =
+    spark.read.parquet(p)
+      .select(col("vec_id"), col("embedding"), col("c_id").cast("long").as("c_id"))
+
+  private def writeSegment(df: DataFrame, p: String): Unit =
     graft.sources.FileSources.writePartitionedParquet(
-      Similarity.ivfAssign(embeddings, centroids),
-      s"$path/assignments", partitionCols = Seq("c_id"))
+      df, p, partitionCols = Seq("c_id"))
+
+  /** Build the assignment from `centroids` and persist both halves
+    * (base generation 0, committed by its generation marker). */
+  def write(embeddings: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    LsmSegments.initBase(spark, path)(p =>
+      writeSegment(Similarity.ivfAssign(embeddings, centroids), p))
   }
 
-  /** Load the two index relations. The c_id partition column comes
-    * back type-inferred (int), so it is cast to the long the serving
-    * plan expects. */
+  /** Load the current base generation + centroids (no deltas). The
+    * c_id partition column comes back type-inferred (int), so it is
+    * cast to the long the serving plan expects. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assignments")
-      .select(col("vec_id"), col("embedding"), col("c_id").cast("long").as("c_id"))
-    (assigned, centroids)
+    val (basePath, _) = LsmSegments.liveSegments(spark, path)
+    (loadSegment(spark, basePath), spark.read.parquet(s"$path/centroids"))
   }
 
   /** Serve top-k from the persisted index: probe-list selection +
@@ -53,34 +72,9 @@ object IvfIndex {
     Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
   }
 
-  // ---- incremental index maintenance (delta segments, no retrain) ----
-  //
-  // The ingest-time half of a production ANN pipeline: new embeddings
-  // keep arriving after the index is built, and retraining per batch is
-  // off the table. Each epoch's vectors are assigned against the FIXED
-  // trained centroids and written as their own c_id-partitioned delta
-  // segment under `<path>/deltas/<epoch>`, committed by a marker file
-  // under `<path>/epochs/` written LAST — the LSM pattern every real
-  // ANN serving system uses (base segment + deltas + compaction).
-  // Exactly-once: a replayed epoch (stream checkpoint lost the commit
-  // race) finds its marker and is skipped; a TORN delta (crash
-  // mid-write, no marker) is invisible to reads and simply overwritten
-  // by the replay. Serving unions the base with the committed deltas —
-  // every segment is c_id-partitioned parquet, so the probe's
-  // partition pruning holds segment by segment.
-
-  private def hadoopFs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Committed delta epochs, ascending. */
-  def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
-    val fs = hadoopFs(spark, path)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/epochs")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.forall(_.isDigit)).map(_.toLong).sorted
-  }
+  def committedEpochs(spark: SparkSession, path: String): Seq[Long] =
+    LsmSegments.committedEpochs(spark, path)
 
   /** Idempotently append one epoch of `vectors` (vec_id, embedding) as
     * a delta segment: assign against the trained centroids, write the
@@ -89,36 +83,23 @@ object IvfIndex {
     * (the replay case — nothing is written). */
   def appendEpoch(
       spark: SparkSession, path: String, epoch: Long,
-      vectors: DataFrame): Boolean = {
-    val fs = hadoopFs(spark, path)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/epochs/$epoch")
-    if (fs.exists(marker)) false
-    else {
+      vectors: DataFrame): Boolean =
+    LsmSegments.appendEpoch(spark, path, epoch) { p =>
       val centroids = spark.read.parquet(s"$path/centroids")
-      graft.sources.FileSources.writePartitionedParquet(
-        Similarity.ivfAssign(vectors, centroids),
-        s"$path/deltas/$epoch", partitionCols = Seq("c_id"))
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
-      true
+      writeSegment(Similarity.ivfAssign(vectors, centroids), p)
     }
-  }
 
-  /** Load the index INCLUDING committed delta segments. Epochs whose
-    * marker survives but whose data segment was folded into the base
-    * by [[compact]] are skipped (the marker outlives the segment ON
-    * PURPOSE — it is the replay guard). */
+  /** Load ONE consistent snapshot of the index: the current base
+    * generation plus the committed deltas not yet folded into it.
+    * Folded epochs are excluded by the generation marker's fold point
+    * (their commit markers outlive their data ON PURPOSE — they are
+    * the streaming replay guard). */
   def readAll(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val (base, centroids) = read(spark, path)
-    val fs = hadoopFs(spark, path)
-    val all = committedEpochs(spark, path)
-      .filter(e => fs.exists(new org.apache.hadoop.fs.Path(s"$path/deltas/$e")))
-      .foldLeft(base) { (acc, e) =>
-        acc.unionByName(spark.read.parquet(s"$path/deltas/$e")
-          .select(col("vec_id"), col("embedding"),
-            col("c_id").cast("long").as("c_id")))
-      }
-    (all, centroids)
+    val (basePath, deltaPaths) = LsmSegments.liveSegments(spark, path)
+    val all = deltaPaths.foldLeft(loadSegment(spark, basePath)) {
+      (acc, p) => acc.unionByName(loadSegment(spark, p))
+    }
+    (all, spark.read.parquet(s"$path/centroids"))
   }
 
   /** [[serve]] over base + committed deltas. */
@@ -129,25 +110,20 @@ object IvfIndex {
     Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
   }
 
-  /** Fold the committed deltas back into the base segment (the LSM
-    * compaction): rewrites `<path>/assignments` from the merged view,
-    * then retires the delta segments AND their markers — epoch ids are
-    * monotone (streaming batch ids), so a replay of a compacted epoch
-    * re-appends nothing only if its marker survives; compaction
-    * therefore KEEPS the markers and deletes only the data segments. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val epochs = committedEpochs(spark, path)
-    if (epochs.nonEmpty) {
-      val (all, _) = readAll(spark, path)
-      // materialize the merged view BEFORE overwriting the directory
-      // it reads from (localCheckpoint cuts the scan lineage)
-      val merged = all.localCheckpoint(true)
-      try {
-        graft.sources.FileSources.writePartitionedParquet(
-          merged, s"$path/assignments", partitionCols = Seq("c_id"))
-        val fs = hadoopFs(spark, path)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deltas"), true)
-      } finally graft.operators.Storage.unpersistLocalCheckpoint(merged)
-    }
-  }
+  /** Fold the committed deltas into a NEW base generation (the LSM
+    * compaction): writes `base/<gen+1>` from the merged snapshot, then
+    * commits the generation marker — readers interleaved between the
+    * two steps still resolve the OLD generation + deltas and count
+    * every vector exactly once. Old data is retired by [[gc]], not
+    * here, so lazy plans handed out before the compact stay valid. */
+  def compact(spark: SparkSession, path: String): Unit =
+    LsmSegments.compact(spark, path,
+      load = ps => ps.map(loadSegment(spark, _)).reduce(_.unionByName(_)),
+      write = writeSegment)
+
+  /** Retire superseded generations + folded delta data (epoch commit
+    * markers are kept — the replay guard). Call when no readers hold
+    * lazy plans over the pre-compact snapshot. */
+  def gc(spark: SparkSession, path: String): Unit =
+    LsmSegments.gc(spark, path)
 }

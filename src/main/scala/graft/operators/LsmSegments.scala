@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Marker-last LSM segment protocol shared by the persisted ANN index
+  * tiers ([[IvfIndex]], [[Sq8Index]], [[PqIndex]]): a generation-
+  * numbered BASE segment plus epoch-numbered DELTA segments, where
+  * every piece of data becomes visible only through a marker file
+  * written AFTER the data it commits — so readers never observe a
+  * torn write, replayed streaming epochs are detected and skipped,
+  * and compaction swaps in a rewritten base atomically.
+  *
+  * Layout under an index `path`:
+  *  - `base/<gen>/`   — base segment data, one dir per generation;
+  *  - `gens/<gen>_<upto>` — empty generation marker, written LAST:
+  *    the CURRENT base is the max `<gen>`, and `<upto>` is the
+  *    highest delta epoch folded into it (−1 for a fresh index).
+  *    Markers are never rewritten, so "which base + which deltas"
+  *    is resolved by ONE atomic-enough operation (a directory list)
+  *    — no read-modify-write pointer file, no rename races;
+  *  - `deltas/<epoch>/` — delta segment data;
+  *  - `epochs/<epoch>`  — empty delta commit marker, written LAST.
+  *    Markers OUTLIVE their (compacted) data segments on purpose:
+  *    they are the replay guard for streaming ingest whose epoch ids
+  *    are monotone per checkpoint lineage.
+  *
+  * Consistency: a reader resolves (gen, upto) once, then reads
+  * `base/<gen>` plus committed deltas with epoch > upto. Compaction
+  * writes `base/<gen+1>` FIRST and its `gens/` marker second — a
+  * reader interleaved between the two steps still resolves gen and
+  * double-counts nothing (the new base is invisible until the marker
+  * lands). Superseded generations and folded delta data are retired
+  * only by an explicit [[gc]], so lazily-evaluated DataFrames handed
+  * out before a compact keep reading their own consistent snapshot.
+  *
+  * 100 TB shape: this is the metadata layer only — segment data
+  * stays wherever the index writes it (c_id-partitioned parquet for
+  * IVF, plain parquet codes for SQ8/PQ), markers are empty files, and
+  * every operation here is O(#segments) driver-side metadata, never a
+  * data scan. */
+private[graft] object LsmSegments {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listNames(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  private def touch(spark: SparkSession, file: String): Unit = {
+    val f = fs(spark, file)
+    val p = new org.apache.hadoop.fs.Path(file)
+    f.mkdirs(p.getParent)
+    f.create(p, true).close()
+  }
+
+  /** Committed delta epochs, ascending. */
+  def committedEpochs(spark: SparkSession, path: String): Seq[Long] =
+    listNames(spark, s"$path/epochs")
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+
+  /** The current (generation, maxFoldedEpoch). Fails loudly on an
+    * uninitialized index — serving from a half-written index must
+    * never silently return empty results. */
+  def current(spark: SparkSession, path: String): (Long, Long) = {
+    val gens = listNames(spark, s"$path/gens")
+      .flatMap { n =>
+        n.split('_') match {
+          case Array(g, u) if g.forall(_.isDigit) =>
+            scala.util.Try((g.toLong, u.toLong)).toOption
+          case _ => None
+        }
+      }
+    require(gens.nonEmpty,
+      s"LsmSegments: no committed base generation under $path/gens — " +
+        "the index was never initialized (or its init was torn before " +
+        "the generation marker)")
+    gens.maxBy(_._1)
+  }
+
+  /** Commit a generation marker — the LAST step of init/compact; test
+    * seam for the compaction-race spec. */
+  private[graft] def writeGenMarker(
+      spark: SparkSession, path: String, gen: Long, upto: Long): Unit =
+    touch(spark, s"$path/gens/${gen}_$upto")
+
+  /** Initialize the base: `write(base/0)` then the gen marker. */
+  def initBase(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    write(s"$path/base/0")
+    writeGenMarker(spark, path, 0L, -1L)
+  }
+
+  /** Idempotently append one delta epoch: `write(deltas/<epoch>)`
+    * (overwrite — replays clobber torn attempts), then the commit
+    * marker. Returns false if the epoch was already committed (the
+    * replay case — nothing is written). */
+  def appendEpoch(spark: SparkSession, path: String, epoch: Long)(
+      write: String => Unit): Boolean = {
+    val f = fs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/epochs/$epoch")
+    if (f.exists(marker)) false
+    else {
+      write(s"$path/deltas/$epoch")
+      touch(spark, s"$path/epochs/$epoch")
+      true
+    }
+  }
+
+  /** One consistent snapshot: the current base path plus the delta
+    * paths of committed epochs newer than the base's fold point. A
+    * committed-but-missing delta dir surfaces as a loud read failure
+    * downstream ([[gc]] only ever deletes deltas ≤ upto). */
+  def liveSegments(spark: SparkSession, path: String): (String, Seq[String]) = {
+    val (gen, upto) = current(spark, path)
+    val deltas = committedEpochs(spark, path).filter(_ > upto)
+      .map(e => s"$path/deltas/$e")
+    (s"$path/base/$gen", deltas)
+  }
+
+  /** Fold committed deltas into a NEW base generation: read the live
+    * snapshot via `load`, `write` it to `base/<gen+1>`, then commit
+    * the generation marker. The old generation and the folded delta
+    * data remain on disk until [[gc]] — in-flight readers stay
+    * consistent throughout. No-op when there is nothing to fold. */
+  def compact(
+      spark: SparkSession, path: String,
+      load: Seq[String] => DataFrame,
+      write: (DataFrame, String) => Unit): Unit = {
+    val (gen, upto) = current(spark, path)
+    val epochs = committedEpochs(spark, path).filter(_ > upto)
+    if (epochs.nonEmpty) {
+      val (basePath, deltaPaths) = liveSegments(spark, path)
+      write(load(basePath +: deltaPaths), s"$path/base/${gen + 1}")
+      writeGenMarker(spark, path, gen + 1, epochs.max)
+    }
+  }
+
+  /** Retire everything the current generation supersedes: non-current
+    * base generations, folded delta DATA (epoch ≤ upto — the epoch
+    * markers stay forever as the streaming replay guard), and
+    * superseded generation markers. Call when no readers hold lazy
+    * plans over the old snapshot. */
+  def gc(spark: SparkSession, path: String): Unit = {
+    val (gen, upto) = current(spark, path)
+    val f = fs(spark, path)
+    listNames(spark, s"$path/base")
+      .filter(n => n.forall(_.isDigit) && n.toLong != gen)
+      .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/base/$n"), true))
+    committedEpochs(spark, path).filter(_ <= upto)
+      .foreach(e => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$e"), true))
+    listNames(spark, s"$path/gens")
+      .filter(n => !n.startsWith(s"${gen}_"))
+      .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/gens/$n"), false))
+  }
+}

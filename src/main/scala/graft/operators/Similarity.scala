@@ -112,7 +112,19 @@ object Similarity {
   def sq8Knn(
       embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
       salts: Int = 32): DataFrame = {
-    val quant = embeddings
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    saltedTopK(sq8Score(sq8Quantize(embeddings), queries),
+      score = "dot_sq8", ascending = false, k = k, salts = salts)
+  }
+
+  /** The SQ8 representation (vec_id, scale, code) — shared by the
+    * in-memory [[sq8Knn]] and the persisted [[Sq8Index]] (scale
+    * doubles and long codes round-trip parquet bit-exactly, so the
+    * two paths are hash-identical). */
+  private[graft] def sq8Quantize(vectors: DataFrame): DataFrame =
+    vectors
       .withColumn("mx",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .select(col("vec_id"),
@@ -122,18 +134,17 @@ object Similarity {
           when(col("mx") > 0,
             floor(x.cast("double") * 127.0 / col("mx") + 0.5).cast("long"))
             .otherwise(lit(0L))).as("code"))
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = quant
+
+  /** Asymmetric de-quantized dot of every (query, non-self vector)
+    * pair: queries broadcast, the quantized corpus is never shuffled. */
+  private[operators] def sq8Score(quant: DataFrame, queries: DataFrame): DataFrame =
+    quant
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (col("scale") * aggregate(
           zip_with(col("code"), col("qv"),
             (c, q) => c.cast("double") * q.cast("double")),
           lit(0.0), (acc, x) => acc + x)).as("dot_sq8"))
-    saltedTopK(scored, score = "dot_sq8", ascending = false, k = k, salts = salts)
-  }
 
   /** Two-phase salted per-query top-k, shared by the full-scan ranking
     * operators ([[bruteForceKnn]], [[binaryKnn]], [[pqKnn]]):
@@ -143,7 +154,7 @@ object Similarity {
     * the one total order (score, vec_id asc) — that invariant is what
     * makes the result bit-identical to a single global window (pinned
     * by spec), so any change here must change both windows together. */
-  private def saltedTopK(
+  private[operators] def saltedTopK(
       scored: DataFrame, score: String, ascending: Boolean,
       k: Int, salts: Int): DataFrame = {
     val ord =
@@ -185,39 +196,73 @@ object Similarity {
       salts: Int = 32): DataFrame = {
     val cb = embeddings.where(col("vec_id") < codebookSize)
       .select(col("vec_id").cast("int").as("cw_k"), col("embedding").as("cw"))
-    def d2(m: Int, a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(
-          slice(a, m * subDim + 1, subDim),
-          slice(b, m * subDim + 1, subDim),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, t) => acc + t)
-    // encode: codebookSize broadcast rows per vector, argmin(d2, k)
-    // per subspace — struct-min ties break to the smallest codeword
-    val enc = embeddings.crossJoin(broadcast(cb))
+    val codes = pqEncodeCodes(embeddings, cb, subspaces, subDim)
+    val luts = pqQueryLuts(
+      embeddings.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+      cb, subspaces, subDim)
+    saltedTopK(pqAdcScore(codes, luts, subspaces),
+      score = "adc_dist", ascending = true, k = k, salts = salts)
+  }
+
+  /** Subspace-`m` squared distance between two FULL-dimension vectors
+    * (slice offset m·subDim), strict left-to-right double fold — the
+    * one piece of arithmetic the whole seed-codebook PQ family (and
+    * its DuckDB oracle) agrees on bit-for-bit. */
+  private def pqSubD2(subDim: Int)(
+      m: Int, a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(
+        slice(a, m * subDim + 1, subDim),
+        slice(b, m * subDim + 1, subDim),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** PQ-encode `vectors` (vec_id, embedding) against a FIXED codebook
+    * `cb` (cw_k int, cw full-dim array<float>) → (vec_id, c0..c_{M−1}).
+    * codebookSize broadcast rows per vector, argmin(d2, k) per
+    * subspace — struct-min ties break to the smallest codeword. Shared
+    * by [[pqKnn]] and the persisted [[PqIndex]] (int codes round-trip
+    * parquet exactly, so index serving is hash-identical). */
+  private[operators] def pqEncodeCodes(
+      vectors: DataFrame, cb: DataFrame,
+      subspaces: Int, subDim: Int): DataFrame = {
+    val d2 = pqSubD2(subDim) _
+    val enc = vectors.crossJoin(broadcast(cb))
       .select(col("vec_id") +: col("cw_k") +:
         (0 until subspaces).map(m =>
           d2(m, col("embedding"), col("cw")).as(s"d2_$m")): _*)
     val codeAggs = (0 until subspaces).map(m =>
       min(struct(col(s"d2_$m"), col("cw_k"))).getField("cw_k").as(s"c$m"))
-    val codes = enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
-    // per-query ADC lookup tables, k-ordered
-    val qd2 = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+  }
+
+  /** Per-query ADC lookup tables over the same fixed codebook:
+    * `queries` = (query_id, q) → (query_id, lut_0..lut_{M−1}),
+    * each LUT cw_k-ordered. */
+  private[operators] def pqQueryLuts(
+      queries: DataFrame, cb: DataFrame,
+      subspaces: Int, subDim: Int): DataFrame = {
+    val d2 = pqSubD2(subDim) _
+    val qd2 = queries
       .crossJoin(broadcast(cb))
       .select(col("query_id") +: col("cw_k") +:
         (0 until subspaces).map(m => d2(m, col("q"), col("cw")).as(s"d2_$m")): _*)
     val lutAggs = (0 until subspaces).map(m =>
       transform(array_sort(collect_list(struct(col("cw_k"), col(s"d2_$m")))),
         e => e.getField(s"d2_$m")).as(s"lut_$m"))
-    val luts = qd2.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
-    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+    qd2.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
+  }
+
+  /** ADC distance of every (query, non-self vector) pair: LUTs
+    * broadcast, codes never shuffled. */
+  private[operators] def pqAdcScore(
+      codes: DataFrame, luts: DataFrame, subspaces: Int): DataFrame =
+    codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
-    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
-  }
 
   /** [[pqKnn]] with per-subspace codebooks TRAINED by Lloyd iterations
     * (L2 objective, the textbook PQ training) instead of seed
@@ -343,6 +388,56 @@ object Similarity {
       Storage.unpersistLocalCheckpoint(sliced)
       Storage.unpersistLocalCheckpoint(cents)
     }
+  }
+
+  /** Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    * operator, Khattab & Zaharia 2020): documents and queries are
+    * BAGS of token vectors, and the relevance of document d to query
+    * q is Σ_{qt∈q} max_{dt∈d} dot(qt, dt) — each query token finds
+    * its best-matching document token, independently. Token bags are
+    * derived from the embeddings table by grouping `tokensPerDoc`
+    * consecutive vectors per document (doc_id = vec_id div
+    * tokensPerDoc), the stand-in for a per-token encoder output.
+    *
+    * Exactness: token lists are vec_id-ordered (array_sort over
+    * collected structs), the inner max is order-independent IEEE
+    * double comparison, the dot and the outer sum are strict
+    * left-to-right folds — so the DuckDB oracle replays every score
+    * bit-for-bit through the same nested list HOFs.
+    *
+    * 100 TB shape: the one wide operation is the per-doc collect (one
+    * shuffle, map-side-combinable by nothing but bounded at
+    * tokensPerDoc rows per key); the query bags broadcast exactly
+    * like [[bruteForceKnn]]'s flat queries, the corpus-side bags are
+    * scanned once and never shuffled, the whole MaxSim is evaluated
+    * in-row by codegen'd HOFs, and the per-query top-k is the shared
+    * two-phase salted pattern. Late interaction's corpus cost is
+    * |docs|·|q tokens|·|d tokens| multiply-adds — linear in the
+    * corpus, embarrassingly parallel, no index needed; the IVF/PQ
+    * tiers remain the shortlist path when that constant is too big. */
+  def maxSimKnn(
+      embeddings: DataFrame, tokensPerDoc: Int = 4, nQueries: Int = 4,
+      k: Int = 5, salts: Int = 32): DataFrame = {
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, t) => acc + t)
+    val bags = embeddings
+      .select(floor(col("vec_id") / tokensPerDoc).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        e => e.getField("embedding")).as("toks"))
+    val queries = bags.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    val scored = bags
+      .join(broadcast(queries), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        aggregate(col("qtoks"), lit(0.0), (acc, qt) =>
+          acc + aggregate(col("toks"), lit(Double.NegativeInfinity),
+            (m, dt) => greatest(m, dot(qt, dt)))).as("maxsim"))
+    saltedTopK(scored, score = "maxsim", ascending = false, k = k, salts = salts)
   }
 
   /** Two-stage retrieval — THE production ANN serving shape: a cheap

@@ -270,16 +270,22 @@ object TextQueries {
         k = 100)),
 
     // the unmemoized full cost (the text_bpe_train_encode analogue):
-    // fit the model AND score in one call; output materialized so the
-    // fit's stats leaf can be released before returning — identical
-    // result (and oracle) to text_dsir_weights, benched separately
+    // fit the model AND score in one call — identical result (and
+    // oracle) to text_dsir_weights, benched separately. The fresh fit
+    // is SWAPPED into the dsirStats memo (displacing + releasing the
+    // prior entry), so repeated passes pin exactly one 256-row stats
+    // checkpoint — storage-flat — and the returned plan stays lazy
+    // (the bench times scan+score, not a pinned corpus-sized copy;
+    // the earlier eager-output form accreted one doc-sized RDD per
+    // pass). Callers holding a lazy text_dsir_weights plan across
+    // this call re-resolve the memo on next use.
     "text_dsir_train_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val stats = Dsir.denseStats(docs, col("lang") === "en", 256)
-      val out = Dsir.scoreAgainst(Dsir.lrFromStats(stats, 256), docs, 256)
-        .localCheckpoint(true)
-      graft.operators.Storage.unpersistLocalCheckpoint(stats)
-      out
+      val old = dsirStatsMemo.put(
+        s"${s.sparkContext.applicationId}:$d", (s, stats))
+      if (old != null) graft.operators.Storage.unpersistLocalCheckpoint(old._2)
+      Dsir.scoreAgainst(Dsir.lrFromStats(stats, 256), docs, 256)
     }),
 
     // Benchmark decontamination: flag corpus documents that share any

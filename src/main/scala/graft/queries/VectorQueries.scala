@@ -149,6 +149,67 @@ object VectorQueries {
         k = 5, nProbe = 4)
     }),
 
+    // the SQ8 tier of the same LSM ingest protocol: base segment
+    // quantized from two thirds of the corpus, the rest appended as
+    // two committed delta epochs (quantization is a pure per-vector
+    // function), served from base ∪ deltas — bit-identical to the
+    // in-memory knn_sq8 over the union, which is what the shared
+    // oracle asserts.
+    "knn_sq8_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sq8_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.Sq8Index.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        path)
+      graft.operators.Sq8Index.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.Sq8Index.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.Sq8Index.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        k = 5)
+    }),
+
+    // ...and the PQ tier: the seed codebook is persisted ONCE, the
+    // base codes come from two thirds of the corpus, and the delta
+    // epochs are ENCODED AGAINST THE STORED CODEBOOK (train once,
+    // encode forever); serving rebuilds the per-query ADC LUTs from
+    // the stored codebook — bit-identical to knn_pq over the union.
+    "knn_pq_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = e.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cw_k"), col("embedding").as("cw"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.PqIndex.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        cb, path)
+      graft.operators.PqIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.PqIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.PqIndex.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5)
+    }),
+
+    // multi-vector late-interaction retrieval (ColBERT MaxSim):
+    // documents are bags of 4 token vectors, score = Σ_q max_d
+    // dot(q, d) — full oracle (nested list HOFs, every fold
+    // left-to-right, the inner max order-independent).
+    "knn_maxsim" -> ((s, d) =>
+      Similarity.maxSimKnn(Tables.embeddings(s, d),
+        tokensPerDoc = 4, nQueries = 4, k = 5)),
+
     // two-stage retrieval (the production serving shape): ADC
     // shortlist of 50 per query, exact-cosine re-rank to top-5 — the
     // exact stage's cost is independent of corpus size.
@@ -753,6 +814,76 @@ object VectorQueries {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35"""
 
+  /** knn_sq8 trajectory (quantize → asymmetric dot → top-k), shared
+    * verbatim by `knn_sq8` (in-memory) and `knn_sq8_delta` (persisted
+    * base∪delta segments — quantization is per-vector, so the split
+    * cannot change results). */
+  private lazy val sq8Oracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          cq AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+                   CASE WHEN mx > 0
+                        THEN list_transform(embedding,
+                               x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+                        ELSE list_transform(embedding, x -> 0.0) END AS code
+            FROM (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx
+                  FROM embeddings)),
+          scored AS (
+            SELECT q.query_id, c.vec_id,
+                   c.scale * list_reduce(
+                     list_transform(c.code,
+                       (x, i) -> CAST(x AS DOUBLE) * CAST((q.qv)[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) AS dot_sq8
+            FROM cq c JOIN q ON c.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id, dot_sq8,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_sq8 DESC, vec_id ASC) AS rank
+            FROM scored)
+         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot_sq8
+         FROM ranked WHERE rank <= 5"""
+
+  /** knn_pq's full ADC ranking, shared verbatim by `knn_pq` and
+    * `knn_pq_delta` (codes are a pure function of (vector, stored
+    * codebook) — the base/delta split cannot change them). */
+  private lazy val pqSeedOracle: String =
+    s"""WITH $pqAdcCtes
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= 5"""
+
+  /** knn_maxsim oracle: the same nested-HOF MaxSim — token bags
+    * vec_id-ordered, dot = left-to-right double fold, inner max
+    * order-independent, outer sum left-to-right over query tokens. */
+  private lazy val maxSimOracle: String =
+    """WITH toks AS (
+          SELECT CAST(floor(vec_id / 4) AS BIGINT) AS doc_id,
+                 list(embedding ORDER BY vec_id) AS toks
+          FROM embeddings GROUP BY 1),
+        q AS (SELECT doc_id AS query_id, toks AS qtoks FROM toks WHERE doc_id < 4),
+        scored AS (
+          SELECT q.query_id, t.doc_id AS vec_id,
+                 list_reduce(
+                   list_transform(q.qtoks, qt ->
+                     list_reduce(
+                       list_transform(t.toks, dt ->
+                         list_reduce(
+                           list_transform(dt,
+                             (x, i) -> CAST(x AS DOUBLE) * CAST(qt[i] AS DOUBLE)),
+                           (acc, v) -> acc + v)),
+                       (m, v) -> CASE WHEN v > m THEN v ELSE m END)),
+                   (acc, v) -> acc + v) AS maxsim
+          FROM toks t CROSS JOIN q WHERE t.doc_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, maxsim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, maxsim
+        FROM ranked WHERE rank <= 5"""
+
   def oracles: Map[String, String] = Map(
     "knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -784,10 +915,9 @@ object VectorQueries {
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
 
-    "knn_pq" ->
-      s"""WITH $pqAdcCtes
-          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-          FROM ranked WHERE rank <= 5""",
+    "knn_pq" -> pqSeedOracle,
+    "knn_pq_delta" -> pqSeedOracle,
+    "knn_maxsim" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the
     // exact cosine re-ranks them to the final 5
@@ -808,33 +938,8 @@ object VectorQueries {
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM rr WHERE rank <= 5""",
 
-    "knn_sq8" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-          cq AS (
-            SELECT vec_id,
-                   CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
-                   CASE WHEN mx > 0
-                        THEN list_transform(embedding,
-                               x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
-                        ELSE list_transform(embedding, x -> 0.0) END AS code
-            FROM (SELECT vec_id, embedding,
-                    list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) AS mx
-                  FROM embeddings)),
-          scored AS (
-            SELECT q.query_id, c.vec_id,
-                   c.scale * list_reduce(
-                     list_transform(c.code,
-                       (x, i) -> CAST(x AS DOUBLE) * CAST((q.qv)[i] AS DOUBLE)),
-                     (acc, x) -> acc + x) AS dot_sq8
-            FROM cq c JOIN q ON c.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, vec_id, dot_sq8,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY dot_sq8 DESC, vec_id ASC) AS rank
-            FROM scored)
-         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, dot_sq8
-         FROM ranked WHERE rank <= 5""",
+    "knn_sq8" -> sq8Oracle,
+    "knn_sq8_delta" -> sq8Oracle,
 
     "knn_sq8_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -305,7 +305,22 @@ object StreamingOps {
     import graft.operators.{Dsir, Storage}
     val spark = docs.sparkSession
     val store = new EpochStateStore(spark, stateDir)
-    var state = store.latestCommitted(Seq("stats")) match {
+    val resumed = store.latestCommitted(Seq("stats"))
+    // lineage pairing, same guard as ivfIngestStream: epoch ids are
+    // only meaningful relative to ONE streaming checkpoint lineage. A
+    // fresh/absent checkpointLocation restarts them at 0, so replayed
+    // ids would match the old generation's commit markers and new
+    // batch content would be silently never folded (or folded against
+    // mismatched batch boundaries) — fail fast instead.
+    require(resumed.isEmpty || options.contains("checkpointLocation"),
+      s"durableDsirModelStream: state at $stateDir already holds committed " +
+        s"generations (latest epoch ${resumed.map(_._1).getOrElse(-1L)}) from a " +
+        "previous stream; a query without a durable checkpointLocation " +
+        "restarts epoch ids at 0 and its first batches would collide with " +
+        "those markers and be silently skipped. Pass the original " +
+        "checkpointLocation to resume that lineage, or fit into a fresh " +
+        "stateDir.")
+    var state = resumed match {
       case Some((_, m)) => m("stats").localCheckpoint(true)
       case None => Dsir.emptyStats(spark, nBuckets)
     }
@@ -564,11 +579,49 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty)(
-      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("ivfIngestStream", vectors, indexPath, options,
+      graft.operators.IvfIndex.appendEpoch)(onBatch)
+
+  /** [[ivfIngestStream]]'s SQ8-tier sibling: each micro-batch is
+    * quantized ([[graft.operators.Sq8Index.appendEpoch]] — a pure
+    * per-vector function, no trained state) and committed as an
+    * idempotent delta segment. Same lineage guard. */
+  def sq8IngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("sq8IngestStream", vectors, indexPath, options,
+      graft.operators.Sq8Index.appendEpoch)(onBatch)
+
+  /** [[ivfIngestStream]]'s PQ-tier sibling: each micro-batch is
+    * encoded against the index's FIXED stored codebook
+    * ([[graft.operators.PqIndex.appendEpoch]]) and committed as an
+    * idempotent delta segment. Same lineage guard. */
+  def pqIngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("pqIngestStream", vectors, indexPath, options,
+      graft.operators.PqIndex.appendEpoch)(onBatch)
+
+  /** The shared ingest loop of the three persisted ANN tiers: one
+    * marker-guarded `appendEpoch` per micro-batch (replayed epochs
+    * skipped, torn segments overwritten — exactly-once), plus the
+    * lineage-pairing fail-fast. */
+  private def lsmIngestStream(
+      name: String,
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String],
+      appendEpoch: (SparkSession, String, Long, DataFrame) => Boolean)(
+      onBatch: (Long, Boolean) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    val committed = graft.operators.IvfIndex.committedEpochs(spark, indexPath)
+    val committed = graft.operators.LsmSegments.committedEpochs(spark, indexPath)
     require(committed.isEmpty || options.contains("checkpointLocation"),
-      s"ivfIngestStream: index at $indexPath already holds committed ingest " +
+      s"$name: index at $indexPath already holds committed ingest " +
         s"epochs ${committed.mkString("[", ",", "]")} from a previous stream; " +
         "a query without a durable checkpointLocation restarts epoch ids at 0 " +
         "and its first batches would collide with those markers and be " +
@@ -578,8 +631,7 @@ object StreamingOps {
       .outputMode("append")
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        onBatch(epoch,
-          graft.operators.IvfIndex.appendEpoch(spark, indexPath, epoch, batch.toDF()))
+        onBatch(epoch, appendEpoch(spark, indexPath, epoch, batch.toDF()))
         ()
       }
       .start()
@@ -659,8 +711,17 @@ object StreamingOps {
       maxBucket: Int = 4096,
       horizonMs: Long = 60 * 60 * 1000L): Dataset[CosVerdict] = {
     import spark.implicits._
+    // type-agnostic blocking key: the batch operator groups buckets on
+    // the RAW label of whatever type, so a string/date/null label must
+    // block here too (a bare cast("long") turned those into null and
+    // the non-nullable CosBandedVec.block field NPE'd at encode time).
+    // Distinct-prefix encoding keeps null its own block, disjoint from
+    // every value's — equal to batch grouping modulo 64-bit xxhash64
+    // collisions (the same caveat the minhash band keys carry).
     val blockCol =
-      if (vectors.columns.contains("label")) col("label").cast("long")
+      if (vectors.columns.contains("label"))
+        xxhash64(when(col("label").isNull, lit("null:"))
+          .otherwise(concat(lit("val:"), col("label").cast("string"))))
       else lit(0L)
     val banded = vectors
       .withWatermark("ts", s"$horizonMs milliseconds")

@@ -196,6 +196,35 @@ class DsirSpec extends AnyFunSuite {
     assert(last == expect(docs), "replayed epoch double-counted the fold")
   }
 
+  test("durable DSIR fit refuses a fresh checkpoint lineage against non-empty state") {
+    // the ivfIngestStream guard, mirrored: a stream started WITHOUT a
+    // durable checkpointLocation restarts epoch ids at 0, which match
+    // the old generation's commit markers — new batches would be
+    // silently never folded (or folded against mismatched batch
+    // boundaries). Must fail fast, not corrupt the counts.
+    val nB = 256
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_dsir_g").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    val cols = docs.select("doc_id", "lang", "text")
+    cols.where(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    val q1 = graft.streaming.StreamingOps.durableDsirModelStream(
+      spark.readStream.schema(cols.schema).parquet(src),
+      isEn, nB, st, Map("checkpointLocation" -> ckpt)) { (_, _) => }
+    try q1.processAllAvailable() finally q1.stop()
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.durableDsirModelStream(
+        spark.readStream.schema(cols.schema).parquet(src),
+        isEn, nB, st) { (_, _) => }
+    }
+    assert(err.getMessage.contains("checkpointLocation"),
+      s"guard message unhelpful: ${err.getMessage}")
+    // the original lineage still resumes fine
+    val q2 = graft.streaming.StreamingOps.durableDsirModelStream(
+      spark.readStream.schema(cols.schema).parquet(src),
+      isEn, nB, st, Map("checkpointLocation" -> ckpt)) { (_, _) => }
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
   test("log-ratio model reacts to the target choice, not just doc length") {
     // swapping the target to the complement slice must invert the
     // enrichment direction — guards against a weight that's secretly

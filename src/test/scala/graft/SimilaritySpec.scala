@@ -281,10 +281,10 @@ class SimilaritySpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     graft.operators.IvfIndex.write(e, seeds, path)
     // inverted lists are literal directories — the layout partition
-    // pruning needs at 100 TB
-    val dirs = new java.io.File(s"$path/assignments").listFiles()
+    // pruning needs at 100 TB (base generation 0 under the LSM layout)
+    val dirs = new java.io.File(s"$path/base/0").listFiles()
     assert(dirs != null && dirs.exists(_.getName.startsWith("c_id=")),
-      "assignments are not partitioned by c_id on disk")
+      "base segment is not partitioned by c_id on disk")
     val queries = e.where($"vec_id" < 4)
       .select($"vec_id".as("query_id"), $"embedding".as("q"))
     val got = graft.operators.IvfIndex.serve(spark, path, queries, k = 5, nProbe = 2)
@@ -336,10 +336,142 @@ class SimilaritySpec extends AnyFunSuite {
       s"$inc/deltas/2", partitionCols = Seq("c_id"))
     assert(served(inc) == want, "torn (uncommitted) segment leaked into serving")
     assert(graft.operators.IvfIndex.committedEpochs(spark, inc) == Seq(0L, 1L))
-    // compaction folds deltas into the base and preserves results
+    // compaction folds deltas into a NEW base generation and preserves
+    // results; delta data survives until the explicit gc (in-flight
+    // readers keep their snapshot), then is retired while the epoch
+    // markers stay (the replay guard)
     graft.operators.IvfIndex.compact(spark, inc)
     assert(served(inc) == want, "compaction changed serving results")
-    assert(!new java.io.File(s"$inc/deltas").exists(), "deltas not retired")
+    graft.operators.IvfIndex.gc(spark, inc)
+    assert(served(inc) == want, "gc changed serving results")
+    // the FOLDED segments are retired; the torn uncommitted deltas/2
+    // data survives on purpose (it is invisible, and only its replay
+    // may clobber it)
+    assert(!new java.io.File(s"$inc/deltas/0").exists &&
+      !new java.io.File(s"$inc/deltas/1").exists,
+      "folded delta data not retired by gc")
+    assert(graft.operators.IvfIndex.committedEpochs(spark, inc) == Seq(0L, 1L),
+      "epoch commit markers must outlive compaction (replay guard)")
+    // a replay of a long-compacted epoch is still a no-op
+    assert(!graft.operators.IvfIndex.appendEpoch(spark, inc, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding")))
+    assert(served(inc) == want, "replay of a compacted epoch changed the index")
+  }
+
+  test("IVF compaction race: a reader between base-rewrite and marker swap double-counts nothing") {
+    // the generation-pointer protocol's whole job: compact writes
+    // base/<gen+1> FIRST and its gens/ marker second. A serve
+    // interleaved between those two steps must resolve the OLD
+    // generation + deltas (the new base is invisible until the marker
+    // lands) — the pre-pointer layout rewrote the base in place and a
+    // reader in that window saw every delta vector TWICE.
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_race").toString
+    graft.operators.IvfIndex.write(e.where($"vec_id" % 2 === 0), seeds, p)
+    graft.operators.IvfIndex.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 2 === 1).select($"vec_id", $"embedding"))
+    def served() =
+      graft.operators.IvfIndex.serveAll(spark, p, queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = served()
+    // compact STEP 1 only: write the merged view to base/1, NO marker
+    val (assigned, _) = graft.operators.IvfIndex.readAll(spark, p)
+    graft.sources.FileSources.writePartitionedParquet(
+      assigned, s"$p/base/1", partitionCols = Seq("c_id"))
+    assert(served() == want,
+      "reader between compact's base-rewrite and marker swap diverged " +
+        "(double count or torn base)")
+    // vector multiset sanity: still exactly one copy of every vector
+    val n = graft.operators.IvfIndex.readAll(spark, p)._1
+      .groupBy($"vec_id").count().where($"count" > 1).count()
+    assert(n == 0, "a vector appears in more than one live segment")
+    // STEP 2: the marker lands -> the new generation serves, deltas fold
+    graft.operators.LsmSegments.writeGenMarker(spark, p, 1L, 0L)
+    assert(served() == want, "generation swap changed serving results")
+    val n2 = graft.operators.IvfIndex.readAll(spark, p)._1
+      .groupBy($"vec_id").count().where($"count" > 1).count()
+    assert(n2 == 0, "post-swap snapshot double-counts a vector")
+    graft.operators.IvfIndex.gc(spark, p)
+    assert(served() == want, "gc changed serving results")
+    assert(!new java.io.File(s"$p/base/0").exists,
+      "superseded base generation not retired by gc")
+  }
+
+  test("SQ8 delta segments: incremental quantized ingest serves exactly; replay/torn/compact contracts hold") {
+    // the SQ8 tier of the LSM ingest protocol: quantization is a pure
+    // per-vector function, so serveAll over any base/delta split must
+    // be hash-identical to sq8Knn over the union — plus the same
+    // exactly-once cases as the IVF spec (replayed epoch is a no-op,
+    // torn segment invisible, compact+gc preserve results).
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val p = java.nio.file.Files.createTempDirectory("graft_sq8_inc").toString
+    graft.operators.Sq8Index.write(
+      e.where($"vec_id" % 3 === 0).select($"vec_id", $"embedding"), p)
+    graft.operators.Sq8Index.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding"))
+    graft.operators.Sq8Index.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding"))
+    def served() =
+      graft.operators.Sq8Index.serveAll(spark, p, queries, k = 5)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = Similarity.sq8Knn(e, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served() == want && want.nonEmpty,
+      "incremental SQ8 index diverges from the in-memory operator")
+    // replayed epoch: no-op
+    assert(!graft.operators.Sq8Index.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding")))
+    assert(served() == want, "replayed epoch changed the SQ8 index")
+    // torn segment: data written, no marker -> invisible
+    graft.operators.Similarity.sq8Quantize(
+      e.where($"vec_id" < 2).select($"vec_id", $"embedding"))
+      .write.mode("overwrite").parquet(s"$p/deltas/2")
+    assert(served() == want, "torn (uncommitted) SQ8 segment leaked into serving")
+    graft.operators.Sq8Index.compact(spark, p)
+    graft.operators.Sq8Index.gc(spark, p)
+    assert(served() == want, "SQ8 compaction/gc changed serving results")
+    assert(graft.operators.Sq8Index.appendEpoch(spark, p, 2L,
+      e.where($"vec_id" < 0).select($"vec_id", $"embedding")),
+      "the torn epoch must be committable by its replay after gc")
+  }
+
+  test("PQ delta segments: fixed-codebook incremental encode serves exactly; replay/torn/compact contracts hold") {
+    // the PQ tier: the codebook is persisted ONCE and every delta
+    // epoch encodes against it — serveAll must equal pqKnn over the
+    // union with that codebook, bit-for-bit (int codes + float32
+    // codebook round-trip parquet exactly; ADC LUTs are rebuilt from
+    // the stored codebook at serve time).
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val cb = e.where($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cw_k"), $"embedding".as("cw"))
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val p = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    graft.operators.PqIndex.write(
+      e.where($"vec_id" % 3 === 0).select($"vec_id", $"embedding"), cb, p)
+    graft.operators.PqIndex.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding"))
+    graft.operators.PqIndex.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding"))
+    def served() =
+      graft.operators.PqIndex.serveAll(spark, p, queries, k = 5)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = Similarity.pqKnn(e, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served() == want && want.nonEmpty,
+      "incremental PQ index diverges from the in-memory operator")
+    assert(!graft.operators.PqIndex.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding")))
+    assert(served() == want, "replayed epoch changed the PQ index")
+    graft.operators.PqIndex.compact(spark, p)
+    graft.operators.PqIndex.gc(spark, p)
+    assert(served() == want, "PQ compaction/gc changed serving results")
   }
 
   test("sq8 dequantized dot stays within the per-dim half-step error bound") {

@@ -806,6 +806,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cosine gate blocks on labels of any type — strings and NULLs included") {
+    // batch cosineNearDup groups buckets on the RAW label column of
+    // whatever type; the stream's blocking key must be type-agnostic
+    // too. A bare cast("long") turned string labels into null and the
+    // non-nullable state key NPE'd at encode time; null labels must
+    // form their OWN block (like a SQL GROUP BY), disjoint from every
+    // value's.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    def T(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float], Option[String])]
+    val q = StreamingOps.cosineLshVerdicts(
+      spark, mem.toDF().toDF("vec_id", "ts", "embedding", "label"),
+      threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cos_slbl_out").start()
+    try {
+      mem.addData(
+        (20L, T("2024-01-01 10:00:00"), axis(0), Some("news")),
+        (21L, T("2024-01-01 10:00:01"), axis(0), Some("web")),  // copy, other label
+        (22L, T("2024-01-01 10:00:02"), axis(0), Some("news")), // copy, same label
+        (23L, T("2024-01-01 10:00:03"), axis(0), None),         // copy, null label
+        (24L, T("2024-01-01 10:00:04"), axis(0), None))         // copy, null label
+      q.processAllAvailable()
+      val dup = spark.table("cos_slbl_out")
+        .groupBy("vec_id").agg(F.max(F.col("dup").cast("int")).as("d"))
+        .as[(Long, Int)].collect().toMap
+      assert(dup(20L) == 0 && dup(21L) == 0, s"$dup")
+      assert(dup(22L) == 1, s"same-string-label copy must pair: $dup")
+      assert(dup(23L) == 0,
+        s"first null-label vector must not pair with any value label: $dup")
+      assert(dup(24L) == 1, s"null labels form their own block: $dup")
+      val partner = spark.table("cos_slbl_out")
+        .where(F.col("vec_id") === 24L && F.col("dup"))
+        .select("partner").as[Option[Long]].collect().flatten.toSet
+      assert(partner == Set(23L), s"null-block partner must be 23: $partner")
+    } finally q.stop()
+  }
+
   test("online near-dup clustering: cosine-gate pairs feed CC maintenance at ingest") {
     // the composed pipeline a crawl ingest actually wants: every
     // vector gets its near-dup CLUSTER id as it arrives — the gate
