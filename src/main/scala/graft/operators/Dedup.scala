@@ -652,6 +652,57 @@ object Dedup {
         coalesce(size(col("drop_ps")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** Span-level benchmark decontamination — the surgical variant of
+    * the doc-level flagger: instead of dropping a contaminated
+    * document whole, MASK the contaminated span and keep the rest
+    * (the scrub OLMo/Dolma-style pipelines run before training so an
+    * eval passage quoted inside an otherwise-good page doesn't cost
+    * the whole page). A corpus token is dropped iff some `windowTokens`-
+    * token sliding window covering it appears verbatim anywhere in the
+    * benchmark set; the rewrite machinery is [[spanDedupClean]]'s
+    * (covered-position fold → per-doc drop set → row-local indexed
+    * filter), with NO survivor exception — benchmark text has no
+    * "first occurrence" that gets to stay.
+    *
+    * Scale shape: the benchmark window set is small BY NATURE
+    * (benchmarks are thousands of docs, not billions) so it
+    * BROADCASTS; the corpus side is one row-local window generation +
+    * broadcast join — corpus windows are never shuffled on the window
+    * key. Only contaminated occurrences explode to covered positions
+    * (W rows each); the drop-set folds to one sorted array per
+    * affected doc and the rewrite is in-row. Every corpus doc
+    * round-trips: untouched docs return their full text, fully-
+    * contaminated docs return `clean_text = ""`. */
+  def maskContaminatedSpans(
+      documents: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 8): DataFrame = {
+    val W = windowTokens
+    val toks = split(col("text"), " ")
+    def windows(df: DataFrame) = df
+      .where(size(toks) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(toks) - W),
+          i => array_join(slice(toks, i + 1, lit(W)), " "))))
+      .toDF("doc_id", "pos", "win")
+    val benchWins = windows(benchmark).select("win").distinct()
+    val contaminated = windows(documents)
+      .join(broadcast(benchWins), "win")
+    val drops = contaminated
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + W - 1)).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("drop_ps"))
+    documents
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(transform(toks, (t, i) => struct(i.as("i"), t.as("t"))),
+            s => !coalesce(
+              array_contains(col("drop_ps"), s.getField("i")), lit(false))),
+          s => s.getField("t")), " ").as("clean_text"),
+        coalesce(size(col("drop_ps")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** PPJoin-style variant of [[ngramJaccard]] for skewed shingle
     * frequencies: candidate generation only indexes each document's
     * prefix — its ⌊(1−t)·|sh|⌋+1 globally-*rarest* shingles (rarity =

@@ -116,14 +116,22 @@ object Dsir {
       nBuckets: Int): DataFrame = {
     val delta = denseStats(batch, targetPred, nBuckets)
       .select(col("bucket"), col("rc").as("drc"), col("tc").as("dtc"))
-    val merged = state.join(delta, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (col("rc") + coalesce(col("drc"), lit(0L))).as("rc"),
-        (col("tc") + coalesce(col("dtc"), lit(0L))).as("tc"))
-      .localCheckpoint(true)
+    val merged = statsFoldPlan(state, delta).localCheckpoint(true)
     graft.operators.Storage.unpersistLocalCheckpoint(delta)
     merged
   }
+
+  /** Pure fold plan for one [[updateStats]] step — factored out so
+    * PLAN_DIGEST can publish the inner tree (the per-epoch checkpoint
+    * hides it) and the fixed-size shape is pinnable: an nBuckets-row ×
+    * nBuckets-row join of two already-materialized leaves with
+    * element-wise count addition — the whole incremental model-
+    * maintenance step never touches anything sized by the stream. */
+  private[graft] def statsFoldPlan(state: DataFrame, delta: DataFrame): DataFrame =
+    state.join(delta, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("rc") + coalesce(col("drc"), lit(0L))).as("rc"),
+        (col("tc") + coalesce(col("dtc"), lit(0L))).as("tc"))
 
   /** The lr projection over materialized dense stats — shared by the
     * one-shot batch fit and the incremental state: identical counts ⇒

@@ -309,6 +309,18 @@ object TextQueries {
         .agg(countDistinct(col("gram")).as("n_shared_grams"))
     }),
 
+    // span-level decontamination (the surgical form of
+    // text_decontaminate): MASK the contaminated 8-token spans and
+    // keep the doc — a benchmark passage quoted inside an otherwise-
+    // good page no longer costs the whole page. Bench window set
+    // broadcasts; rewrite is spanDedupClean's row-local machinery.
+    "text_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 25 === 0
+      graft.operators.Dedup.maskContaminatedSpans(
+        docs.where(!isBench), docs.where(isBench), windowTokens = 8)
+    }),
+
     // Gopher-style repetition signals (the quality-filter family the
     // existing text_quality ratios don't cover): per document, the
     // duplicate-n-gram fraction (1 - distinct/total) and the fraction
@@ -1335,6 +1347,41 @@ object TextQueries {
                 coalesce(k.ct, '') AS clean_text,
                 CAST(coalesce(dr.nd, 0) AS BIGINT) AS n_dropped
          FROM documents d
+         LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+                    FROM kept GROUP BY doc_id) k USING (doc_id)
+         LEFT JOIN (SELECT doc_id, count(*) AS nd
+                    FROM dropped GROUP BY doc_id) dr USING (doc_id)""",
+
+    // benchmark = every 25th doc; a corpus token drops iff some 8-token
+    // window covering it appears verbatim in the benchmark set (no
+    // survivor exception); rebuild by anti-join + ordered string_agg,
+    // LEFT-joined from the corpus so every doc round-trips
+    "text_decontaminate_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0),
+         btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 25 = 0),
+         bwin AS (
+           SELECT DISTINCT array_to_string(t[ci+1 : ci+8], ' ') AS w
+           FROM btoks, LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS ci)
+           WHERE len(t) >= 8),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         win AS (
+           SELECT doc_id, ci AS pos, array_to_string(t[ci+1 : ci+8], ' ') AS w
+           FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS ci)
+           WHERE len(t) >= 8),
+         cont AS (SELECT win.doc_id, win.pos FROM win JOIN bwin USING (w)),
+         dropped AS (
+           SELECT DISTINCT doc_id, pos + k AS p
+           FROM cont, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+         tok AS (
+           SELECT doc_id, i AS p, t[i+1] AS tk
+           FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1)) AS i)),
+         kept AS (
+           SELECT tok.doc_id, tok.p, tok.tk FROM tok
+           ANTI JOIN dropped ON tok.doc_id = dropped.doc_id AND tok.p = dropped.p)
+         SELECT d.doc_id,
+                coalesce(k.ct, '') AS clean_text,
+                CAST(coalesce(dr.nd, 0) AS BIGINT) AS n_dropped
+         FROM corpus d
          LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
                     FROM kept GROUP BY doc_id) k USING (doc_id)
          LEFT JOIN (SELECT doc_id, count(*) AS nd

@@ -306,20 +306,8 @@ object StreamingOps {
     val spark = docs.sparkSession
     val store = new EpochStateStore(spark, stateDir)
     val resumed = store.latestCommitted(Seq("stats"))
-    // lineage pairing, same guard as ivfIngestStream: epoch ids are
-    // only meaningful relative to ONE streaming checkpoint lineage. A
-    // fresh/absent checkpointLocation restarts them at 0, so replayed
-    // ids would match the old generation's commit markers and new
-    // batch content would be silently never folded (or folded against
-    // mismatched batch boundaries) — fail fast instead.
-    require(resumed.isEmpty || options.contains("checkpointLocation"),
-      s"durableDsirModelStream: state at $stateDir already holds committed " +
-        s"generations (latest epoch ${resumed.map(_._1).getOrElse(-1L)}) from a " +
-        "previous stream; a query without a durable checkpointLocation " +
-        "restarts epoch ids at 0 and its first batches would collide with " +
-        "those markers and be silently skipped. Pass the original " +
-        "checkpointLocation to resume that lineage, or fit into a fresh " +
-        "stateDir.")
+    requireDurableLineage("durableDsirModelStream", resumed.map(_._1),
+      stateDir, options)
     var state = resumed match {
       case Some((_, m)) => m("stats").localCheckpoint(true)
       case None => Dsir.emptyStats(spark, nBuckets)
@@ -955,6 +943,25 @@ object StreamingOps {
       .start()
   }
 
+  /** Lineage pairing for every durable maintenance stream (the
+    * ivfIngestStream guard, shared): epoch ids are only meaningful
+    * relative to ONE streaming checkpoint lineage. A fresh/absent
+    * checkpointLocation restarts them at 0, so replayed ids would
+    * match the old generation's commit markers and new batch content
+    * would be silently never folded (or folded against mismatched
+    * batch boundaries) — fail fast instead. */
+  private def requireDurableLineage(
+      name: String, resumedEpoch: Option[Long], stateDir: String,
+      options: Map[String, String]): Unit =
+    require(resumedEpoch.isEmpty || options.contains("checkpointLocation"),
+      s"$name: state at $stateDir already holds committed generations " +
+        s"(latest epoch ${resumedEpoch.getOrElse(-1L)}) from a previous " +
+        "stream; a query without a durable checkpointLocation restarts " +
+        "epoch ids at 0 and its first batches would collide with those " +
+        "markers and be silently skipped. Pass the original " +
+        "checkpointLocation to resume that lineage, or use a fresh " +
+        "stateDir.")
+
   /** Pure delta-counts plan for one [[updateTriangles]] step —
     * factored out so PLAN_DIGEST can publish the inner tree (the
     * checkpointed state hides it from the top-level digest) and so
@@ -1040,7 +1047,10 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = edges.sparkSession
     val store = new EpochStateStore(spark, stateDir)
-    val state = store.latestCommitted(Seq("adj", "counts")) match {
+    val resumed = store.latestCommitted(Seq("adj", "counts"))
+    requireDurableLineage("durableTriangleMaintenanceStream",
+      resumed.map(_._1), stateDir, options)
+    val state = resumed match {
       case Some((_, m)) => new TriangleState(
         m("adj").localCheckpoint(true), m("counts").localCheckpoint(true))
       case None => emptyTriangleState(spark)
@@ -1133,29 +1143,46 @@ object StreamingOps {
       val mapping = graft.operators.Dedup.connectedComponents(mergePairs)
         .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
         .where(col("old_label") =!= col("new_label"))
-      // existing rows: broadcast remap (only merged components change)
-      val remapped = state.labels
-        .join(broadcast(mapping), col("cluster_id") === col("old_label"), "left")
-        .select(col("node_id"),
-          coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
-      // new nodes: Δ endpoints not yet in the state, final label =
-      // their self-label pushed through the same mapping
-      val deltaNodes = resolved
-        .select(explode(array(
-          struct(col("a").as("node_id"), col("ca").as("lbl")),
-          struct(col("b").as("node_id"), col("cb").as("lbl")))).as("e"))
-        .select(col("e.node_id").as("node_id"), col("e.lbl").as("lbl"))
-        .groupBy(col("node_id")).agg(min(col("lbl")).as("lbl"))
-        .join(la, col("node_id") === col("a_"), "anti")
-        .join(broadcast(mapping), col("lbl") === col("old_label"), "left")
-        .select(col("node_id"),
-          coalesce(col("new_label"), col("lbl")).as("cluster_id"))
-      val newLabels = remapped.unionByName(deltaNodes).localCheckpoint(true)
+      val newLabels = ccRemapPlan(state.labels, mapping, resolved)
+        .localCheckpoint(true)
       graft.operators.Storage.unpersistLocalCheckpoint(mapping)
       graft.operators.Storage.unpersistLocalCheckpoint(state.labels)
       state.labels = newLabels
       state
     } finally graft.operators.Storage.unpersistLocalCheckpoint(resolved)
+  }
+
+  /** Pure label-remap plan for one [[updateCc]] step — factored out
+    * so PLAN_DIGEST can publish the inner tree (the per-epoch
+    * checkpoint hides it from the top-level digest) and the
+    * no-shuffle shape is pinnable. Inputs: `labels` = the maintained
+    * (node_id, cluster_id) state, `mapping` = the micro-batch-sized
+    * (old_label → new_label) merge table, `resolved` = the batch's
+    * Δ edges with both endpoints resolved to current labels
+    * (checkpointed by the caller — two consumers below).
+    *
+    * The label STATE is never shuffled: existing rows remap through
+    * ONE broadcast left join (only merged components change), and the
+    * Δ-endpoint rows not yet in the state self-label, fold to one row
+    * per new node, and push through the same broadcast mapping. */
+  private[graft] def ccRemapPlan(
+      labels: DataFrame, mapping: DataFrame, resolved: DataFrame): DataFrame = {
+    val remapped = labels
+      .join(broadcast(mapping), col("cluster_id") === col("old_label"), "left")
+      .select(col("node_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val known = labels.select(col("node_id").as("a_"))
+    val deltaNodes = resolved
+      .select(explode(array(
+        struct(col("a").as("node_id"), col("ca").as("lbl")),
+        struct(col("b").as("node_id"), col("cb").as("lbl")))).as("e"))
+      .select(col("e.node_id").as("node_id"), col("e.lbl").as("lbl"))
+      .groupBy(col("node_id")).agg(min(col("lbl")).as("lbl"))
+      .join(known, col("node_id") === col("a_"), "anti")
+      .join(broadcast(mapping), col("lbl") === col("old_label"), "left")
+      .select(col("node_id"),
+        coalesce(col("new_label"), col("lbl")).as("cluster_id"))
+    remapped.unionByName(deltaNodes)
   }
 
   /** Streaming graph maintenance: ingest an edge stream (src, dst) via
@@ -1187,7 +1214,10 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = edges.sparkSession
     val store = new EpochStateStore(spark, stateDir)
-    val state = store.latestCommitted(Seq("labels")) match {
+    val resumed = store.latestCommitted(Seq("labels"))
+    requireDurableLineage("durableCcMaintenanceStream",
+      resumed.map(_._1), stateDir, options)
+    val state = resumed match {
       case Some((_, m)) => new CcState(m("labels").localCheckpoint(true))
       case None => emptyCcState(spark)
     }

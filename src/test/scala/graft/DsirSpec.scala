@@ -225,6 +225,75 @@ class DsirSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
   }
 
+  test("fit-continuously / serve-current: the per-epoch durable model gates a second stream exactly") {
+    // the serving story durableDsirModelStream's scaladoc promises,
+    // composed end-to-end: stream 1 folds fit batches into the durable
+    // count state and publishes the refreshed model per epoch; stream
+    // 2 admits docs through dsirGate under WHATEVER model is current.
+    // Pin: docs admitted under the epoch-N model match batch admission
+    // with the epoch-N one-shot fit, bit-for-bit in logw — and the
+    // model actually advances between epochs.
+    val nB = 256
+    val base = java.nio.file.Files.createTempDirectory("graft_dsir_serve").toString
+    val (srcFit, ckptFit, st) = (s"$base/fit", s"$base/chkf", s"$base/state")
+    val (srcServe, ckptServe) = (s"$base/serve", s"$base/chks")
+    val cols = docs.select("doc_id", "lang", "text")
+    val minLogw = 0.0
+    // file-source streams refuse a missing dir at start
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcFit))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcServe))
+    @volatile var currentModel: org.apache.spark.sql.DataFrame = null
+    val qFit = graft.streaming.StreamingOps.durableDsirModelStream(
+      spark.readStream.schema(cols.schema).parquet(srcFit),
+      isEn, nB, st, Map("checkpointLocation" -> ckptFit)) { (model, _) =>
+      currentModel = model
+    }
+    val admittedByEpoch =
+      scala.collection.mutable.ArrayBuffer[Map[Long, Double]]()
+    val qServe = spark.readStream.schema(cols.schema).parquet(srcServe)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptServe)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val adm = graft.streaming.StreamingOps.dsirGate(
+          batch.toDF(), currentModel, nB, minLogw)
+          .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+        admittedByEpoch.synchronized { admittedByEpoch += adm }
+        ()
+      }
+      .start()
+    try {
+      val fitA = cols.where(col("doc_id") % 2 === 0)
+      val serve1 = cols.where(col("doc_id") % 10 === 1)
+      val serve2 = cols.where(col("doc_id") % 10 === 3)
+      def batchAdmit(fitSoFar: org.apache.spark.sql.DataFrame,
+          serveDocs: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        graft.streaming.StreamingOps.dsirGate(
+          serveDocs, Dsir.logRatioModel(fitSoFar, isEn, nB), nB, minLogw)
+          .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+      // epoch 1: fit on half the corpus, serve batch 1 under that model
+      fitA.write.mode("append").parquet(srcFit)
+      qFit.processAllAvailable()
+      val m1 = currentModel.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      serve1.write.mode("append").parquet(srcServe)
+      qServe.processAllAvailable()
+      val want1 = batchAdmit(fitA, serve1)
+      assert(admittedByEpoch.synchronized(admittedByEpoch.last) == want1,
+        "epoch-1 admission diverges from batch admission under the epoch-1 fit")
+      assert(want1.nonEmpty && want1.size < serve1.count(),
+        s"gate not discriminating: ${want1.size} of ${serve1.count()} admitted")
+      // epoch 2: fold the other half, serve batch 2 under the ADVANCED model
+      cols.where(col("doc_id") % 2 === 1).write.mode("append").parquet(srcFit)
+      qFit.processAllAvailable()
+      val m2 = currentModel.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(m1 != m2, "model did not advance after the second fit epoch")
+      serve2.write.mode("append").parquet(srcServe)
+      qServe.processAllAvailable()
+      val want2 = batchAdmit(cols, serve2)
+      assert(admittedByEpoch.synchronized(admittedByEpoch.last) == want2,
+        "epoch-2 admission diverges from batch admission under the epoch-2 fit")
+    } finally { qFit.stop(); qServe.stop() }
+  }
+
   test("log-ratio model reacts to the target choice, not just doc length") {
     // swapping the target to the complement slice must invert the
     // enrichment direction — guards against a weight that's secretly

@@ -729,6 +729,68 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"replayed merge epoch corrupted labels: ${snaps.last}")
   }
 
+  test("durable online near-dup clustering: fuzzy verdict edges drive durable CC across a kill/resume") {
+    // the composed ingest pipeline, durable end-to-end: file-source
+    // docs -> minhashLshVerdicts (flatMapGroupsWithState, state in the
+    // STREAM checkpoint) -> (partner, doc) edges -> durable CC
+    // maintenance (labels in the EpochStateStore). The query is KILLED
+    // between batches and resumed from both stores; the final cluster
+    // snapshot must equal the batch pipeline — connectedComponents
+    // over the batch minhashLsh pairs of every doc ever delivered.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_fuzzy_cc").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    val txtA = "the quick brown fox jumps over the lazy dog once more today"
+    val txtB = "completely different words about winter mountain snow and ice fields"
+    val txtC = "spark streaming maintains exactly once state across micro batch restarts"
+    def T(s: String) = Timestamp.valueOf(s)
+    val sch = "doc_id LONG, ts TIMESTAMP, text STRING"
+    @volatile var lastSnap: Map[Long, Long] = Map.empty
+    def start() = {
+      val stream = spark.readStream.schema(sch).parquet(src)
+      val edges = StreamingOps.minhashLshVerdicts(
+        spark, stream, horizonMs = 60 * 60 * 1000L)
+        .toDF()
+        .where(F.col("dup"))
+        .select(F.col("partner").as("src"), F.col("doc_id").as("dst"))
+      StreamingOps.durableCcMaintenanceStream(
+        edges, st, Map("checkpointLocation" -> ckpt)) { (snap, _) =>
+        lastSnap = snap.as[(Long, Long)].collect().toMap
+      }
+    }
+    // batch 1: two groups (A: 1,2 / B: 3,4)
+    Seq(
+      (1L, T("2024-01-01 10:00:00"), txtA),
+      (2L, T("2024-01-01 10:00:01"), txtA + " indeed"),
+      (3L, T("2024-01-01 10:00:02"), txtB),
+      (4L, T("2024-01-01 10:00:03"), txtB + " again")
+    ).toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(lastSnap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"pre-restart clusters wrong: $lastSnap")
+    // KILL happened (q1.stop); batch 2 joins group A ACROSS the
+    // restart (doc 5 pairs with state recovered from the stream
+    // checkpoint) and opens group C
+    Seq(
+      (5L, T("2024-01-01 10:10:00"), txtA + " truly"),
+      (6L, T("2024-01-01 10:10:01"), txtC),
+      (7L, T("2024-01-01 10:10:02"), txtC + " always")
+    ).toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // pin against the batch pipeline over every doc delivered
+    val allDocs = spark.read.parquet(src).select("doc_id", "text")
+    val want = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashLsh(allDocs).select("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(lastSnap == want && want.nonEmpty,
+      s"composed durable pipeline $lastSnap != batch clustering $want")
+    assert(lastSnap.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"every grouped doc must carry a cluster id: $lastSnap")
+  }
+
   test("streaming cosine near-dup flags cross-batch copies and saturates megabuckets") {
     // the embedding-side streaming gate, same contracts as the MinHash
     // one: a direction-preserving copy arriving in a LATER batch is
