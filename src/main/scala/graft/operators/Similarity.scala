@@ -487,28 +487,38 @@ object Similarity {
   def binaryKnn(
       embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
       salts: Int = 32): DataFrame = {
-    // sign-bit packing and word-wise hamming, HOF form (kept inside
-    // the optimizer; a codegen'd kernel is the next rung if packing
-    // ever dominates — it is one linear pass either way)
-    val packed = expr(
+    val sigs = binarySignatures(embeddings)
+    val queries = sigs
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    saltedTopK(binaryScore(sigs, queries),
+      score = "hamming", ascending = true, k = k, salts = salts)
+  }
+
+  /** The packed sign-bit representation (vec_id, sig: array<long>) —
+    * sign-bit packing in HOF form (kept inside the optimizer; a
+    * codegen'd kernel is the next rung if packing ever dominates — it
+    * is one linear pass either way). Shared by the in-memory
+    * [[binaryKnn]] and the persisted [[BinaryIndex]] (longs round-trip
+    * parquet exactly). */
+  private[graft] def binarySignatures(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), expr(
       """transform(
            sequence(0, cast((size(embedding) + 63) div 64 as int) - 1),
            w -> aggregate(
              sequence(w * 64, cast(least(w * 64 + 63, size(embedding) - 1) as int)),
              0L,
              (acc, d) -> if(element_at(embedding, d + 1) > 0.0F,
-                            acc | shiftleft(1L, d % 64), acc)))""")
-    val sigs = embeddings.select(col("vec_id"), packed.as("sig"))
-    val queries = sigs
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
-    val scored = sigs
+                            acc | shiftleft(1L, d % 64), acc)))""").as("sig"))
+
+  /** Word-wise hamming of every (query, non-self vector) pair: query
+    * signatures broadcast, the packed corpus is never shuffled. */
+  private[operators] def binaryScore(sigs: DataFrame, queries: DataFrame): DataFrame =
+    sigs
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr("aggregate(zip_with(qsig, sig, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)")
           .as("hamming"))
-    saltedTopK(scored, score = "hamming", ascending = true, k = k, salts = salts)
-  }
 
   /** ANN via random-hyperplane LSH: bucket = packed sign bits of
     * `planes` deterministic hyperplane projections; candidates are

@@ -202,6 +202,29 @@ object VectorQueries {
         k = 5)
     }),
 
+    // ...and the binary tier: sign-bit packed signatures (pure
+    // per-vector packing, like SQ8's quantize), hamming serving over
+    // base ∪ deltas — bit-identical to knn_binary over the union.
+    "knn_binary_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bin_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.BinaryIndex.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        path)
+      graft.operators.BinaryIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.BinaryIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.BinaryIndex.serveAll(s, path,
+        graft.operators.Similarity.binarySignatures(e.where(col("vec_id") < 8))
+          .select(col("vec_id").as("query_id"), col("sig").as("qsig")),
+        k = 5)
+    }),
+
     // multi-vector late-interaction retrieval (ColBERT MaxSim):
     // documents are bags of 4 token vectors, score = Σ_q max_d
     // dot(q, d) — full oracle (nested list HOFs, every fold
@@ -854,6 +877,26 @@ object VectorQueries {
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
         FROM ranked WHERE rank <= 5"""
 
+  /** knn_binary trajectory (sign-disagreement hamming → top-k,
+    * representation-independent), shared verbatim by `knn_binary`
+    * (in-memory) and `knn_binary_delta` (persisted base∪delta
+    * segments — packing is per-vector, so the split cannot change
+    * results). */
+  private lazy val binaryOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 CAST(len(list_filter(range(1, len(e.embedding) + 1),
+                     i -> (qv[i] > 0.0) != (e.embedding[i] > 0.0))) AS INT) AS hamming
+          FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, hamming,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming ASC, vec_id ASC) AS rank
+          FROM scored)
+       SELECT query_id, vec_id, CAST(rank AS INT) AS rank, hamming
+       FROM ranked WHERE rank <= 5"""
+
   /** knn_maxsim oracle: the same nested-HOF MaxSim — token bags
     * vec_id-ordered, dot = left-to-right double fold, inner max
     * order-independent, outer sum left-to-right over query tokens. */
@@ -982,20 +1025,8 @@ object VectorQueries {
            ON s.query_id = b.query_id AND s.vec_id = b.vec_id
          GROUP BY s.query_id ORDER BY s.query_id""",
 
-    "knn_binary" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-          scored AS (
-            SELECT q.query_id, e.vec_id,
-                   CAST(len(list_filter(range(1, len(e.embedding) + 1),
-                       i -> (qv[i] > 0.0) != (e.embedding[i] > 0.0))) AS INT) AS hamming
-            FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, vec_id, hamming,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY hamming ASC, vec_id ASC) AS rank
-            FROM scored)
-         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, hamming
-         FROM ranked WHERE rank <= 5""",
+    "knn_binary" -> binaryOracle,
+    "knn_binary_delta" -> binaryOracle,
 
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,

@@ -595,7 +595,19 @@ object StreamingOps {
     lsmIngestStream("pqIngestStream", vectors, indexPath, options,
       graft.operators.PqIndex.appendEpoch)(onBatch)
 
-  /** The shared ingest loop of the three persisted ANN tiers: one
+  /** [[ivfIngestStream]]'s binary-tier sibling: each micro-batch is
+    * sign-bit packed ([[graft.operators.BinaryIndex.appendEpoch]] — a
+    * pure per-vector function) and committed as an idempotent delta
+    * segment. Same lineage guard. */
+  def binaryIngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("binaryIngestStream", vectors, indexPath, options,
+      graft.operators.BinaryIndex.appendEpoch)(onBatch)
+
+  /** The shared ingest loop of the four persisted ANN tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs
     * skipped, torn segments overwritten — exactly-once), plus the
     * lineage-pairing fail-fast. */

@@ -441,6 +441,36 @@ class SimilaritySpec extends AnyFunSuite {
       "the torn epoch must be committable by its replay after gc")
   }
 
+  test("binary delta segments: incremental packed ingest serves exactly; replay/compact contracts hold") {
+    // the binary tier: packing is a pure per-vector function, so
+    // serveAll over any base/delta split must be hash-identical to
+    // binaryKnn over the union, with the same replay/compact contracts.
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val queries = graft.operators.Similarity.binarySignatures(
+      e.where($"vec_id" < 4))
+      .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+    val p = java.nio.file.Files.createTempDirectory("graft_bin_inc").toString
+    graft.operators.BinaryIndex.write(
+      e.where($"vec_id" % 3 === 0).select($"vec_id", $"embedding"), p)
+    graft.operators.BinaryIndex.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 3 === 1).select($"vec_id", $"embedding"))
+    graft.operators.BinaryIndex.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding"))
+    def served() =
+      graft.operators.BinaryIndex.serveAll(spark, p, queries, k = 5)
+        .as[(Long, Long, Int, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = Similarity.binaryKnn(e, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served() == want && want.nonEmpty,
+      "incremental binary index diverges from the in-memory operator")
+    assert(!graft.operators.BinaryIndex.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2).select($"vec_id", $"embedding")))
+    assert(served() == want, "replayed epoch changed the binary index")
+    graft.operators.BinaryIndex.compact(spark, p)
+    graft.operators.BinaryIndex.gc(spark, p)
+    assert(served() == want, "binary compaction/gc changed serving results")
+  }
+
   test("PQ delta segments: fixed-codebook incremental encode serves exactly; replay/torn/compact contracts hold") {
     // the PQ tier: the codebook is persisted ONCE and every delta
     // epoch encodes against it — serveAll must equal pqKnn over the
