@@ -961,6 +961,57 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SQ8 ingest commits quantized delta segments, served immediately") {
+    // the SQ8 wrapper of the shared lsmIngestStream loop: two
+    // micro-batches of new vectors land as committed quantized delta
+    // segments; serveAll equals the in-memory sq8Knn over everything
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val inc = java.nio.file.Files.createTempDirectory("graft_sq8_s").toString
+    graft.operators.Sq8Index.write(
+      e.where($"vec_id" % 2 === 0).select($"vec_id", $"embedding"), inc)
+    val rest = e.where($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = StreamingOps.sq8IngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), inc) { (ep, ok) =>
+      applied.synchronized { applied += ((ep, ok)) }
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.synchronized(applied.toList).forall(_._2) &&
+      applied.size == 2, s"epochs: $applied")
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = graft.operators.Sq8Index.serveAll(spark, inc, queries, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = graft.operators.Similarity.sq8Knn(e, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == want && want.nonEmpty,
+      "streamed SQ8 ingest diverges from the in-memory operator")
+    // a second lineage without the original checkpoint fails fast
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.sq8IngestStream(
+        MemoryStream[(Long, Seq[Float])].toDF()
+          .toDF("vec_id", "embedding"), inc)()
+    }
+    assert(err.getMessage.contains("checkpointLocation"))
+  }
+
+  test("an uninitialized LSM index fails loudly instead of serving empty") {
+    val p = java.nio.file.Files.createTempDirectory("graft_lsm_empty").toString
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sq8Index.readAll(spark, p)
+    }
+    assert(err.getMessage.contains("generation"),
+      s"unhelpful message: ${err.getMessage}")
+  }
+
   test("streaming IVF ingest commits one delta segment per epoch, served immediately") {
     // ingest-time sibling of the serve stream: micro-batches of new
     // embeddings land as committed delta segments against the fixed
