@@ -71,6 +71,18 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
+  /** The per-band bucket hashes of one MinHash signature, as an array
+    * whose index IS the band id — the one banding expression shared by
+    * the batch [[minhashLsh]], the streaming gate, and the persisted
+    * [[MinHashIndex]] (longs round-trip parquet exactly, so the stored
+    * and recomputed bandings are bit-identical). */
+  private[graft] def bandHashes(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rowsPerBand = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+  }
+
   /** LSH banding: split the signature into `bands` bands, bucket-join
     * docs whose band hashes collide, emit candidate pairs (a < b),
     * then verify candidates with true shingle-set Jaccard and keep
@@ -83,14 +95,10 @@ object Dedup {
       bands: Int = 8, // 8 bands × 2 rows: P(miss | J=0.9) ≈ (1-J²)^8 ≈ 4e-6
 
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, shingleN, numHashes)
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(bandHashes(col("signature"), numHashes, bands)))
       .toDF("doc_id", "band", "band_hash")
     val buckets = banded
       .groupBy("band", "band_hash")
@@ -105,8 +113,11 @@ object Dedup {
   }
 
   /** All unordered pairs (a < b) from a bucket's id list, as an array
-    * expression (buckets are capped, so this is small per row). */
-  private def pairCombinations(ids: Column): Column = {
+    * expression (buckets are capped, so this is small per row). Sorts
+    * by the element's natural order — for struct elements that is the
+    * FIRST field, so tagged members (doc_id first) pair in the same
+    * a < b orientation as plain ids. */
+  private[operators] def pairCombinations(ids: Column): Column = {
     val sorted = array_sort(ids)
     flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
@@ -130,6 +141,15 @@ object Dedup {
         col("doc_id"),
         graft.functions.ShingleSet(col("text"), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    verifyJaccardSets(pairs, sets)
+  }
+
+  /** [[verifyJaccard]] over PRECOMPUTED shingle sets `(doc_id, sh,
+    * n_sh)` — the form the persisted [[MinHashIndex]] serves from
+    * (its segments store the sets, so verification never re-reads the
+    * corpus). Same single-join plan: each pair unpivots to its two
+    * member ids and meets the set relation exactly once. */
+  private[graft] def verifyJaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
     val sides = pairs.select(
       col("a_id"), col("b_id"),
       explode(array(col("a_id"), col("b_id"))).as("doc_id"))

@@ -172,6 +172,32 @@ object Similarity {
       .select("query_id", "vec_id", "rank", score)
   }
 
+  /** Retrieval-quality evaluation of an ANN tier against exact ground
+    * truth — the measurement every index deployment gates on. Both
+    * inputs carry `(query_id, vec_id, rank ≤ k)`; per query this
+    * reports recall@k (top-k SET overlap / k), MRR (reciprocal rank in
+    * `result` of the best-ranked true neighbor found — 0.0 when none
+    * is), and the raw hit count. All arithmetic is small-integer
+    * division in IEEE double, so any tier-vs-truth pairing whose two
+    * sides carry exact oracles composes into an exactly-oracled
+    * evaluation.
+    *
+    * Scale shape: both sides are |queries|·k rows — the evaluation is
+    * output-sized regardless of corpus size; the truth side broadcasts. */
+  def retrievalEval(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val rel = truth.select(col("query_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    result.select(col("query_id"), col("vec_id"), col("rank"))
+      .join(broadcast(rel), Seq("query_id", "vec_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy("query_id")
+      .agg(
+        (sum("hit").cast("double") / lit(k)).as(s"recall_at_$k"),
+        coalesce(max(when(col("hit") === 1L, lit(1.0) / col("rank"))),
+          lit(0.0)).as("mrr"),
+        sum("hit").cast("long").as("n_hits"))
+  }
+
   /** Product-quantization (PQ) kNN with ADC scoring — the classic
     * memory-bound ANN path: each vector compresses to `subspaces`
     * small codes (argmin codeword per subspace, 4 bytes/vector here vs

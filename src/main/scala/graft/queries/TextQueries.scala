@@ -25,6 +25,21 @@ import graft.operators.{Dedup, Dsir}
   */
 object TextQueries {
 
+  // temp index roots for the persisted-dedup queries, retired at JVM
+  // exit (same pattern as VectorQueries' ANN index dirs)
+  private val dedupIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    dedupIndexDirs.asScala.filter(Files.exists(_)).foreach { dir =>
+      scala.util.Using(Files.walk(dir)) { st =>
+        st.iterator.asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> ((s, d) =>
@@ -48,6 +63,44 @@ object TextQueries {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d))
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // the PERSISTED near-dup index under the LSM delta-segment
+    // protocol: base fingerprints from two thirds of the corpus, the
+    // rest appended as two committed delta epochs against the stored
+    // LSH parameters (StreamingOps.minhashIngestStream's foreachBatch
+    // step, run inline), served as bucket→pair→exact-Jaccard over
+    // base ∪ deltas — bit-identical to the batch minhashLsh over the
+    // union, which is what the shared oracle asserts.
+    "dedup_minhash_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mh_delta_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.MinHashIndex.write(docs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.MinHashIndex.appendEpoch(s, path, 0L,
+        docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
+      graft.operators.MinHashIndex.appendEpoch(s, path, 1L,
+        docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 =!= 0))
+      graft.operators.MinHashIndex.servePairs(s, path)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // the index's admission check: which documents of a NEW shard
+    // (the doc_id % 3 == 2 third, not yet ingested) near-duplicate
+    // anything already indexed (or each other)? Touches only the LSH
+    // buckets the shard collides with — o(index) probe work. The
+    // oracle is the batch all-pairs Jaccard restricted to pairs with
+    // a shard-side member.
+    "dedup_minhash_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mh_probe_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.MinHashIndex.write(docs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.MinHashIndex.probePairs(s, path,
+        docs.where(col("doc_id") % 3 === 2))
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    }),
 
     // md5-bit variant so the whole pipeline (tokenize → bit votes →
     // sign vector → pigeonhole blocking → hamming join) is DuckDB-
@@ -982,6 +1035,30 @@ object TextQueries {
                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
             FROM base a JOIN base b ON a.doc_id < b.doc_id)
           SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.5""",
+
+    // the persisted-index serve is bit-identical to the batch LSH over
+    // the union corpus (fingerprints round-trip parquet exactly), so
+    // it shares the batch operator's exact all-pairs oracle verbatim
+    "dedup_minhash_delta" ->
+      s"""WITH base AS (SELECT doc_id, ${shingleSetSql(3)} AS sh FROM documents),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+            FROM base a JOIN base b ON a.doc_id < b.doc_id)
+          SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.5""",
+
+    // probe = the same pair set restricted to pairs touching the
+    // not-yet-ingested shard (doc_id % 3 == 2)
+    "dedup_minhash_probe" ->
+      s"""WITH base AS (SELECT doc_id, ${shingleSetSql(3)} AS sh FROM documents),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+            FROM base a JOIN base b ON a.doc_id < b.doc_id)
+          SELECT a_id, b_id, round(j, 6) AS jaccard FROM p
+          WHERE j >= 0.5 AND (a_id % 3 = 2 OR b_id % 3 = 2)""",
 
     // brute-force first-principles SimHash: per-token bits from md5
     // nibbles (byte-identical across engines), frequency-weighted bit

@@ -78,6 +78,18 @@ object VectorQueries {
         .orderBy("query_id")
     }),
 
+    // the GENERIC tier-vs-truth evaluation operator over the binary
+    // (sign-bit hamming) tier: per query, recall@5, MRR (reciprocal
+    // rank of the best-placed true neighbor the tier surfaced), and
+    // the raw hit count — both sides are exactly oracled, so the
+    // composed evaluation is too.
+    "knn_eval_binary" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.binaryKnn(e, nQueries = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
     // product quantization + ADC: codes and lookup tables are exact
     // double arithmetic with deterministic tie-breaks, so the whole
     // encode→LUT→score→top-k pipeline is recomputed by the oracle.
@@ -941,6 +953,46 @@ object VectorQueries {
              FROM scored)
           SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= 5""",
+
+    // tier-vs-truth evaluation: replay the binary-hamming top-5 AND
+    // the exact-cosine top-5, mark hits, fold to recall@5 / MRR /
+    // n_hits. Divisions are forced to DOUBLE (DuckDB's literal
+    // arithmetic is decimal-typed and would round differently).
+    "knn_eval_binary" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           bscored AS (
+             SELECT q.query_id, e.vec_id,
+                    CAST(len(list_filter(range(1, len(e.embedding) + 1),
+                        i -> (qv[i] > 0.0) != (e.embedding[i] > 0.0))) AS INT) AS hamming
+             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+           bres AS (
+             SELECT query_id, vec_id, rank FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY hamming ASC, vec_id ASC) AS rank
+               FROM bscored) WHERE rank <= 5),
+           cscored AS (
+             SELECT q.query_id, e.vec_id,
+                    ${cosSql("q.qv", "e.embedding")} AS cos
+             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+           tru AS (
+             SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM cscored) WHERE rank <= 5),
+           marked AS (
+             SELECT r.query_id, r.rank,
+                    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             FROM bres r LEFT JOIN tru t
+               ON r.query_id = t.query_id AND r.vec_id = t.vec_id)
+          SELECT query_id,
+                 CAST(sum(hit) AS DOUBLE) / 5 AS recall_at_5,
+                 coalesce(max(CASE WHEN hit = 1
+                                   THEN CAST(1 AS DOUBLE) / rank END),
+                          CAST(0 AS DOUBLE)) AS mrr,
+                 CAST(sum(hit) AS BIGINT) AS n_hits
+          FROM marked GROUP BY query_id""",
 
     "knn_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql

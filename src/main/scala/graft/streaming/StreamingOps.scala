@@ -224,6 +224,41 @@ object StreamingOps {
       .drop("ingest_ts")
   }
 
+  /** Streaming benchmark-decontamination gate: count, for each
+    * arriving doc, how many distinct `shingleN`-gram windows it shares
+    * with a STATIC held-out benchmark set — the eval-leakage check
+    * applied at ingest time instead of as a corpus-wide scrub.
+    *
+    * Completely STATELESS, like [[dsirGate]]: the benchmark's gram
+    * set is small BY NATURE (benchmarks are thousands of docs, not
+    * billions), so it collapses to a one-row broadcast array
+    * (stream-static join) and the count is an in-row set
+    * intersection over the doc's own shingle set — no watermark, no
+    * state store, no shuffle. Every doc passes through with its
+    * `n_shared_grams` (0 = clean); filter or route on it downstream.
+    * For contaminated docs the count equals the batch
+    * `text_decontaminate` aggregation exactly (both sides are
+    * distinct-gram sets; pinned in StreamingOpsSpec). Works on batch
+    * frames too — the plan is identical either way. */
+  def decontaminateGate(
+      docs: DataFrame, benchDocs: DataFrame,
+      shingleN: Int = 8): DataFrame = {
+    val grams = benchDocs
+      .select(explode(
+        graft.functions.ShingleSet(col("text"), shingleN)).as("gram"))
+      .distinct()
+      .agg(array_sort(collect_list(col("gram"))).as("bench_grams"))
+    docs
+      .crossJoin(broadcast(grams))
+      .withColumn("n_shared_grams",
+        coalesce(
+          size(array_intersect(
+            graft.functions.ShingleSet(col("text"), shingleN),
+            col("bench_grams"))).cast("long"),
+          lit(0L)))
+      .drop("bench_grams")
+  }
+
   /** Streaming DSIR admission gate: score each arriving doc against a
     * PRE-FIT dense log-ratio model ([[graft.operators.Dsir.logRatioModel]],
     * fit offline on a reference corpus) and admit docs whose
@@ -606,6 +641,20 @@ object StreamingOps {
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("binaryIngestStream", vectors, indexPath, options,
       graft.operators.BinaryIndex.appendEpoch)(onBatch)
+
+  /** [[ivfIngestStream]]'s dedup sibling: each micro-batch of
+    * documents (doc_id, text) is fingerprinted against the index's
+    * FIXED LSH parameters ([[graft.operators.MinHashIndex.appendEpoch]]
+    * — shingle set + band hashes, stored like PQ's codebook) and
+    * committed as an idempotent delta segment, so the near-dup index
+    * stays current as the corpus streams in. Same lineage guard. */
+  def minhashIngestStream(
+      documents: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("minhashIngestStream", documents, indexPath, options,
+      graft.operators.MinHashIndex.appendEpoch)(onBatch)
 
   /** The shared ingest loop of the four persisted ANN tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs

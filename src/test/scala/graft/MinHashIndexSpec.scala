@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MinHashIndex}
+
+/** The persisted near-dup index ([[graft.operators.MinHashIndex]]):
+  * the LSM delta-segment protocol applied to MinHash-LSH dedup. The
+  * contract mirrors the ANN tiers' — incremental serve bit-identical
+  * to the batch operator over the union corpus, replayed epochs
+  * skipped, torn segments invisible, compaction/gc result-preserving —
+  * plus the probe ("admission check") restriction law. */
+class MinHashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .withColumn("source", lit("test"))
+
+  // near-dup families engineered to STRADDLE the base/delta split:
+  // 1≈2 (both base), 3≈10 (base vs delta epoch 0), 11≈12 (both
+  // deltas, across epochs), 4/13 unrelated singletons
+  private def corpus = docs(
+    (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+    (2L, (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"),
+    (3L, (50 to 90).map(i => s"mid$i").mkString(" ")),
+    (4L, (200 to 240).map(i => s"lone$i").mkString(" ")),
+    (10L, (50 to 89).map(i => s"mid$i").mkString(" ") + " midY"),
+    (11L, (300 to 340).map(i => s"new$i").mkString(" ")),
+    (12L, (300 to 339).map(i => s"new$i").mkString(" ") + " newZ"),
+    (13L, (400 to 440).map(i => s"other$i").mkString(" ")))
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("a_id"), col("b_id"), round(col("jaccard"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("incremental serve == batch minhashLsh over the union; replay/torn/compact/gc laws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_spec_")
+    val path = dir.toAbsolutePath.toString
+    val base = corpus.where($"doc_id" <= 4)
+    val e0 = corpus.where($"doc_id" === 10L || $"doc_id" === 11L)
+    val e1 = corpus.where($"doc_id" >= 12L)
+
+    MinHashIndex.write(base, path)
+    assert(MinHashIndex.appendEpoch(spark, path, 0L, e0))
+    assert(MinHashIndex.appendEpoch(spark, path, 1L, e1))
+
+    val want = pairsOf(Dedup.minhashLsh(corpus))
+    // the engineered families were actually found (incl. the
+    // cross-segment 3–10 and cross-epoch 11–12 pairs)
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 10L), (11L, 12L)))
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want,
+      "base ∪ delta serve diverged from the batch operator")
+
+    // replayed epoch: marker exists -> skipped, results unchanged
+    assert(!MinHashIndex.appendEpoch(spark, path, 0L, e1))
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want)
+
+    // torn segment: delta data written, marker lost -> invisible
+    MinHashIndex.fingerprints(docs((99L, (1 to 40).map(i => s"tok$i").mkString(" "))),
+        3, 16, 8)
+      .write.mode("overwrite").parquet(s"$path/deltas/2")
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want,
+      "torn (uncommitted) segment leaked into serving")
+
+    // compaction folds deltas into a new generation, preserving results;
+    // gc retires folded data but keeps epoch markers (the replay guard)
+    MinHashIndex.compact(spark, path)
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want)
+    MinHashIndex.gc(spark, path)
+    assert(!new java.io.File(s"$path/deltas/0").exists &&
+      !new java.io.File(s"$path/deltas/1").exists,
+      "folded delta data not retired by gc")
+    assert(new java.io.File(s"$path/epochs/0").exists &&
+      new java.io.File(s"$path/epochs/1").exists,
+      "epoch commit markers must outlive compaction")
+    assert(!MinHashIndex.appendEpoch(spark, path, 1L, e0))
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want)
+  }
+
+  test("probePairs == batch pairs touching the shard (and only those)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_probe_spec_")
+    val path = dir.toAbsolutePath.toString
+    // index holds 1,2,3,4 (contains the base-base near-dup 1–2);
+    // shard holds 10,11,12,13 (shard-base pair 3–10, shard-shard pair
+    // 11–12)
+    val indexed = corpus.where($"doc_id" <= 4)
+    val shard = corpus.where($"doc_id" >= 10L)
+    MinHashIndex.write(indexed, path)
+
+    val got = pairsOf(MinHashIndex.probePairs(spark, path, shard))
+    val batchTouching = pairsOf(
+      Dedup.minhashLsh(corpus)
+        .where($"a_id" >= 10L || $"b_id" >= 10L))
+    assert(batchTouching.map(p => (p._1, p._2)) == Set((3L, 10L), (11L, 12L)))
+    assert(got == batchTouching,
+      "probe diverged from the batch pair set restricted to the shard")
+
+    // the admission workflow closes: probing is read-only, and
+    // ingesting the probed shard afterwards serves the full batch
+    // pair set over the union
+    assert(MinHashIndex.appendEpoch(spark, path, 0L, shard))
+    assert(pairsOf(MinHashIndex.servePairs(spark, path)) ==
+      pairsOf(Dedup.minhashLsh(corpus)),
+      "probe-then-ingest did not converge to the batch pair set")
+  }
+}

@@ -68,6 +68,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"diff=${(packedResult -- directTop).take(3)} / ${(directTop -- packedResult).take(3)}")
   }
 
+  test("retrievalEval: recall@k, MRR and hit counts against hand-computed truth") {
+    val result = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 99L, 3),
+      (2L, 30L, 1), (2L, 31L, 2), (2L, 32L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Similarity.retrievalEval(result, truth, k = 3)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    // q1: truth items 11, 12 surface at ranks 2, 3 → recall 2/3,
+    // MRR = 1/2 (best-placed hit); q2: nothing overlaps → all zero
+    assert(got == Set((1L, 2.0 / 3, 0.5, 2L), (2L, 0.0, 0.0, 0L)))
+  }
+
+  test("retrievalEval composes with real tiers: a tier evaluated against itself is perfect") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val tier = Similarity.sq8Knn(e, nQueries = 4, k = 3)
+    val got = Similarity.retrievalEval(tier, tier, k = 3)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(got.nonEmpty && got.forall(r => r._2 == 1.0 && r._3 == 1.0 && r._4 == 3L))
+  }
+
   test("cosineNearDup only pairs within the same label block") {
     val vecs = Seq(
       (0L, Array(1f, 0f), 0),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct, explode, round}
 import java.sql.Timestamp
 import graft.streaming.StreamingOps
 
@@ -1003,6 +1003,85 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("checkpointLocation"))
   }
 
+  test("streaming decontamination gate == batch shared-gram counts (stateless, grams broadcast)") {
+    // the benchmark gram set is static; replay the corpus as a
+    // 3-micro-batch file stream through the stateless gate — every
+    // contaminated doc's n_shared_grams must equal the batch
+    // explode+join+countDistinct aggregation, and clean docs must
+    // pass through with 0
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val isBench = $"doc_id" % 25 === 0
+    val bench = docs.where(isBench)
+    val corpus = docs.where(!isBench)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_gate").toString
+    corpus.repartition(3).write.parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = StreamingOps.decontaminateGate(stream, bench, shingleN = 8)
+      .select($"doc_id", $"n_shared_grams")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long)].collect().toMap
+    val benchGrams = bench
+      .select(explode(graft.functions.ShingleSet($"text", 8)).as("gram"))
+      .distinct()
+    val want = corpus
+      .select($"doc_id", explode(graft.functions.ShingleSet($"text", 8)).as("gram"))
+      .join(org.apache.spark.sql.functions.broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct($"gram").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(want.nonEmpty, "fixture produced no contaminated docs")
+    assert(got.filter(_._2 > 0) == want,
+      "gate counts diverge from the batch aggregation")
+    assert(got.size == corpus.count(),
+      "clean docs must pass through the gate too")
+  }
+
+  test("streaming MinHash ingest commits fingerprint delta segments, served immediately") {
+    // the dedup wrapper of the shared lsmIngestStream loop: two
+    // micro-batches of new documents land as committed fingerprint
+    // delta segments against the stored LSH parameters; servePairs
+    // equals the batch minhashLsh over everything
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val inc = java.nio.file.Files.createTempDirectory("graft_mh_s").toString
+    graft.operators.MinHashIndex.write(docs.where($"doc_id" % 2 === 0), inc)
+    val rest = docs.where($"doc_id" % 2 === 1)
+      .as[(Long, String)].collect()
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = StreamingOps.minhashIngestStream(
+      mem.toDF().toDF("doc_id", "text"), inc) { (ep, ok) =>
+      applied.synchronized { applied += ((ep, ok)) }
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.synchronized(applied.toList).forall(_._2) &&
+      applied.size == 2, s"epochs: $applied")
+    val got = graft.operators.MinHashIndex.servePairs(spark, inc)
+      .select($"a_id", $"b_id", round($"jaccard", 6))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.operators.Dedup.minhashLsh(docs)
+      .select($"a_id", $"b_id", round($"jaccard", 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      "streamed MinHash ingest diverges from the batch operator")
+  }
+
   test("an uninitialized LSM index fails loudly instead of serving empty") {
     val p = java.nio.file.Files.createTempDirectory("graft_lsm_empty").toString
     val err = intercept[IllegalArgumentException] {
@@ -1164,7 +1243,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     // down are picked up. File source -> transform -> file sink is the
     // fully durable shape of that contract (MemoryStream state would
     // not survive a real process kill).
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, round}
     val dir = java.nio.file.Files.createTempDirectory("graft_recover").toString
     val in = s"$dir/in"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
