@@ -37,7 +37,8 @@ object ScaleProbe {
     "knn_ivf_trained", "knn_pq_trained", "knn_sq8", "dedup_ngram_prefix",
     "knn_ivf_persisted", "dedup_spans_clean", "dedup_minhash_lsh",
     "text_bpe_train_encode",
-    "text_dsir_weights", "text_dsir_sample", "knn_hard_negatives")
+    "text_dsir_weights", "text_dsir_sample", "knn_hard_negatives",
+    "dedup_minhash_delta", "dedup_minhash_probe", "knn_maxsim")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

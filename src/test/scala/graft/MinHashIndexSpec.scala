@@ -81,6 +81,37 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(pairsOf(MinHashIndex.servePairs(spark, path)) == want)
   }
 
+  test("compaction race: a reader between base-rewrite and marker swap double-counts nothing") {
+    // the generation-pointer protocol on the dedup tier: compact
+    // writes base/<gen+1> FIRST and its gens/ marker second; a serve
+    // interleaved between the two steps must resolve the OLD
+    // generation + deltas — a double-counted fingerprint would
+    // duplicate band rows, re-pairing docs and potentially emitting
+    // (x, x) or duplicate pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_race_")
+    val path = dir.toAbsolutePath.toString
+    MinHashIndex.write(corpus.where($"doc_id" <= 4), path)
+    MinHashIndex.appendEpoch(spark, path, 0L, corpus.where($"doc_id" >= 10L))
+    def served() = pairsOf(MinHashIndex.servePairs(spark, path))
+    val want = served()
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 10L), (11L, 12L)))
+    // compact STEP 1 only: write the merged view to base/1, NO marker
+    MinHashIndex.readAll(spark, path)
+      .write.mode("overwrite").parquet(s"$path/base/1")
+    assert(served() == want,
+      "reader between compact's base-rewrite and marker swap diverged")
+    assert(MinHashIndex.readAll(spark, path)
+      .groupBy($"doc_id").count().where($"count" > 1).count() == 0,
+      "a fingerprint appears in more than one live segment")
+    // STEP 2: the marker lands -> the new generation serves
+    graft.operators.LsmSegments.writeGenMarker(spark, path, 1L, 0L)
+    assert(served() == want, "generation swap changed serving results")
+    MinHashIndex.gc(spark, path)
+    assert(served() == want, "gc changed serving results")
+    assert(!new java.io.File(s"$path/base/0").exists,
+      "superseded base generation not retired by gc")
+  }
+
   test("probePairs == batch pairs touching the shard (and only those)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_probe_spec_")
     val path = dir.toAbsolutePath.toString

@@ -217,6 +217,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus grams shuffled on gram:\n" + p.take(1200))
   }
 
+  test("dedup_minhash_probe prunes to colliding buckets via broadcast semi-joins") {
+    // the probe's o(index) claim: the index's banding rows are
+    // semi-joined against the shard's broadcast bucket keys BEFORE
+    // any shuffle, and the stored sets are pruned to candidate ids
+    // the same way — two broadcast LEFT SEMI joins must survive in
+    // the final adaptive plan (a shuffle-side semi would scan-and-
+    // exchange the whole index per probe)
+    val qe = SparkEntry.queries("dedup_minhash_probe")(spark, TestSpark.sfDir)
+      .queryExecution
+    qe.toRdd.count()
+    val semis = walkPlan(qe.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.size >= 2,
+      s"expected >=2 broadcast semi-joins, got ${semis.size}:\n" +
+        qe.executedPlan.toString.take(1500))
+  }
+
   test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
     // dl + per-term tfs come from ONE explode+aggregation; the stats
     // branch is the identical subtree, so its shuffle must be reused,
