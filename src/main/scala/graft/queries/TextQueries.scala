@@ -49,6 +49,44 @@ object TextQueries {
     "dedup_exact_norm" -> ((s, d) =>
       Dedup.exactNormalized(Tables.documents(s, d))),
 
+    // the PERSISTED exact-dedup index (content-hash LSM tier): base
+    // hashes from two thirds of the corpus, the rest appended as two
+    // committed delta epochs, duplicate groups served over base ∪
+    // deltas — bit-identical to Dedup.exact over the union, sharing
+    // its oracle.
+    "dedup_exact_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ch_delta_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.ContentHashIndex.write(
+        docs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.ContentHashIndex.appendEpoch(s, path, 0L,
+        docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
+      graft.operators.ContentHashIndex.appendEpoch(s, path, 1L,
+        docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 2 =!= 0))
+      graft.operators.ContentHashIndex.serveGroups(s, path)
+        .select("keep_doc_id", "n_copies")
+    }),
+
+    // the exact-dedup admission check: the shard is a simulated
+    // RE-CRAWL (every fifth document re-keyed, text unchanged — the
+    // corpus itself has no exact duplicates); the probe reports, for
+    // each re-crawled page whose original is indexed, the earliest
+    // indexed copy and its multiplicity — o(index) shuffle work per
+    // probe, non-vacuous by construction.
+    "dedup_exact_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ch_probe_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.ContentHashIndex.write(
+        docs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.ContentHashIndex.probeNew(s, path,
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       // 5-gram shingles: chance collisions are negligible even in a
       // small-vocabulary corpus, so the inverted candidate index stays
@@ -1016,6 +1054,27 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+
+    // the persisted-index serve is bit-identical to Dedup.exact over
+    // the union corpus, so it shares its group-by-text oracle
+    "dedup_exact_delta" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+
+    // probe = for each re-crawled page (text unchanged, doc_id
+    // shifted) whose original sits in the indexed two thirds: the
+    // earliest indexed copy + multiplicity
+    "dedup_exact_probe" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+              nw  AS (SELECT doc_id + 1000000 AS doc_id, text
+                      FROM documents WHERE doc_id % 5 = 0),
+              hits AS (
+                SELECT text, min(doc_id) AS dup_of_doc_id,
+                       CAST(count(*) AS BIGINT) AS n_indexed_copies
+                FROM idx GROUP BY text)
+         SELECT CAST(n.doc_id AS BIGINT) AS doc_id, h.dup_of_doc_id,
+                h.n_indexed_copies
+         FROM nw n JOIN hits h ON n.text = h.text""",
 
     "dedup_ngram_jaccard" -> ngramOracle,
     "dedup_ngram_prefix" -> ngramOracle,

@@ -656,6 +656,20 @@ object StreamingOps {
     lsmIngestStream("minhashIngestStream", documents, indexPath, options,
       graft.operators.MinHashIndex.appendEpoch)(onBatch)
 
+  /** [[minhashIngestStream]]'s exact-dedup sibling: each micro-batch
+    * of documents is content-hashed
+    * ([[graft.operators.ContentHashIndex.appendEpoch]] — a pure
+    * per-row function) and committed as an idempotent delta segment,
+    * so "seen before?" stays answerable as the corpus streams in.
+    * Same lineage guard. */
+  def exactDedupIngestStream(
+      documents: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("exactDedupIngestStream", documents, indexPath, options,
+      graft.operators.ContentHashIndex.appendEpoch)(onBatch)
+
   /** The shared ingest loop of the four persisted ANN tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs
     * skipped, torn segments overwritten — exactly-once), plus the
