@@ -41,6 +41,27 @@ object IvfIndex {
     spark.read.parquet(p)
       .select(col("vec_id"), col("embedding"), col("c_id").cast("long").as("c_id"))
 
+  /** Resolve (basePath, deltaPaths) with back-compat for the pre-LSM
+    * on-disk layout: an index persisted before the generation-pointer
+    * refactor keeps its assignment under `<path>/assignments` with no
+    * `gens/` marker at all. Such an index is READ as if its assignment
+    * were base generation 0 with nothing folded (every committed delta
+    * epoch is live) — its data is intact and serving must not fail
+    * with "never initialized". Mutating maintenance ([[compact]] /
+    * [[gc]]) still requires the current layout: it must write `base/`
+    * generations, so on a legacy index it fails with LsmSegments'
+    * init error — rewrite the index (one [[write]]) to migrate. */
+  private def resolveSegments(
+      spark: SparkSession, path: String): (String, Seq[String]) = {
+    val legacy = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val gens = new org.apache.hadoop.fs.Path(s"$path/gens")
+    val f = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(gens) && f.exists(legacy))
+      (s"$path/assignments",
+        LsmSegments.committedEpochs(spark, path).map(e => s"$path/deltas/$e"))
+    else LsmSegments.liveSegments(spark, path)
+  }
+
   private def writeSegment(df: DataFrame, p: String): Unit =
     graft.sources.FileSources.writePartitionedParquet(
       df, p, partitionCols = Seq("c_id"))
@@ -58,7 +79,7 @@ object IvfIndex {
     * c_id partition column comes back type-inferred (int), so it is
     * cast to the long the serving plan expects. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val (basePath, _) = LsmSegments.liveSegments(spark, path)
+    val (basePath, _) = resolveSegments(spark, path)
     (loadSegment(spark, basePath), spark.read.parquet(s"$path/centroids"))
   }
 
@@ -95,7 +116,7 @@ object IvfIndex {
     * (their commit markers outlive their data ON PURPOSE — they are
     * the streaming replay guard). */
   def readAll(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val (basePath, deltaPaths) = LsmSegments.liveSegments(spark, path)
+    val (basePath, deltaPaths) = resolveSegments(spark, path)
     val all = deltaPaths.foldLeft(loadSegment(spark, basePath)) {
       (acc, p) => acc.unionByName(loadSegment(spark, p))
     }

@@ -37,7 +37,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stays wherever the index writes it (c_id-partitioned parquet for
   * IVF, plain parquet codes for SQ8/PQ), markers are empty files, and
   * every operation here is O(#segments) driver-side metadata, never a
-  * data scan. */
+  * data scan.
+  *
+  * WRITER CONTRACT (single writer per index): READERS may be
+  * arbitrarily concurrent with one writer — that is what marker-last
+  * buys — but the protocol assumes at most ONE mutating party
+  * ([[initBase]] / [[appendEpoch]] / [[compact]] / [[gc]]) per index
+  * path at a time. A streaming ingest owns its index through its
+  * checkpoint lineage; maintenance ([[compact]]+[[gc]]) either runs
+  * inside that ingest loop or in a window when the ingest is stopped.
+  * The marker files are the tripwire, not the lock: every marker is
+  * created exclusively (create-if-absent), so if two writers DO race
+  * — e.g. two streams with different checkpoint lineages pointed at
+  * the same index — the loser fails loudly on the marker collision
+  * instead of committing an interleaved mixed segment. */
 private[graft] object LsmSegments {
 
   private def fs(spark: SparkSession, path: String) =
@@ -50,11 +63,24 @@ private[graft] object LsmSegments {
     if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Create a marker file EXCLUSIVELY: markers are never rewritten,
+    * so an existing file at a marker path means a second writer is
+    * racing this one (or a caller broke the single-writer contract) —
+    * fail loudly rather than let the loser commit a mixed segment. */
   private def touch(spark: SparkSession, file: String): Unit = {
     val f = fs(spark, file)
     val p = new org.apache.hadoop.fs.Path(file)
     f.mkdirs(p.getParent)
-    f.create(p, true).close()
+    try f.create(p, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"LsmSegments: marker $file could not be created exclusively — " +
+            "a concurrent writer committed it first. The single-writer-" +
+            "per-index contract is broken (two streams with different " +
+            "checkpoint lineages pointed at one index?); this writer's " +
+            "segment data is uncommitted and invisible.", e)
+    }
   }
 
   /** Committed delta epochs, ascending. */
@@ -87,8 +113,18 @@ private[graft] object LsmSegments {
       spark: SparkSession, path: String, gen: Long, upto: Long): Unit =
     touch(spark, s"$path/gens/${gen}_$upto")
 
-  /** Initialize the base: `write(base/0)` then the gen marker. */
+  /** Initialize the base: `write(base/0)` then the gen marker. Fails
+    * BEFORE writing anything if the index already holds a committed
+    * generation — re-initializing a live index is always a second
+    * writer (or a caller bug), and failing here keeps its data intact
+    * instead of clobbering base/0 and then losing the marker race. */
   def initBase(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val existing = listNames(spark, s"$path/gens")
+    require(existing.isEmpty,
+      s"LsmSegments: index at $path is already initialized (generation " +
+        s"markers ${existing.sorted.mkString(", ")}) — refusing to re-init " +
+        "over a live index. Changing an index's parameters or corpus means " +
+        "a NEW index path.")
     write(s"$path/base/0")
     writeGenMarker(spark, path, 0L, -1L)
   }
@@ -140,17 +176,26 @@ private[graft] object LsmSegments {
 
   /** Retire everything the current generation supersedes: non-current
     * base generations, folded delta DATA (epoch ≤ upto — the epoch
-    * markers stay forever as the streaming replay guard), and
-    * superseded generation markers. Call when no readers hold lazy
-    * plans over the old snapshot. */
+    * markers stay forever as the streaming replay guard), TORN delta
+    * directories (data written but never committed by a marker — a
+    * crashed append whose epoch was then never replayed; invisible to
+    * every reader by construction, but leaked disk until reclaimed
+    * here), and superseded generation markers. Call when no readers
+    * hold lazy plans over the old snapshot and no append is in flight
+    * (the single-writer contract: gc IS a writer, and an in-flight
+    * append's not-yet-committed delta dir is indistinguishable from a
+    * torn one). */
   def gc(spark: SparkSession, path: String): Unit = {
     val (gen, upto) = current(spark, path)
     val f = fs(spark, path)
     listNames(spark, s"$path/base")
       .filter(n => n.forall(_.isDigit) && n.toLong != gen)
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/base/$n"), true))
-    committedEpochs(spark, path).filter(_ <= upto)
-      .foreach(e => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$e"), true))
+    val committed = committedEpochs(spark, path).toSet
+    listNames(spark, s"$path/deltas")
+      .filter(n => n.forall(_.isDigit) &&
+        (n.toLong <= upto || !committed.contains(n.toLong)))
+      .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$n"), true))
     listNames(spark, s"$path/gens")
       .filter(n => !n.startsWith(s"${gen}_"))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/gens/$n"), false))

@@ -182,21 +182,26 @@ object Similarity {
     * sides carry exact oracles composes into an exactly-oracled
     * evaluation.
     *
+    * The evaluation is driven from TRUTH's query set: a query the tier
+    * returned nothing for still appears, as recall@k = mrr = n_hits =
+    * 0 — an empty or partial tier output can never make an aggregate
+    * gating metric look vacuously fine. (Tier rows absent from truth —
+    * false positives — contribute nothing to any of the three metrics,
+    * so dropping them in the truth-driven join changes no value.)
+    *
     * Scale shape: both sides are |queries|·k rows — the evaluation is
-    * output-sized regardless of corpus size; the truth side broadcasts. */
-  def retrievalEval(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
-    val rel = truth.select(col("query_id"), col("vec_id"))
-      .withColumn("hit", lit(1L))
-    result.select(col("query_id"), col("vec_id"), col("rank"))
-      .join(broadcast(rel), Seq("query_id", "vec_id"), "left")
-      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+    * output-sized regardless of corpus size; the tier side broadcasts. */
+  def retrievalEval(result: DataFrame, truth: DataFrame, k: Int): DataFrame =
+    truth.select(col("query_id"), col("vec_id"))
+      .join(broadcast(result.select(col("query_id"), col("vec_id"), col("rank"))),
+        Seq("query_id", "vec_id"), "left")
+      .withColumn("hit", when(col("rank").isNotNull, lit(1L)).otherwise(lit(0L)))
       .groupBy("query_id")
       .agg(
         (sum("hit").cast("double") / lit(k)).as(s"recall_at_$k"),
         coalesce(max(when(col("hit") === 1L, lit(1.0) / col("rank"))),
           lit(0.0)).as("mrr"),
         sum("hit").cast("long").as("n_hits"))
-  }
 
   /** Product-quantization (PQ) kNN with ADC scoring — the classic
     * memory-bound ANN path: each vector compresses to `subspaces`

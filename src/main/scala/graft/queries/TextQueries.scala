@@ -363,19 +363,21 @@ object TextQueries {
     // the unmemoized full cost (the text_bpe_train_encode analogue):
     // fit the model AND score in one call — identical result (and
     // oracle) to text_dsir_weights, benched separately. The fresh fit
-    // is SWAPPED into the dsirStats memo (displacing + releasing the
-    // prior entry), so repeated passes pin exactly one 256-row stats
-    // checkpoint — storage-flat — and the returned plan stays lazy
-    // (the bench times scan+score, not a pinned corpus-sized copy;
-    // the earlier eager-output form accreted one doc-sized RDD per
-    // pass). Callers holding a lazy text_dsir_weights plan across
-    // this call re-resolve the memo on next use.
+    // is SWAPPED into the dsirStats memo; the DISPLACED entry is NOT
+    // unpersisted here — denseStats is an eager localCheckpoint with
+    // truncated lineage, so a lazy plan handed out earlier (a prior
+    // text_dsir_weights, or a previous train_score pass) would become
+    // unrecoverable if its blocks were freed under it. Displaced
+    // entries park in `retiredDsirStats` and die with their session
+    // (a 256-row frame per pass — storage stays flat in corpus size,
+    // and the returned plan stays lazy: the bench times scan+score,
+    // not a pinned corpus-sized copy).
     "text_dsir_train_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val stats = Dsir.denseStats(docs, col("lang") === "en", 256)
       val old = dsirStatsMemo.put(
         s"${s.sparkContext.applicationId}:$d", (s, stats))
-      if (old != null) graft.operators.Storage.unpersistLocalCheckpoint(old._2)
+      if (old != null) retiredDsirStats.add(old)
       Dsir.scoreAgainst(Dsir.lrFromStats(stats, 256), docs, 256)
     }),
 
@@ -780,8 +782,17 @@ object TextQueries {
   // bpeMergeMemo above (denseStats returns an eager localCheckpoint)
   private val dsirStatsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+  // stats entries displaced by text_dsir_train_score's memo swap:
+  // never unpersisted mid-session (lazy plans handed out against them
+  // may still be evaluated — localCheckpoint blocks are the ONLY copy
+  // of a lineage-truncated frame), just parked until their session
+  // stops and the blocks die with the context
+  private val retiredDsirStats =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(SparkSession, DataFrame)]()
   private[graft] def dsirStats(s: SparkSession, d: String): DataFrame = {
     dsirStatsMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    retiredDsirStats.removeIf(e => e._1.sparkContext.isStopped)
     dsirStatsMemo.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ =>
       (s, Dsir.denseStats(Tables.documents(s, d), col("lang") === "en",
         nBuckets = 256)))._2

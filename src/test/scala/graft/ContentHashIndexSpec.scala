@@ -53,7 +53,27 @@ class ContentHashIndexSpec extends AnyFunSuite {
     ContentHashIndex.gc(spark, path)
     assert(!new java.io.File(s"$path/deltas/0").exists)
     assert(new java.io.File(s"$path/epochs/0").exists)
+    // the torn epoch-2 dir (data, no marker, never replayed) is disk
+    // leak, invisible to every reader — gc reclaims it (ADVICE r11)
+    assert(!new java.io.File(s"$path/deltas/2").exists,
+      "gc left a torn (uncommitted) delta directory behind")
     assert(groupsOf(ContentHashIndex.serveGroups(spark, path)) == want)
+  }
+
+  test("a second writer racing the same index fails loudly on the marker collision") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ch_race_")
+    val path = dir.toAbsolutePath.toString
+    ContentHashIndex.write(corpus.where($"doc_id" <= 3), path)
+    // a second init against a live index = two writers with different
+    // lineages pointed at one path; the gen-0 marker already exists,
+    // so the loser must fail loudly BEFORE touching the stored data
+    val e = intercept[IllegalArgumentException] {
+      ContentHashIndex.write(corpus, path)
+    }
+    assert(e.getMessage.contains("already initialized"))
+    // the index survives the failed second writer untouched
+    assert(groupsOf(ContentHashIndex.serveGroups(spark, path)) ==
+      groupsOf(Dedup.exact(corpus.where($"doc_id" <= 3))))
   }
 
   test("probeNew reports earliest indexed copy + multiplicity, only for colliding shard docs") {

@@ -82,6 +82,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2.0 / 3, 0.5, 2L), (2L, 0.0, 0.0, 0L)))
   }
 
+  test("retrievalEval reports zeros for a query the tier returned NO rows for") {
+    // truth knows queries 1 and 3; the tier only answered query 1 —
+    // query 3 must still appear (recall = mrr = hits = 0), not vanish
+    // and make an aggregate gate look vacuously fine (ADVICE r11)
+    val result = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "vec_id", "rank")
+    val truth = Seq((1L, 10L, 1), (1L, 99L, 2), (3L, 30L, 1), (3L, 31L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Similarity.retrievalEval(result, truth, k = 2)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(got == Set((1L, 0.5, 1.0, 1L), (3L, 0.0, 0.0, 0L)))
+  }
+
   test("retrievalEval composes with real tiers: a tier evaluated against itself is perfect") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val tier = Similarity.sq8Knn(e, nQueries = 4, k = 3)
