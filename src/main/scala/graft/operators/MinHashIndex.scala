@@ -139,14 +139,36 @@ object MinHashIndex {
     * o(index) work: the index's banding rows are semi-joined against
     * the shard's broadcast bucket keys BEFORE any shuffle, so only
     * colliding buckets move; the verify join prunes the stored sets to
-    * the candidate ids the same way. The shard's fingerprints are
-    * recomputed per plan branch (keys / banding / sets) — three narrow
-    * passes over the SHARD, each o(index). */
+    * the candidate ids the same way. The shard is fingerprinted
+    * exactly ONCE: the probe plan consumes the fingerprints on three
+    * branches (bucket keys / banding union / verify sets), Spark plan
+    * branches never share work, and column pruning specializes each
+    * branch's scan so an exchange can't be reused either — so the
+    * fingerprints are an eager localCheckpoint released before return,
+    * and the RESULT comes back eagerly materialized (it is
+    * output-sized: the near-dup pairs touching the shard). Same
+    * pinned-result contract as [[Dedup.connectedComponents]]; release
+    * with [[Storage.unpersistLocalCheckpoint]] when done. */
   def probePairs(
       spark: SparkSession, path: String, newDocuments: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val (shingleN, numHashes, bands) = readMeta(spark, path)
     val newFp = fingerprints(newDocuments, shingleN, numHashes, bands)
+      .localCheckpoint(eager = true)
+    try probePairsPlan(spark, path, newFp, threshold)
+      .localCheckpoint(eager = true)
+    finally Storage.unpersistLocalCheckpoint(newFp)
+  }
+
+  /** The pure probe plan over ALREADY-MATERIALIZED shard fingerprints
+    * — factored out of [[probePairs]] (whose localCheckpointed result
+    * hides the join structure behind a LogicalRDD scan) so plan-shape
+    * tests can pin the broadcast-semi-join pruning. `newFp` is
+    * referenced on three plan branches: pass a checkpointed/persisted
+    * frame or the fingerprinting runs three times. */
+  private[graft] def probePairsPlan(
+      spark: SparkSession, path: String, newFp: DataFrame,
+      threshold: Double): DataFrame = {
     val indexFp = readAll(spark, path)
     val newBanded = banded(newFp).withColumn("is_new", lit(true))
     val keys = newBanded.select("band", "band_hash").distinct()

@@ -138,4 +138,26 @@ class MinHashIndexSpec extends AnyFunSuite {
       pairsOf(Dedup.minhashLsh(corpus)),
       "probe-then-ingest did not converge to the batch pair set")
   }
+
+  test("probePairs fingerprints the shard exactly once (one kernel pass per shard row)") {
+    // the probe plan consumes the shard fingerprints on three branches
+    // (bucket keys / banding union / verify sets); before the r12 fix
+    // each branch re-ran ShingleSet/MinHashSignature over the shard.
+    // Pinned behaviorally: a counting map on the shard source must
+    // fire once per row, total — not 3x.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_once_")
+    val path = dir.toAbsolutePath.toString
+    MinHashIndex.write(corpus.where($"doc_id" <= 4), path)
+    val acc = spark.sparkContext.longAccumulator("shard_scans")
+    val shardRows = corpus.where($"doc_id" >= 10L)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val shard = shardRows.toDS()
+      .map { r => acc.add(1); r }
+      .toDF("doc_id", "text")
+    val got = pairsOf(MinHashIndex.probePairs(spark, path, shard))
+    assert(got.map(p => (p._1, p._2)) == Set((3L, 10L), (11L, 12L)))
+    assert(acc.value == shardRows.size,
+      s"shard source evaluated ${acc.value} row-passes for " +
+        s"${shardRows.size} rows — the fingerprint pass is not single")
+  }
 }

@@ -223,17 +223,30 @@ class PlanShapeSpec extends AnyFunSuite {
     // any shuffle, and the stored sets are pruned to candidate ids
     // the same way — two broadcast LEFT SEMI joins must survive in
     // the final adaptive plan (a shuffle-side semi would scan-and-
-    // exchange the whole index per probe)
-    val qe = SparkEntry.queries("dedup_minhash_probe")(spark, TestSpark.sfDir)
-      .queryExecution
-    qe.toRdd.count()
-    val semis = walkPlan(qe.executedPlan).collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-          if j.joinType.sql == "LEFT SEMI" => j
-    }
-    assert(semis.size >= 2,
-      s"expected >=2 broadcast semi-joins, got ${semis.size}:\n" +
-        qe.executedPlan.toString.take(1500))
+    // exchange the whole index per probe). Pinned on the factored
+    // plan builder: probePairs itself returns an eagerly
+    // localCheckpointed (output-sized) result, which hides the join
+    // structure behind a LogicalRDD scan.
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_planshape_")
+    val path = dir.toAbsolutePath.toString
+    graft.operators.MinHashIndex.write(
+      docs.where(col("doc_id") % 3 =!= 2), path)
+    val newFp = graft.operators.MinHashIndex.fingerprints(
+        docs.where(col("doc_id") % 3 === 2), 3, 16, 8)
+      .localCheckpoint(true)
+    try {
+      val qe = graft.operators.MinHashIndex
+        .probePairsPlan(spark, path, newFp, 0.5).queryExecution
+      qe.toRdd.count()
+      val semis = walkPlan(qe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semis.size >= 2,
+        s"expected >=2 broadcast semi-joins, got ${semis.size}:\n" +
+          qe.executedPlan.toString.take(1500))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(newFp)
   }
 
   test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
