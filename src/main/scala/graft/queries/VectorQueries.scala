@@ -90,6 +90,33 @@ object VectorQueries {
         Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
     }),
 
+    // the full evaluation MATRIX over the remaining deterministic
+    // tiers (SQ8 de-quantized dot / PQ ADC / seed-centroid IVF), each
+    // against the same exact-cosine truth: how every multi-tier
+    // deployment decides which index answers which traffic. One
+    // retrievalEval composition per tier; every side carries an exact
+    // oracle, so each evaluation is hash-verified end to end.
+    "knn_eval_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.sq8Knn(e, nQueries = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
+    "knn_eval_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.pqKnn(e, nQueries = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
+    "knn_eval_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.ivfKnn(e, nQueries = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
     // product quantization + ADC: codes and lookup tables are exact
     // double arithmetic with deterministic tie-breaks, so the whole
     // encode→LUT→score→top-k pipeline is recomputed by the oracle.
@@ -909,6 +936,45 @@ object VectorQueries {
        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, hamming
        FROM ranked WHERE rank <= 5"""
 
+  /** knn_brute's exact-cosine ranking — the flagship truth side of
+    * every tier-vs-truth evaluation. */
+  private lazy val bruteOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  ${cosSql("q.qv", "e.embedding")} AS cos
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+
+  /** Tier-vs-truth evaluation oracle composer: the tier's own full
+    * ranking oracle and the exact-cosine truth ride as nested-WITH CTE
+    * subqueries; truth rows are marked hit when the tier surfaced
+    * them, then folded to recall@5 / MRR / n_hits. TRUTH-driven, like
+    * retrievalEval: a query the tier returned nothing for still
+    * reports zeros. Divisions are forced to DOUBLE (DuckDB's literal
+    * arithmetic is decimal-typed and would round differently). */
+  private def evalOracle(tierSql: String): String =
+    s"""WITH res AS ($tierSql),
+         tru AS ($bruteOracle),
+         marked AS (
+           SELECT t.query_id, r.rank,
+                  CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM tru t LEFT JOIN res r
+             ON r.query_id = t.query_id AND r.vec_id = t.vec_id)
+        SELECT query_id,
+               CAST(sum(hit) AS DOUBLE) / 5 AS recall_at_5,
+               coalesce(max(CASE WHEN hit = 1
+                                 THEN CAST(1 AS DOUBLE) / rank END),
+                        CAST(0 AS DOUBLE)) AS mrr,
+               CAST(sum(hit) AS BIGINT) AS n_hits
+        FROM marked GROUP BY query_id"""
+
   /** knn_maxsim oracle: the same nested-HOF MaxSim — token bags
     * vec_id-ordered, dot = left-to-right double fold, inner max
     * order-independent, outer sum left-to-right over query tokens. */
@@ -940,59 +1006,16 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5"""
 
   def oracles: Map[String, String] = Map(
-    "knn_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-           scored AS (
-             SELECT q.query_id, e.vec_id,
-                    ${cosSql("q.qv", "e.embedding")} AS cos
-             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-           ranked AS (
-             SELECT query_id, vec_id, cos,
-                    row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, vec_id ASC) AS rank
-             FROM scored)
-          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
-          FROM ranked WHERE rank <= 5""",
+    "knn_brute" -> bruteOracle,
 
-    // tier-vs-truth evaluation: replay the binary-hamming top-5 AND
-    // the exact-cosine top-5, mark hits, fold to recall@5 / MRR /
-    // n_hits. Divisions are forced to DOUBLE (DuckDB's literal
-    // arithmetic is decimal-typed and would round differently).
-    "knn_eval_binary" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-           bscored AS (
-             SELECT q.query_id, e.vec_id,
-                    CAST(len(list_filter(range(1, len(e.embedding) + 1),
-                        i -> (qv[i] > 0.0) != (e.embedding[i] > 0.0))) AS INT) AS hamming
-             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-           bres AS (
-             SELECT query_id, vec_id, rank FROM (
-               SELECT query_id, vec_id,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY hamming ASC, vec_id ASC) AS rank
-               FROM bscored) WHERE rank <= 5),
-           cscored AS (
-             SELECT q.query_id, e.vec_id,
-                    ${cosSql("q.qv", "e.embedding")} AS cos
-             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-           tru AS (
-             SELECT query_id, vec_id FROM (
-               SELECT query_id, vec_id,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, vec_id ASC) AS rank
-               FROM cscored) WHERE rank <= 5),
-           marked AS (
-             SELECT r.query_id, r.rank,
-                    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-             FROM bres r LEFT JOIN tru t
-               ON r.query_id = t.query_id AND r.vec_id = t.vec_id)
-          SELECT query_id,
-                 CAST(sum(hit) AS DOUBLE) / 5 AS recall_at_5,
-                 coalesce(max(CASE WHEN hit = 1
-                                   THEN CAST(1 AS DOUBLE) / rank END),
-                          CAST(0 AS DOUBLE)) AS mrr,
-                 CAST(sum(hit) AS BIGINT) AS n_hits
-          FROM marked GROUP BY query_id""",
+    // tier-vs-truth evaluations: wrap the tier's own full ranking
+    // oracle and the exact-cosine truth as CTE subqueries and fold to
+    // recall@5 / MRR / n_hits — one composition for every
+    // deterministic tier (see evalOracle).
+    "knn_eval_binary" -> evalOracle(binaryOracle),
+    "knn_eval_sq8" -> evalOracle(sq8Oracle),
+    "knn_eval_pq" -> evalOracle(pqSeedOracle),
+    "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
 
     "knn_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
