@@ -66,8 +66,16 @@ object ContentHashIndex {
     * hashes BEFORE the (collision-sized) aggregation. */
   def probeNew(
       spark: SparkSession, path: String,
-      newDocuments: DataFrame): DataFrame = {
-    val newFp = fingerprints(newDocuments)
+      newDocuments: DataFrame): DataFrame =
+    probeNewPlan(spark, path, fingerprints(newDocuments))
+
+  /** [[probeNew]] over PRE-COMPUTED shard fingerprints (doc_id,
+    * text_hash) — `newFp` is referenced on two plan branches (the
+    * broadcast key set and the result join), so a caller that already
+    * holds a materialized hashed frame (the admission loop) avoids
+    * re-scanning its source. */
+  private[graft] def probeNewPlan(
+      spark: SparkSession, path: String, newFp: DataFrame): DataFrame = {
     val hits = readAll(spark, path)
       .join(broadcast(newFp.select("text_hash").distinct()),
         Seq("text_hash"), "left_semi")

@@ -140,6 +140,43 @@ object TextQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // the PRODUCTION ADMISSION LOOP end-to-end: three arriving shards
+    // (epoch = doc_id % 3, augmented with re-crawled copies so the
+    // exact stage is non-vacuous — the corpus itself has no exact
+    // dups), each probed against the loop's persisted content-hash +
+    // MinHash indexes, survivors admitted under the deterministic
+    // keep-first/dominance policy and appended back into BOTH indexes
+    // (StreamingOps.admissionIngestStream's foreachBatch step, run
+    // inline). The oracle replays the whole three-epoch fold in SQL:
+    // exact keep-first vs admitted texts, then brute-force Jaccard vs
+    // admitted ∪ smaller-id shard survivors. Output: (doc_id, epoch)
+    // of every admitted doc.
+    "dedup_admission_loop" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_adm_loop_")
+      dedupIndexDirs.add(dir)
+      val path = dir.toAbsolutePath.toString
+      graft.operators.Admission.init(s, path)
+      def shard(e: Int): DataFrame = {
+        val own = docs.where(col("doc_id") % 3 === e)
+        // same-shard exact dups: every 7th doc re-keyed in ITS shard
+        val withDupes = own.unionByName(
+          docs.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        // re-crawls of the PREVIOUS shard: every 5th doc re-keyed —
+        // exact-dropped iff its original was admitted
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          docs.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + lit(1000000L * e)).as("doc_id"),
+              col("text")))
+      }
+      (0 to 2).map { e =>
+        graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e))
+          .select(col("doc_id"), lit(e.toLong).as("epoch"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // md5-bit variant so the whole pipeline (tokenize → bit votes →
     // sign vector → pigeonhole blocking → hamming join) is DuckDB-
     // hash-verified; the single-pass xxhash64 kernel path
@@ -798,6 +835,75 @@ object TextQueries {
         nBuckets = 256)))._2
   }
 
+  /** dedup_admission_loop's oracle: the three-epoch admission fold
+    * replayed from first principles. Shards are rebuilt with the same
+    * re-crawl augmentation; per epoch, the exact stage keeps the
+    * smallest doc_id per text among docs whose text is not already
+    * admitted, and the near stage drops a survivor with brute-force
+    * Jaccard ≥ 0.5 against any admitted doc or any smaller-id
+    * survivor of its own shard (the dominance rule — a rejected
+    * survivor still dominates). Fixed-seed LSH recall is total at the
+    * gate SF (measured in the dedup_minhash_lsh oracle note), so the
+    * brute-force pair set equals the engine's candidate-verified one. */
+  private lazy val admissionOracle: String = {
+    def J(x: String, y: String) =
+      s"""CAST(len(list_intersect($x.sh, $y.sh)) AS DOUBLE) /
+          (len($x.sh) + len($y.sh) - len(list_intersect($x.sh, $y.sh)))"""
+    // exact survivors of shard sN against admitted adm (empty for e0)
+    def exact(sN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $sN x
+          WHERE x.doc_id = (SELECT min(y.doc_id) FROM $sN y
+                            WHERE y.text = x.text)""" +
+        adm.map(a =>
+          s" AND NOT EXISTS (SELECT 1 FROM $a z WHERE z.text = x.text)")
+          .getOrElse("")
+    // near-dup survivors: dominance within eN + admitted blocking
+    def near(eN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $eN x
+          WHERE NOT EXISTS (SELECT 1 FROM $eN y
+                            WHERE y.doc_id < x.doc_id
+                              AND ${J("x", "y")} >= 0.5)""" +
+        adm.map(a =>
+          s""" AND NOT EXISTS (SELECT 1 FROM $a z
+                               WHERE ${J("x", "z")} >= 0.5)""")
+          .getOrElse("")
+    s"""WITH d AS (SELECT doc_id, text, ${shingleSetSql(3)} AS sh FROM documents),
+        s0 AS (
+          SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh FROM d
+          WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+        s1 AS (
+          SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh FROM d
+          WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text, sh FROM d
+          WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+        s2 AS (
+          SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh FROM d
+          WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text, sh FROM d
+          WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
+        e0 AS MATERIALIZED (${exact("s0", None)}),
+        a0 AS MATERIALIZED (${near("e0", None)}),
+        e1 AS MATERIALIZED (${exact("s1", Some("a0"))}),
+        a1 AS MATERIALIZED (${near("e1", Some("a0"))}),
+        adm1 AS MATERIALIZED (
+          SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        e2 AS MATERIALIZED (${exact("s2", Some("adm1"))}),
+        a2 AS MATERIALIZED (${near("e2", Some("adm1"))})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS epoch FROM a0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM a1
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(2 AS BIGINT) FROM a2"""
+  }
+
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
   // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)
   private def shingleSetSql(n: Int) =
@@ -1129,6 +1235,8 @@ object TextQueries {
             FROM base a JOIN base b ON a.doc_id < b.doc_id)
           SELECT a_id, b_id, round(j, 6) AS jaccard FROM p
           WHERE j >= 0.5 AND (a_id % 3 = 2 OR b_id % 3 = 2)""",
+
+    "dedup_admission_loop" -> admissionOracle,
 
     // brute-force first-principles SimHash: per-token bits from md5
     // nibbles (byte-identical across engines), frequency-weighted bit

@@ -670,6 +670,41 @@ object StreamingOps {
     lsmIngestStream("exactDedupIngestStream", documents, indexPath, options,
       graft.operators.ContentHashIndex.appendEpoch)(onBatch)
 
+  /** The full ADMISSION LOOP as a durable stream — the production
+    * composition of the dedup-index surface: each micro-batch of
+    * documents (doc_id, text) is probed against the loop's persisted
+    * content-hash and MinHash indexes, the survivors admitted under
+    * [[graft.operators.Admission]]'s deterministic policy, and the
+    * admitted docs appended back into BOTH indexes — so later batches
+    * dedup against everything admitted so far, across restarts.
+    * Every step is marker-guarded and idempotent (the admitted store
+    * is the write-ahead decision log: replayed epochs re-read the
+    * committed decision rather than re-deciding against indexes that
+    * already contain their own docs), so a kill at ANY point resumes
+    * exactly-once. `Admission.init(path)` must have run. Same lineage
+    * guard as every ingest stream. `onBatch` receives (epoch, the
+    * admitted docs of that epoch). */
+  def admissionIngestStream(
+      documents: DataFrame,
+      path: String,
+      threshold: Double = 0.5,
+      options: Map[String, String] = Map.empty)(
+      onBatch: (Long, DataFrame) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = documents.sparkSession
+    requireDurableLineage("admissionIngestStream",
+      graft.operators.Admission.committedEpochs(spark, path).lastOption,
+      path, options)
+    documents.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        onBatch(epoch, graft.operators.Admission.admitEpoch(
+          spark, path, epoch, batch.toDF(), threshold))
+        ()
+      }
+      .start()
+  }
+
   /** The shared ingest loop of the four persisted ANN tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs
     * skipped, torn segments overwritten — exactly-once), plus the
