@@ -145,6 +145,6 @@ object IvfIndex {
   /** Retire superseded generations + folded delta data (epoch commit
     * markers are kept — the replay guard). Call when no readers hold
     * lazy plans over the pre-compact snapshot. */
-  def gc(spark: SparkSession, path: String): Unit =
-    LsmSegments.gc(spark, path)
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
+    LsmSegments.gc(spark, path, retainGens)
 }

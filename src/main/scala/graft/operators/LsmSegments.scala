@@ -88,11 +88,9 @@ private[graft] object LsmSegments {
     listNames(spark, s"$path/epochs")
       .filter(_.forall(_.isDigit)).map(_.toLong).sorted
 
-  /** The current (generation, maxFoldedEpoch). Fails loudly on an
-    * uninitialized index — serving from a half-written index must
-    * never silently return empty results. */
-  def current(spark: SparkSession, path: String): (Long, Long) = {
-    val gens = listNames(spark, s"$path/gens")
+  /** All committed (generation, maxFoldedEpoch) markers. */
+  private def genMarkers(spark: SparkSession, path: String): Seq[(Long, Long)] =
+    listNames(spark, s"$path/gens")
       .flatMap { n =>
         n.split('_') match {
           case Array(g, u) if g.forall(_.isDigit) =>
@@ -100,6 +98,12 @@ private[graft] object LsmSegments {
           case _ => None
         }
       }
+
+  /** The current (generation, maxFoldedEpoch). Fails loudly on an
+    * uninitialized index — serving from a half-written index must
+    * never silently return empty results. */
+  def current(spark: SparkSession, path: String): (Long, Long) = {
+    val gens = genMarkers(spark, path)
     require(gens.nonEmpty,
       s"LsmSegments: no committed base generation under $path/gens — " +
         "the index was never initialized (or its init was torn before " +
@@ -174,30 +178,47 @@ private[graft] object LsmSegments {
     }
   }
 
-  /** Retire everything the current generation supersedes: non-current
-    * base generations, folded delta DATA (epoch ≤ upto — the epoch
-    * markers stay forever as the streaming replay guard), TORN delta
-    * directories (data written but never committed by a marker — a
-    * crashed append whose epoch was then never replayed; invisible to
-    * every reader by construction, but leaked disk until reclaimed
-    * here), and superseded generation markers. Call when no readers
-    * hold lazy plans over the old snapshot and no append is in flight
-    * (the single-writer contract: gc IS a writer, and an in-flight
-    * append's not-yet-committed delta dir is indistinguishable from a
-    * torn one). */
-  def gc(spark: SparkSession, path: String): Unit = {
-    val (gen, upto) = current(spark, path)
+  /** Retire everything the RETAINED generations supersede: older base
+    * generations, fully-folded delta DATA (epoch ≤ the OLDEST retained
+    * generation's fold point — the epoch markers stay forever as the
+    * streaming replay guard), TORN delta directories (data written but
+    * never committed by a marker — a crashed append whose epoch was
+    * then never replayed; invisible to every reader by construction,
+    * but leaked disk until reclaimed here), and superseded generation
+    * markers.
+    *
+    * `retainGens = 0` (the default) keeps only the current generation
+    * — call that form when no readers hold lazy plans over an older
+    * snapshot. `retainGens = 1` keeps the previous generation (and
+    * every committed delta its snapshot needs) alive too: the policy
+    * an ONLINE maintenance loop uses, so any reader that resolved its
+    * snapshot since the previous compaction keeps reading consistently
+    * for one more full compaction cycle. Either way gc IS a writer
+    * (the single-writer contract): an in-flight append's
+    * not-yet-committed delta dir is indistinguishable from a torn one,
+    * so gc runs between appends, never concurrent with one. */
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit = {
+    val gens = genMarkers(spark, path).sortBy(-_._1)
+    require(gens.nonEmpty,
+      s"LsmSegments: no committed base generation under $path/gens — " +
+        "nothing to gc on an uninitialized index")
+    val kept = gens.take(retainGens + 1)
+    val keptGens = kept.map(_._1).toSet
+    // uptos are monotone in gen, so the oldest retained generation
+    // bounds which folded deltas any retained snapshot still needs
+    val minUpto = kept.map(_._2).min
     val f = fs(spark, path)
     listNames(spark, s"$path/base")
-      .filter(n => n.forall(_.isDigit) && n.toLong != gen)
+      .filter(n => n.forall(_.isDigit) && !keptGens.contains(n.toLong))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/base/$n"), true))
     val committed = committedEpochs(spark, path).toSet
     listNames(spark, s"$path/deltas")
       .filter(n => n.forall(_.isDigit) &&
-        (n.toLong <= upto || !committed.contains(n.toLong)))
+        (n.toLong <= minUpto || !committed.contains(n.toLong)))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$n"), true))
     listNames(spark, s"$path/gens")
-      .filter(n => !n.startsWith(s"${gen}_"))
+      .filter(n => n.split('_').headOption.forall(g =>
+        !g.forall(_.isDigit) || !keptGens.contains(g.toLong)))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/gens/$n"), false))
   }
 }

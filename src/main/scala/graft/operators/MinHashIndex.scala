@@ -209,6 +209,6 @@ object MinHashIndex {
 
   /** Retire superseded generations + folded delta data (epoch markers
     * kept — the replay guard). */
-  def gc(spark: SparkSession, path: String): Unit =
-    LsmSegments.gc(spark, path)
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
+    LsmSegments.gc(spark, path, retainGens)
 }

@@ -82,11 +82,27 @@ object PqIndex {
   def serveAll(
       spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, salts: Int = 32): DataFrame = {
+    val (snapshot, codebook, subspaces, subDim) = openAll(spark, path)
+    serveSnapshot(snapshot, codebook, subspaces, subDim, queries, k, salts)
+  }
+
+  /** Resolve one consistent snapshot PLUS the index's fixed trained
+    * state (codebook, grid) in a single call — the handle a
+    * long-lived server (e.g. [[graft.streaming.StreamingOps.pqServeStream]])
+    * opens once and answers many query batches against. */
+  private[graft] def openAll(
+      spark: SparkSession, path: String): (DataFrame, DataFrame, Int, Int) = {
     val (subspaces, subDim) = readMeta(spark, path)
-    val luts = Similarity.pqQueryLuts(
-      queries, readCodebook(spark, path), subspaces, subDim)
+    (readAll(spark, path), readCodebook(spark, path), subspaces, subDim)
+  }
+
+  /** The serving plan over an [[openAll]] handle. */
+  private[graft] def serveSnapshot(
+      snapshot: DataFrame, codebook: DataFrame, subspaces: Int, subDim: Int,
+      queries: DataFrame, k: Int, salts: Int): DataFrame = {
+    val luts = Similarity.pqQueryLuts(queries, codebook, subspaces, subDim)
     Similarity.saltedTopK(
-      Similarity.pqAdcScore(readAll(spark, path), luts, subspaces),
+      Similarity.pqAdcScore(snapshot, luts, subspaces),
       score = "adc_dist", ascending = true, k = k, salts = salts)
   }
 
@@ -100,6 +116,6 @@ object PqIndex {
 
   /** Retire superseded generations + folded delta data (epoch markers
     * kept — the replay guard). */
-  def gc(spark: SparkSession, path: String): Unit =
-    LsmSegments.gc(spark, path)
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
+    LsmSegments.gc(spark, path, retainGens)
 }

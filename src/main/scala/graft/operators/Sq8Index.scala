@@ -53,8 +53,17 @@ object Sq8Index {
   def serveAll(
       spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, salts: Int = 32): DataFrame =
+    serveSnapshot(readAll(spark, path), queries, k, salts)
+
+  /** The serving plan over an ALREADY-RESOLVED snapshot — the seam a
+    * long-lived server (e.g. [[graft.streaming.StreamingOps.sq8ServeStream]])
+    * uses to resolve the base∪deltas snapshot once and answer many
+    * query batches against that one consistent view. */
+  private[graft] def serveSnapshot(
+      snapshot: DataFrame, queries: DataFrame,
+      k: Int, salts: Int): DataFrame =
     Similarity.saltedTopK(
-      Similarity.sq8Score(readAll(spark, path), queries),
+      Similarity.sq8Score(snapshot, queries),
       score = "dot_sq8", ascending = false, k = k, salts = salts)
 
   /** Fold committed deltas into a new base generation (marker written
@@ -67,6 +76,6 @@ object Sq8Index {
 
   /** Retire superseded generations + folded delta data (epoch markers
     * kept — the replay guard). */
-  def gc(spark: SparkSession, path: String): Unit =
-    LsmSegments.gc(spark, path)
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
+    LsmSegments.gc(spark, path, retainGens)
 }

@@ -567,12 +567,94 @@ object StreamingOps {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
     val (assigned, centroids) = graft.operators.IvfIndex.read(spark, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.Similarity.ivfServe(assigned, centroids, batch, k, nProbe))(sink)
+  }
+
+  /** [[ivfServeStream]]'s SQ8-tier sibling: micro-batches of query
+    * vectors (query_id, qv: array<float>) served against a durable
+    * [[graft.operators.Sq8Index]]. The base∪deltas snapshot is
+    * resolved ONCE at stream start (one consistent view for the
+    * stream's lifetime — restart to pick up later-ingested epochs;
+    * an ingest loop compacting with `retainGens = 1` keeps that view
+    * readable for a full compaction cycle), and each batch runs the
+    * exact batch serving plan — per-query top-k is state-free across
+    * batches, so streaming == [[graft.operators.Sq8Index.serveAll]]
+    * restricted per batch (pinned in StreamingOpsSpec). */
+  def sq8ServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      salts: Int = 32,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val snapshot = graft.operators.Sq8Index.readAll(queries.sparkSession, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.Sq8Index.serveSnapshot(snapshot, batch, k, salts))(sink)
+  }
+
+  /** [[ivfServeStream]]'s PQ-tier sibling: micro-batches of query
+    * vectors (query_id, q: array<float>) served against a durable
+    * [[graft.operators.PqIndex]]. Snapshot AND trained state
+    * (codebook, grid) resolve once at stream start; per batch the
+    * standard ADC pipeline runs — LUTs built from the fixed codebook,
+    * broadcast, codes never shuffled. */
+  def pqServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      salts: Int = 32,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (snapshot, codebook, subspaces, subDim) =
+      graft.operators.PqIndex.openAll(queries.sparkSession, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.PqIndex.serveSnapshot(
+        snapshot, codebook, subspaces, subDim, batch, k, salts))(sink)
+  }
+
+  /** [[ivfServeStream]]'s binary-tier sibling: micro-batches of
+    * PACKED queries (query_id, qsig: array<long> — pack with the
+    * index's own sign-bit representation) served against a durable
+    * [[graft.operators.BinaryIndex]]; snapshot resolved once, XOR+
+    * popcount per candidate per batch. */
+  def binaryServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      salts: Int = 32,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val snapshot = graft.operators.BinaryIndex.readAll(queries.sparkSession, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.BinaryIndex.serveSnapshot(snapshot, batch, k, salts))(sink)
+  }
+
+  /** Shared scaffolding of the four ANN serve streams: `foreachBatch`
+    * running a BATCH serving plan per micro-batch (the honest
+    * composition — per-query top-k is state-free across batches, so
+    * this is semantically exact where a streaming window/rank would
+    * be rejected by the planner in append mode), with the writeStream
+    * pass-throughs a serving deployment needs. Index relations load
+    * once, outside this helper, and are reused every batch. */
+  private def serveStream(
+      queries: DataFrame,
+      options: Map[String, String],
+      queryName: Option[String],
+      trigger: Option[org.apache.spark.sql.streaming.Trigger])(
+      serve: DataFrame => DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = queries.writeStream
       .outputMode("append")
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Similarity.ivfServe(
-          assigned, centroids, batch.toDF(), k, nProbe))
+        sink(serve(batch.toDF()))
         ()
       }
     queryName.foreach(writer.queryName)
@@ -587,9 +669,18 @@ object StreamingOps {
     * skipped, torn segments overwritten), so
     * [[graft.operators.IvfIndex.serveAll]] picks the new vectors up
     * immediately with no retrain and exactly-once semantics. The
-    * ingest-time sibling of [[ivfServeStream]]; run
-    * [[graft.operators.IvfIndex.compact]] offline to fold deltas back
-    * into the base segment.
+    * ingest-time sibling of [[ivfServeStream]].
+    *
+    * Maintenance: with `compactEvery = 0` (default) deltas accrete
+    * until an offline [[graft.operators.IvfIndex.compact]]; a
+    * LONG-RUNNING ingest should pass `compactEvery = N` so the loop
+    * folds deltas into a new base generation whenever ≥ N unfolded
+    * epochs have committed — otherwise read cost grows linearly in
+    * epochs. In-loop gc retains ONE superseded generation
+    * (`retainGens = 1`), so any reader that resolved its snapshot
+    * since the previous compaction keeps reading consistently for a
+    * full further compaction cycle while the stream compacts under
+    * it (pinned in StreamingOpsSpec).
     *
     * Lineage pairing: the index's epoch markers are only meaningful
     * relative to ONE streaming checkpoint lineage (epoch ids restart
@@ -601,10 +692,15 @@ object StreamingOps {
   def ivfIngestStream(
       vectors: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("ivfIngestStream", vectors, indexPath, options,
-      graft.operators.IvfIndex.appendEpoch)(onBatch)
+      graft.operators.IvfIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.IvfIndex.compact(vectors.sparkSession, indexPath)
+        graft.operators.IvfIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** [[ivfIngestStream]]'s SQ8-tier sibling: each micro-batch is
     * quantized ([[graft.operators.Sq8Index.appendEpoch]] — a pure
@@ -613,10 +709,15 @@ object StreamingOps {
   def sq8IngestStream(
       vectors: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("sq8IngestStream", vectors, indexPath, options,
-      graft.operators.Sq8Index.appendEpoch)(onBatch)
+      graft.operators.Sq8Index.appendEpoch, compactEvery,
+      () => {
+        graft.operators.Sq8Index.compact(vectors.sparkSession, indexPath)
+        graft.operators.Sq8Index.gc(vectors.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** [[ivfIngestStream]]'s PQ-tier sibling: each micro-batch is
     * encoded against the index's FIXED stored codebook
@@ -625,10 +726,15 @@ object StreamingOps {
   def pqIngestStream(
       vectors: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("pqIngestStream", vectors, indexPath, options,
-      graft.operators.PqIndex.appendEpoch)(onBatch)
+      graft.operators.PqIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.PqIndex.compact(vectors.sparkSession, indexPath)
+        graft.operators.PqIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** [[ivfIngestStream]]'s binary-tier sibling: each micro-batch is
     * sign-bit packed ([[graft.operators.BinaryIndex.appendEpoch]] — a
@@ -637,10 +743,15 @@ object StreamingOps {
   def binaryIngestStream(
       vectors: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("binaryIngestStream", vectors, indexPath, options,
-      graft.operators.BinaryIndex.appendEpoch)(onBatch)
+      graft.operators.BinaryIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.BinaryIndex.compact(vectors.sparkSession, indexPath)
+        graft.operators.BinaryIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** [[ivfIngestStream]]'s dedup sibling: each micro-batch of
     * documents (doc_id, text) is fingerprinted against the index's
@@ -651,10 +762,15 @@ object StreamingOps {
   def minhashIngestStream(
       documents: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("minhashIngestStream", documents, indexPath, options,
-      graft.operators.MinHashIndex.appendEpoch)(onBatch)
+      graft.operators.MinHashIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.MinHashIndex.compact(documents.sparkSession, indexPath)
+        graft.operators.MinHashIndex.gc(documents.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** [[minhashIngestStream]]'s exact-dedup sibling: each micro-batch
     * of documents is content-hashed
@@ -665,10 +781,15 @@ object StreamingOps {
   def exactDedupIngestStream(
       documents: DataFrame,
       indexPath: String,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("exactDedupIngestStream", documents, indexPath, options,
-      graft.operators.ContentHashIndex.appendEpoch)(onBatch)
+      graft.operators.ContentHashIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.ContentHashIndex.compact(documents.sparkSession, indexPath)
+        graft.operators.ContentHashIndex.gc(documents.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
 
   /** The full ADMISSION LOOP as a durable stream — the production
     * composition of the dedup-index surface: each micro-batch of
@@ -705,16 +826,27 @@ object StreamingOps {
       .start()
   }
 
-  /** The shared ingest loop of the four persisted ANN tiers: one
+  /** The shared ingest loop of the six persisted index tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs
     * skipped, torn segments overwritten — exactly-once), plus the
-    * lineage-pairing fail-fast. */
+    * lineage-pairing fail-fast, plus threshold-triggered maintenance:
+    * after a batch commits, if ≥ `compactEvery` > 0 committed epochs
+    * are unfolded, `maintain` runs (the tier's compact + a gc that
+    * RETAINS one superseded generation, so concurrent readers on the
+    * previous snapshot stay consistent through the swap). The
+    * maintenance runs inside the single ingest writer, between
+    * appends — exactly the window the [[graft.operators.LsmSegments]]
+    * single-writer contract carves out for it; a replayed epoch never
+    * triggers it (nothing new committed). Driver-side metadata only —
+    * the check is two directory listings per batch. */
   private def lsmIngestStream(
       name: String,
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String],
-      appendEpoch: (SparkSession, String, Long, DataFrame) => Boolean)(
+      appendEpoch: (SparkSession, String, Long, DataFrame) => Boolean,
+      compactEvery: Int = 0,
+      maintain: () => Unit = () => ())(
       onBatch: (Long, Boolean) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     val committed = graft.operators.LsmSegments.committedEpochs(spark, indexPath)
@@ -729,7 +861,14 @@ object StreamingOps {
       .outputMode("append")
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        onBatch(epoch, appendEpoch(spark, indexPath, epoch, batch.toDF()))
+        val appended = appendEpoch(spark, indexPath, epoch, batch.toDF())
+        if (appended && compactEvery > 0) {
+          val (_, upto) = graft.operators.LsmSegments.current(spark, indexPath)
+          val unfolded = graft.operators.LsmSegments
+            .committedEpochs(spark, indexPath).count(_ > upto)
+          if (unfolded >= compactEvery) maintain()
+        }
+        onBatch(epoch, appended)
         ()
       }
       .start()

@@ -38,7 +38,10 @@ object ScaleProbe {
     "knn_ivf_persisted", "dedup_spans_clean", "dedup_minhash_lsh",
     "text_bpe_train_encode",
     "text_dsir_weights", "text_dsir_sample", "knn_hard_negatives",
-    "dedup_minhash_delta", "dedup_minhash_probe", "knn_maxsim")
+    "dedup_minhash_delta", "dedup_minhash_probe", "knn_maxsim",
+    "dedup_exact_delta", "dedup_exact_probe",
+    "knn_ivf_delta", "knn_sq8_delta", "knn_pq_delta", "knn_binary_delta",
+    "dedup_admission_loop")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1370,6 +1370,157 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SQ8/PQ/binary serve equals each tier's batch index serve per micro-batch") {
+    // the three serve-stream siblings of ivfServeStream: query vectors
+    // arriving over two micro-batches against each persisted tier must
+    // produce exactly the batch serveAll rows for the union of queries
+    // (per-query top-k is state-free across batches). The snapshot +
+    // trained state resolve once at stream start.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+
+    def runServe[T: org.apache.spark.sql.Encoder](
+        queryRows: Seq[T], chk: String,
+        start: (org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame => Unit) =>
+          org.apache.spark.sql.streaming.StreamingQuery,
+        toDF: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Int, Double)] = {
+      val mem = MemoryStream[T]
+      val served = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+      val q = start(toDF(mem.toDF()), { out =>
+        served.synchronized { served ++= out.as[(Long, Long, Int, Double)].collect() }
+      })
+      try {
+        mem.addData(queryRows.take(3): _*); q.processAllAvailable()
+        mem.addData(queryRows.drop(3): _*); q.processAllAvailable()
+      } finally q.stop()
+      served.sortBy(r => (r._1, r._3)).toSeq
+    }
+    def want(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // SQ8: raw float queries (query_id, qv)
+    val sq8Path = java.nio.file.Files.createTempDirectory("graft_sq8_srv").toString
+    graft.operators.Sq8Index.write(e, sq8Path)
+    val floatQs = e.where($"vec_id" < 6)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val sq8Chk = java.nio.file.Files.createTempDirectory("graft_sq8_srv_chk").toString
+    val sq8Got = runServe[(Long, Seq[Float])](floatQs, sq8Chk,
+      (qdf, sink) => StreamingOps.sq8ServeStream(qdf, sq8Path, k = 5,
+        options = Map("checkpointLocation" -> sq8Chk),
+        queryName = Some("sq8_serve_test"))(sink),
+      _.toDF("query_id", "qv"))
+    val sq8Want = want(graft.operators.Sq8Index.serveAll(spark, sq8Path,
+      e.where($"vec_id" < 6).select($"vec_id".as("query_id"), $"embedding".as("qv")), k = 5))
+    assert(sq8Got == sq8Want && sq8Got.nonEmpty, "sq8ServeStream diverged from batch serveAll")
+    assert(new java.io.File(s"$sq8Chk/commits").list().nonEmpty,
+      "checkpointLocation option did not reach the streaming writer")
+
+    // PQ: raw float queries (query_id, q) against the stored codebook
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pq_srv").toString
+    val cb = e.where($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cw_k"), $"embedding".as("cw"))
+    graft.operators.PqIndex.write(e, cb, pqPath)
+    val pqGot = runServe[(Long, Seq[Float])](floatQs,
+      java.nio.file.Files.createTempDirectory("graft_pq_srv_chk").toString,
+      (qdf, sink) => StreamingOps.pqServeStream(qdf, pqPath, k = 5)(sink),
+      _.toDF("query_id", "q"))
+    val pqWant = want(graft.operators.PqIndex.serveAll(spark, pqPath,
+      e.where($"vec_id" < 6).select($"vec_id".as("query_id"), $"embedding".as("q")), k = 5))
+    assert(pqGot == pqWant && pqGot.nonEmpty, "pqServeStream diverged from batch serveAll")
+
+    // binary: PACKED queries (query_id, qsig)
+    val binPath = java.nio.file.Files.createTempDirectory("graft_bin_srv").toString
+    graft.operators.BinaryIndex.write(e, binPath)
+    val packedQs = graft.operators.Similarity.binarySignatures(e.where($"vec_id" < 6))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val binGot = runServe[(Long, Seq[Long])](packedQs,
+      java.nio.file.Files.createTempDirectory("graft_bin_srv_chk").toString,
+      (qdf, sink) => StreamingOps.binaryServeStream(qdf, binPath, k = 5)(sink),
+      _.toDF("query_id", "qsig"))
+    val binWant = want(graft.operators.BinaryIndex.serveAll(spark, binPath,
+      graft.operators.Similarity.binarySignatures(e.where($"vec_id" < 6))
+        .select($"vec_id".as("query_id"), $"sig".as("qsig")), k = 5))
+    assert(binGot == binWant && binGot.nonEmpty, "binaryServeStream diverged from batch serveAll")
+  }
+
+  test("ingest loop auto-compacts past the epoch threshold; readers on the retained generation stay consistent") {
+    // compactEvery = 2 on a streaming SQ8 ingest: every second
+    // committed epoch folds the deltas into a new base generation and
+    // gc's with retainGens = 1 — so a reader that resolved its
+    // snapshot since the PREVIOUS compaction keeps reading one more
+    // full cycle while the stream compacts under it, and only the
+    // generation two swaps old is retired.
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_ac").toString
+    graft.operators.Sq8Index.write(e.where($"vec_id" % 3 === 0), path)
+    val rest = e.where($"vec_id" % 3 =!= 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val chunks = rest.grouped((rest.length + 3) / 4).toSeq
+    assert(chunks.size == 4, s"need 4 micro-batches, got ${chunks.size}")
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def serveNow() = graft.operators.Sq8Index.serveAll(spark, path, queries, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    def dirNames(sub: String) = {
+      val d = new java.io.File(s"$path/$sub")
+      Option(d.list()).map(_.filterNot(_.startsWith(".")).toSet)
+        .getOrElse(Set.empty[String])
+    }
+
+    // a serving reader resolves its (base-gen-0-only) snapshot BEFORE
+    // the stream starts — it must survive the first compact+gc cycle
+    val reader0 = serveNow()
+    val reader0Before = rows(reader0)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val chk = java.nio.file.Files.createTempDirectory("graft_sq8_ac_chk").toString
+    val q = StreamingOps.sq8IngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), path,
+      options = Map("checkpointLocation" -> chk), compactEvery = 2)()
+    try {
+      mem.addData(chunks(0).toSeq: _*); q.processAllAvailable()
+      mem.addData(chunks(1).toSeq: _*); q.processAllAvailable()
+      // first threshold hit: epochs {0,1} folded into generation 1,
+      // gc retained generation 0 for in-flight readers
+      assert(graft.operators.LsmSegments.current(spark, path) == (1L, 1L),
+        s"first compaction did not fire: ${dirNames("gens")}")
+      assert(dirNames("base") == Set("0", "1"), s"base dirs: ${dirNames("base")}")
+      assert(rows(reader0) == reader0Before && reader0Before.nonEmpty,
+        "pre-compaction reader lost its snapshot after compact+gc(retain=1)")
+
+      // a reader resolved on generation 1 must survive the NEXT cycle
+      val reader1 = serveNow()
+      val reader1Before = rows(reader1)
+      mem.addData(chunks(2).toSeq: _*); q.processAllAvailable()
+      mem.addData(chunks(3).toSeq: _*); q.processAllAvailable()
+      assert(graft.operators.LsmSegments.current(spark, path) == (2L, 3L),
+        s"second compaction did not fire: ${dirNames("gens")}")
+      // retainGens = 1: generations {2, 1} kept, generation 0 retired;
+      // delta DATA folded into the oldest retained snapshot's fold
+      // point (epoch <= 1) retired, epochs {2,3} kept for gen-1
+      // readers; ALL epoch markers stay as the replay guard
+      assert(dirNames("base") == Set("1", "2"), s"base dirs: ${dirNames("base")}")
+      assert(dirNames("deltas") == Set("2", "3"), s"delta dirs: ${dirNames("deltas")}")
+      assert(dirNames("epochs") == Set("0", "1", "2", "3"),
+        s"epoch markers must outlive compaction: ${dirNames("epochs")}")
+      assert(rows(reader1) == reader1Before,
+        "gen-1 reader lost its snapshot after the second compact+gc cycle")
+    } finally q.stop()
+
+    // the fully-maintained index still serves the exact union
+    val got = rows(serveNow())
+    val wantAll = rows(graft.operators.Similarity.sq8Knn(e, nQueries = 4, k = 5))
+    assert(got == wantAll && got.nonEmpty,
+      "auto-compacted index diverges from the in-memory operator over the union")
+  }
+
   test("reference join pipeline: batch and streaming plans agree on schema") {
     val batch = Seq(("k", "v")).toDF("key", "value")
     val streamed = {
