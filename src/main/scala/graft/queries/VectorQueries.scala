@@ -214,6 +214,36 @@ object VectorQueries {
         k = 5)
     }),
 
+    // ...and that tier's full MAINTENANCE cycle executed at the
+    // correctness gate: the same base + two committed delta epochs,
+    // but compacted (deltas folded into base generation 1, marker
+    // written last) and gc'd (superseded generation-0 data and folded
+    // delta data retired; epoch markers kept as the replay guard)
+    // BEFORE serving — the post-compaction serve must still be
+    // bit-identical to the in-memory operator over the union. This is
+    // the path a long-running ingest takes every compactEvery epochs.
+    "knn_sq8_compact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sq8_cpt_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.Sq8Index.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        path)
+      graft.operators.Sq8Index.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.Sq8Index.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.Sq8Index.compact(s, path)
+      graft.operators.Sq8Index.gc(s, path)
+      graft.operators.Sq8Index.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        k = 5)
+    }),
+
     // ...and the PQ tier: the seed codebook is persisted ONCE, the
     // base codes come from two thirds of the corpus, and the delta
     // epochs are ENCODED AGAINST THE STORED CODEBOOK (train once,
@@ -1058,6 +1088,7 @@ object VectorQueries {
 
     "knn_sq8" -> sq8Oracle,
     "knn_sq8_delta" -> sq8Oracle,
+    "knn_sq8_compact" -> sq8Oracle,
 
     "knn_sq8_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
