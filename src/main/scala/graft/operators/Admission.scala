@@ -172,16 +172,26 @@ object Admission {
   def committedEpochs(spark: SparkSession, path: String): Seq[Long] =
     LsmSegments.committedEpochs(spark, store(path, "admitted"))
 
-  /** Maintenance: fold + retire all three stores. Run in a window
-    * when the ingest stream is stopped (see the class contract). */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** Maintenance: fold + retire all three stores. With the default
+    * `retainGens = 0`, run in a window when the ingest stream is
+    * stopped (see the class contract). `retainGens = 1` is the
+    * IN-LOOP policy ([[graft.streaming.StreamingOps.admissionIngestStream]]'s
+    * `compactEvery`): one superseded generation per store stays alive,
+    * so (a) concurrent read-only consumers of [[admittedAll]] keep
+    * their snapshot for a full further cycle, and (b) the most recent
+    * epoch's admitted delta segment — the decision a crash-replay of
+    * that epoch re-reads — always outlives at least one compaction
+    * (its data is only retired once a LATER generation has folded it,
+    * by which point the stream checkpoint has committed the epoch and
+    * it can never replay). */
+  def compact(spark: SparkSession, path: String, retainGens: Int = 0): Unit = {
     LsmSegments.compact(spark, store(path, "admitted"),
       load = ps => ps.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
       write = (df, p) => df.write.mode("overwrite").parquet(p))
-    LsmSegments.gc(spark, store(path, "admitted"))
+    LsmSegments.gc(spark, store(path, "admitted"), retainGens)
     ContentHashIndex.compact(spark, store(path, "exact"))
-    ContentHashIndex.gc(spark, store(path, "exact"))
+    ContentHashIndex.gc(spark, store(path, "exact"), retainGens)
     MinHashIndex.compact(spark, store(path, "neardup"))
-    MinHashIndex.gc(spark, store(path, "neardup"))
+    MinHashIndex.gc(spark, store(path, "neardup"), retainGens)
   }
 }

@@ -809,7 +809,12 @@ object StreamingOps {
       documents: DataFrame,
       path: String,
       threshold: Double = 0.5,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      // > 0: fold all three stores whenever this many committed
+      // epochs are unfolded in the admitted store, gc'ing with
+      // retainGens = 1 — same in-loop maintenance policy (and same
+      // safety argument) as lsmIngestStream's compactEvery
+      compactEvery: Int = 0)(
       onBatch: (Long, DataFrame) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = documents.sparkSession
     requireDurableLineage("admissionIngestStream",
@@ -821,6 +826,17 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         onBatch(epoch, graft.operators.Admission.admitEpoch(
           spark, path, epoch, batch.toDF(), threshold))
+        if (compactEvery > 0) {
+          // admitEpoch returned, so ALL THREE stores have committed
+          // this epoch — the between-appends window the single-writer
+          // contract carves out for maintenance
+          val (_, upto) = graft.operators.LsmSegments
+            .current(spark, s"$path/admitted")
+          val unfolded = graft.operators.Admission
+            .committedEpochs(spark, path).count(_ > upto)
+          if (unfolded >= compactEvery)
+            graft.operators.Admission.compact(spark, path, retainGens = 1)
+        }
         ()
       }
       .start()

@@ -144,6 +144,44 @@ class AdmissionSpec extends AnyFunSuite {
     assert(MinHashIndex.servePairs(spark, s"$loop/neardup").isEmpty)
   }
 
+  test("streamed loop with compactEvery folds all three stores mid-stream without changing admissions") {
+    // in-loop maintenance: with compactEvery = 2 the threshold fires
+    // after epoch 1 (two unfolded epochs), folding admitted + exact +
+    // neardup into generation 1 while the stream keeps running —
+    // epoch 2 is then decided against the COMPACTED indexes and must
+    // admit exactly what the uncompacted batch fold admits.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_adm_autocpt_").toString
+    val (src, ckpt, loop) = (s"$base/src", s"$base/chk", s"$base/loop")
+    Admission.init(spark, loop)
+    val perEpoch =
+      scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    shard0.coalesce(1).write.mode("append").parquet(src)
+    shard1.coalesce(1).write.mode("append").parquet(src)
+    shard2.coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingOps.admissionIngestStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      loop, options = Map("checkpointLocation" -> ckpt),
+      compactEvery = 2) { (ep, admitted) =>
+      perEpoch(ep) = admittedIds(admitted)
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(perEpoch.toMap == wantByEpoch, s"admissions diverged: $perEpoch")
+    for (s <- Seq("admitted", "exact", "neardup")) {
+      // threshold fired exactly once, after epoch 1; epoch 2 is the
+      // one unfolded delta awaiting the next cycle
+      assert(LsmSegments.current(spark, s"$loop/$s") == (1L, 1L),
+        s"store $s did not fold: ${LsmSegments.current(spark, s"$loop/$s")}")
+      // epoch markers survive the in-loop gc as the replay guard
+      assert(LsmSegments.committedEpochs(spark, s"$loop/$s") ==
+        Seq(0L, 1L, 2L), s"store $s lost epoch markers")
+    }
+    assert(admittedIds(Admission.admittedAll(spark, loop)) ==
+      wantByEpoch.values.flatten.toSet)
+    assert(MinHashIndex.servePairs(spark, s"$loop/neardup").isEmpty)
+  }
+
   test("an un-initialized loop fails loudly instead of admitting into thin air") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_adm_uninit_").toString
