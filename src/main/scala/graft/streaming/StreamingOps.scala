@@ -636,6 +636,61 @@ object StreamingOps {
       graft.operators.BinaryIndex.serveSnapshot(snapshot, batch, k, salts))(sink)
   }
 
+  /** Read-only SCREENING stream over a persisted exact-dedup index:
+    * each micro-batch of documents (doc_id, text) is probed against
+    * the index ([[graft.operators.ContentHashIndex.probeNew]]) and
+    * the hits — (doc_id, earliest indexed copy, indexed multiplicity)
+    * — handed to `sink`. The serving-side counterpart of
+    * [[admissionIngestStream]] when this consumer only FLAGS (another
+    * party owns admission): it never writes, so any number of
+    * screening streams run beside the single ingest writer.
+    *
+    * Unlike the ANN serve streams (one fixed snapshot for the stream's
+    * lifetime), the index snapshot here resolves PER BATCH — two
+    * directory listings of driver metadata — so every batch screens
+    * against the freshest committed state while a concurrent ingest
+    * appends; marker-last commits mean a batch never sees a torn
+    * segment. probeNew is per-document against the index, so the
+    * streamed union equals the batch probe of the union (pinned in
+    * StreamingOpsSpec). */
+  def exactProbeStream(
+      documents: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = documents.sparkSession
+    serveStream(documents, options, queryName, trigger)(batch =>
+      graft.operators.ContentHashIndex.probeNew(spark, indexPath, batch))(sink)
+  }
+
+  /** [[exactProbeStream]]'s near-dup sibling: each micro-batch is a
+    * SHARD screened independently —
+    * [[graft.operators.MinHashIndex.probePairs]] emits every verified
+    * near-dup pair touching the batch (against the indexed corpus ∪
+    * the batch itself; cross-batch batch-to-batch pairs are by design
+    * absent — a screening consumer that needs those is an admission
+    * loop and should run [[admissionIngestStream]], which appends
+    * survivors so later shards see them). Per-batch results are
+    * eagerly materialized by probePairs' pinned-result contract and
+    * released after `sink` returns. Snapshot-per-batch like the exact
+    * sibling. */
+  def minhashProbeStream(
+      documents: DataFrame,
+      indexPath: String,
+      threshold: Double = 0.5,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = documents.sparkSession
+    serveStream(documents, options, queryName, trigger,
+      release = graft.operators.Storage.unpersistLocalCheckpoint)(batch =>
+      graft.operators.MinHashIndex.probePairs(
+        spark, indexPath, batch, threshold))(sink)
+  }
+
   /** Shared scaffolding of the four ANN serve streams: `foreachBatch`
     * running a BATCH serving plan per micro-batch (the honest
     * composition — per-query top-k is state-free across batches, so
@@ -647,14 +702,19 @@ object StreamingOps {
       queries: DataFrame,
       options: Map[String, String],
       queryName: Option[String],
-      trigger: Option[org.apache.spark.sql.streaming.Trigger])(
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      // called after `sink` returns — the seam for serves whose per-
+      // batch result is eagerly materialized and must be released
+      // (probePairs' pinned-result contract)
+      release: DataFrame => Unit = _ => ())(
       serve: DataFrame => DataFrame)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = queries.writeStream
       .outputMode("append")
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(serve(batch.toDF()))
+        val out = serve(batch.toDF())
+        try sink(out) finally release(out)
         ()
       }
     queryName.foreach(writer.queryName)

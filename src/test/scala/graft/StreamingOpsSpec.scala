@@ -1521,6 +1521,74 @@ class StreamingOpsSpec extends AnyFunSuite {
       "auto-compacted index diverges from the in-memory operator over the union")
   }
 
+  test("screening probe streams equal the batch probes (exact union law; minhash per-shard law)") {
+    // read-only serving of the dedup indexes: a stream that FLAGS
+    // against a fixed indexed corpus without admitting. probeNew is
+    // per-document, so the union of streamed hits equals one batch
+    // probe of the union; probePairs screens each micro-batch as an
+    // independent shard, so each batch's pairs equal the batch
+    // operator on that shard.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val idxDocs = docs.where($"doc_id" % 2 === 0)
+    val exPath = java.nio.file.Files.createTempDirectory("graft_ex_scr").toString
+    val mhPath = java.nio.file.Files.createTempDirectory("graft_mh_scr").toString
+    graft.operators.ContentHashIndex.write(idxDocs, exPath)
+    graft.operators.MinHashIndex.write(idxDocs, mhPath)
+    // re-crawl: re-keyed copies of every 4th doc — all collide with
+    // the indexed even half by construction
+    val recrawl = docs.where($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (h1, h2) = recrawl.splitAt(recrawl.length / 2)
+    assert(h1.nonEmpty && h2.nonEmpty, "need two non-empty batches")
+
+    // exact screening: streamed hit union == batch probe of the union
+    val mem = MemoryStream[(Long, String)]
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamingOps.exactProbeStream(
+      mem.toDF().toDF("doc_id", "text"), exPath) { out =>
+      hits.synchronized { hits ++= out.as[(Long, Long, Long)].collect() }
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val wantExact = graft.operators.ContentHashIndex.probeNew(
+      spark, exPath, recrawl.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits.toSet == wantExact && wantExact.nonEmpty,
+      s"exact screening diverged: ${hits.size} vs ${wantExact.size}")
+
+    // minhash screening: each micro-batch == batch probePairs on that shard
+    val mem2 = MemoryStream[(Long, String)]
+    val pairsSeen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q2 = StreamingOps.minhashProbeStream(
+      mem2.toDF().toDF("doc_id", "text"), mhPath) { out =>
+      pairsSeen.synchronized {
+        pairsSeen ++= out.select("a_id", "b_id", "jaccard")
+          .as[(Long, Long, Double)].collect()
+      }
+    }
+    def batchPairs(shard: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+      val r = graft.operators.MinHashIndex.probePairs(
+        spark, mhPath, shard.toDF("doc_id", "text"))
+      try r.select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      finally graft.operators.Storage.unpersistLocalCheckpoint(r)
+    }
+    try {
+      mem2.addData(h1: _*); q2.processAllAvailable()
+      val want1 = batchPairs(h1)
+      assert(pairsSeen.toSet == want1 && want1.nonEmpty,
+        s"shard-1 screening diverged: ${pairsSeen.size} vs ${want1.size}")
+      mem2.addData(h2: _*); q2.processAllAvailable()
+      assert(pairsSeen.toSet == want1 ++ batchPairs(h2),
+        "shard-2 screening diverged")
+    } finally q2.stop()
+  }
+
   test("reference join pipeline: batch and streaming plans agree on schema") {
     val batch = Seq(("k", "v")).toDF("key", "value")
     val streamed = {
