@@ -131,6 +131,57 @@ object IvfIndex {
     Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
   }
 
+  /** Semantic admission probe — SemDeDup at INGEST time, the
+    * embedding analogue of [[MinHashIndex.probePairs]]: for a new
+    * shard of vectors (vec_id, embedding — ids disjoint from the
+    * index), every (indexed, shard) and (shard, shard) pair whose two
+    * sides land in the SAME inverted list (assignment against the
+    * index's FIXED trained centroids) with cosine ≥ `threshold`. An
+    * admission loop drops the shard side of each pair before the
+    * vectors enter a training corpus; index-index pairs are excluded
+    * by construction (they were screened when THEY were admitted).
+    *
+    * o(index) per probe: candidate generation is cluster-blocked —
+    * the shard's (at most |shard|) assigned c_ids broadcast, and with
+    * the c_id-partitioned on-disk layout the broadcast join's c_id
+    * filter reaches the parquet source as a partition filter, so
+    * un-touched inverted lists are never read (the same pruning
+    * [[serve]] relies on, here keyed by the shard's clusters). The
+    * corpus is never shuffled; within-shard pairs are a broadcast
+    * self-join. The shard assignment is computed ONCE (eager
+    * localCheckpoint — it feeds three plan branches) and the result
+    * comes back eagerly materialized (it is output-sized); release
+    * with [[Storage.unpersistLocalCheckpoint]]. */
+  def probeSemantic(
+      spark: SparkSession, path: String, newVectors: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val shard = Similarity.ivfAssign(newVectors, centroids)
+      .localCheckpoint(eager = true)
+    try {
+      val (all, _) = readAll(spark, path)
+      val crossPairs = all
+        .join(broadcast(shard.select(col("c_id"),
+          col("vec_id").as("s_id"), col("embedding").as("s_v"))), "c_id")
+        .select(
+          least(col("vec_id"), col("s_id")).as("a_id"),
+          greatest(col("vec_id"), col("s_id")).as("b_id"),
+          cosine(col("embedding"), col("s_v")).as("cos"))
+        .where(col("cos") >= threshold)
+      val withinPairs = shard
+        .select(col("c_id"), col("vec_id").as("a_id"),
+          col("embedding").as("a_v"))
+        .join(broadcast(shard.select(col("c_id"),
+          col("vec_id").as("b_id"), col("embedding").as("b_v"))), "c_id")
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosine(col("a_v"), col("b_v")).as("cos"))
+        .where(col("cos") >= threshold)
+      crossPairs.unionByName(withinPairs).localCheckpoint(eager = true)
+    } finally Storage.unpersistLocalCheckpoint(shard)
+  }
+
   /** Fold the committed deltas into a NEW base generation (the LSM
     * compaction): writes `base/<gen+1>` from the merged snapshot, then
     * commits the generation marker — readers interleaved between the

@@ -271,6 +271,32 @@ object VectorQueries {
         k = 5)
     }),
 
+    // the embedding-space admission probe (SemDeDup at ingest time —
+    // IvfIndex.probeSemantic): a re-crawl shard re-keyed high, probed
+    // against the persisted IVF index holding the FULL corpus (base
+    // 2/3 + one committed delta epoch — the probe unions the live
+    // snapshot exactly like serving does). Output = every
+    // same-inverted-list pair touching the shard at cos ≥ 0.95; the
+    // re-keyed exact copies guarantee non-vacuity at every SF
+    // (cos(copy, original) folds to the same double on both engines
+    // and the copy lands in its original's inverted list).
+    "dedup_semantic_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_sem_probe_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfIndex.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        seeds, path)
+      graft.operators.IvfIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2).select(col("vec_id"), col("embedding")))
+      graft.operators.IvfIndex.probeSemantic(s, path,
+        e.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    }),
+
     // ...and the binary tier: sign-bit packed signatures (pure
     // per-vector packing, like SQ8's quantize), hamming serving over
     // base ∪ deltas — bit-identical to knn_binary over the union.
@@ -1152,6 +1178,40 @@ object VectorQueries {
     // ...and so must the base∪delta-segment (LSM ingest) view: the
     // per-vector assignment is segment-independent
     "knn_ivf_delta" -> ivfSeedOracle,
+
+    // the semantic admission probe replayed from first principles:
+    // assign corpus and re-keyed shard against the seed centroids
+    // (same argmax + smaller-c_id tie-break), then every same-cluster
+    // pair touching the shard at cos ≥ 0.95 — cross pairs oriented
+    // least/greatest (shard ids are strictly larger), within-shard
+    // pairs a < b, cosine argument order matching the engine's
+    "dedup_semantic_probe" ->
+      s"""WITH c AS (
+            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+          ia AS (
+            SELECT vec_id, embedding, c_id FROM (
+              SELECT e.vec_id, e.embedding, c.c_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+              FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+          sa AS (
+            SELECT vec_id, embedding, c_id FROM (
+              SELECT s.vec_id + 1000000 AS vec_id, s.embedding, c.c_id,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${cosSql("s.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+              FROM embeddings s CROSS JOIN c WHERE s.vec_id % 5 = 0) WHERE rn = 1),
+          crossp AS (
+            SELECT least(i.vec_id, s.vec_id) AS a_id,
+                   greatest(i.vec_id, s.vec_id) AS b_id,
+                   ${cosSql("i.embedding", "s.embedding")} AS cos
+            FROM ia i JOIN sa s ON i.c_id = s.c_id),
+          withinp AS (
+            SELECT s1.vec_id AS a_id, s2.vec_id AS b_id,
+                   ${cosSql("s1.embedding", "s2.embedding")} AS cos
+            FROM sa s1 JOIN sa s2 ON s1.c_id = s2.c_id AND s1.vec_id < s2.vec_id)
+          SELECT a_id, b_id, cos
+          FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+          WHERE cos >= 0.95""",
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",

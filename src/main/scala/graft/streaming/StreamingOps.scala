@@ -691,6 +691,29 @@ object StreamingOps {
         spark, indexPath, batch, threshold))(sink)
   }
 
+  /** The EMBEDDING sibling of [[minhashProbeStream]]: each micro-batch
+    * of vectors (vec_id, embedding) is screened against a persisted
+    * IVF index ([[graft.operators.IvfIndex.probeSemantic]] — SemDeDup
+    * at ingest: same-inverted-list pairs at cos ≥ threshold, candidate
+    * generation cluster-blocked and partition-pruned to the lists the
+    * batch touches). Read-only, snapshot-per-batch, per-batch results
+    * eagerly materialized and released after `sink` returns — the
+    * same contracts as the text screening streams. */
+  def semanticProbeStream(
+      vectors: DataFrame,
+      indexPath: String,
+      threshold: Double = 0.95,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    serveStream(vectors, options, queryName, trigger,
+      release = graft.operators.Storage.unpersistLocalCheckpoint)(batch =>
+      graft.operators.IvfIndex.probeSemantic(
+        spark, indexPath, batch, threshold))(sink)
+  }
+
   /** Shared scaffolding of the four ANN serve streams: `foreachBatch`
     * running a BATCH serving plan per micro-batch (the honest
     * composition — per-query top-k is state-free across batches, so

@@ -392,6 +392,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served(inc) == want, "replay of a compacted epoch changed the index")
   }
 
+  test("semantic admission probe equals the batch same-cluster pair law over base \u222a deltas") {
+    // SemDeDup at ingest: probeSemantic(shard) must emit exactly the
+    // same-cluster cosine pairs a batch job over (index \u222a shard)
+    // with the same fixed centroids emits, restricted to pairs
+    // touching the shard — with the index read as its live base \u222a
+    // delta snapshot. Re-keyed copies of indexed vectors guarantee
+    // non-vacuous cross pairs (a copy lands in its original's list).
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_semprobe").toString
+    graft.operators.IvfIndex.write(
+      e.where($"vec_id" % 3 === 0), seeds, path)
+    graft.operators.IvfIndex.appendEpoch(spark, path, 0L,
+      e.where($"vec_id" % 3 === 1))
+    val shardSrc = e.where($"vec_id" % 6 === 0 || $"vec_id" % 3 === 2)
+    val shard = shardSrc
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val got = graft.operators.IvfIndex.probeSemantic(
+      spark, path, shard, threshold = 0.9)
+    try {
+      val indexed = e.where($"vec_id" % 3 =!= 2)
+      val assigned = Similarity.ivfAssign(indexed.unionByName(shard), seeds)
+      val l = assigned.select($"c_id", $"vec_id".as("a_id"),
+        $"embedding".as("a_v"))
+      val r = assigned.select($"c_id", $"vec_id".as("b_id"),
+        $"embedding".as("b_v"))
+      val want = l.join(r, Seq("c_id")).where($"a_id" < $"b_id")
+        .where($"a_id" >= 1000000L || $"b_id" >= 1000000L)
+        .select($"a_id", $"b_id",
+          VectorFunctions.cosine($"a_v", $"b_v").as("cos"))
+        .where($"cos" >= 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      val gotSet = got.as[(Long, Long, Double)].collect().toSet
+      assert(gotSet == want && want.nonEmpty,
+        s"probe diverged: ${gotSet.size} vs ${want.size}")
+      // every re-keyed copy of an indexed vector surfaces its original
+      val copies = shardSrc.where($"vec_id" % 6 === 0)
+        .select($"vec_id").as[Long].collect()
+      copies.foreach(id => assert(
+        gotSet.exists { case (a, b, _) => a == id && b == id + 1000000L },
+        s"copy of indexed vector $id not flagged"))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(got)
+  }
+
   test("IVF compaction race: a reader between base-rewrite and marker swap double-counts nothing") {
     // the generation-pointer protocol's whole job: compact writes
     // base/<gen+1> FIRST and its gens/ marker second. A serve

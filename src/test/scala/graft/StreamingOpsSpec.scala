@@ -1589,6 +1589,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("semantic screening stream: each micro-batch equals the batch probeSemantic on that shard") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_semscr").toString
+    graft.operators.IvfIndex.write(e, seeds, path)
+    // re-keyed copies of indexed vectors: guaranteed same-list hits
+    val recrawl = e.where($"vec_id" % 4 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val (h1, h2) = recrawl.splitAt(recrawl.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = StreamingOps.semanticProbeStream(
+      mem.toDF().toDF("vec_id", "embedding"), path, threshold = 0.9) { out =>
+      seen.synchronized {
+        seen ++= out.as[(Long, Long, Double)].collect()
+      }
+    }
+    def batchPairs(shard: Seq[(Long, Seq[Float])]): Set[(Long, Long, Double)] = {
+      val r = graft.operators.IvfIndex.probeSemantic(
+        spark, path, shard.toDF("vec_id", "embedding"), threshold = 0.9)
+      try r.as[(Long, Long, Double)].collect().toSet
+      finally graft.operators.Storage.unpersistLocalCheckpoint(r)
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      val want1 = batchPairs(h1)
+      assert(seen.toSet == want1 && want1.nonEmpty,
+        s"shard-1 semantic screening diverged: ${seen.size} vs ${want1.size}")
+      mem.addData(h2: _*); q.processAllAvailable()
+      assert(seen.toSet == want1 ++ batchPairs(h2),
+        "shard-2 semantic screening diverged")
+    } finally q.stop()
+  }
+
   test("reference join pipeline: batch and streaming plans agree on schema") {
     val batch = Seq(("k", "v")).toDF("key", "value")
     val streamed = {
