@@ -155,31 +155,52 @@ object IvfIndex {
   def probeSemantic(
       spark: SparkSession, path: String, newVectors: DataFrame,
       threshold: Double = 0.95): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
     val centroids = spark.read.parquet(s"$path/centroids")
     val shard = Similarity.ivfAssign(newVectors, centroids)
       .localCheckpoint(eager = true)
-    try {
-      val (all, _) = readAll(spark, path)
-      val crossPairs = all
-        .join(broadcast(shard.select(col("c_id"),
-          col("vec_id").as("s_id"), col("embedding").as("s_v"))), "c_id")
-        .select(
-          least(col("vec_id"), col("s_id")).as("a_id"),
-          greatest(col("vec_id"), col("s_id")).as("b_id"),
-          cosine(col("embedding"), col("s_v")).as("cos"))
-        .where(col("cos") >= threshold)
-      val withinPairs = shard
-        .select(col("c_id"), col("vec_id").as("a_id"),
-          col("embedding").as("a_v"))
-        .join(broadcast(shard.select(col("c_id"),
-          col("vec_id").as("b_id"), col("embedding").as("b_v"))), "c_id")
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          cosine(col("a_v"), col("b_v")).as("cos"))
-        .where(col("cos") >= threshold)
-      crossPairs.unionByName(withinPairs).localCheckpoint(eager = true)
-    } finally Storage.unpersistLocalCheckpoint(shard)
+    try probeSemanticPlan(spark, path, shard, threshold)
+      .localCheckpoint(eager = true)
+    finally Storage.unpersistLocalCheckpoint(shard)
+  }
+
+  /** Pure plan builder of [[probeSemantic]] over an already-assigned,
+    * materialized shard (c_id, vec_id, embedding) — factored out so
+    * the index-pruning tree stays visible to plan pins and
+    * PLAN_DIGEST; the operator surface hides it behind the eager
+    * checkpoint. The shard's touched inverted lists are collected
+    * (the shard is already materialized; distinct c_ids are bounded
+    * by min(|shard|, nCentroids), and the centroid table broadcasts
+    * by contract) and pushed into the segment scans as a LITERAL
+    * `c_id IN (...)` — a planning-time partition filter, so the
+    * untouched lists are pruned statically with no reliance on the
+    * runtime DPP heuristics (which skip a filter-less broadcast
+    * side). */
+  private[graft] def probeSemanticPlan(
+      spark: SparkSession, path: String, shard: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val touched = shard.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val (allSegs, _) = readAll(spark, path)
+    val all = allSegs.where(col("c_id").isin(touched: _*))
+    val crossPairs = all
+      .join(broadcast(shard.select(col("c_id"),
+        col("vec_id").as("s_id"), col("embedding").as("s_v"))), "c_id")
+      .select(
+        least(col("vec_id"), col("s_id")).as("a_id"),
+        greatest(col("vec_id"), col("s_id")).as("b_id"),
+        cosine(col("embedding"), col("s_v")).as("cos"))
+      .where(col("cos") >= threshold)
+    val withinPairs = shard
+      .select(col("c_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_v"))
+      .join(broadcast(shard.select(col("c_id"),
+        col("vec_id").as("b_id"), col("embedding").as("b_v"))), "c_id")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+      .where(col("cos") >= threshold)
+    crossPairs.unionByName(withinPairs)
   }
 
   /** Fold the committed deltas into a NEW base generation (the LSM

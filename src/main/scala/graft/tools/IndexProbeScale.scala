@@ -62,6 +62,12 @@ object IndexProbeScale {
     val shard10 = shardOf(big) // ~10× rows: axis B
     val queries1 = embs(base).where(col("vec_id") < 64)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // embedding-space probe shard (dedup_semantic_probe shape): every
+    // 25th vector re-keyed as a re-crawl
+    def semShardOf(d: String) = embs(d).where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+    val semShard1 = semShardOf(base)
+    val semShard10 = semShardOf(big)
 
     // ---- build all six indexes once, outside the timed region ----
     if (!new java.io.File(s"$out/_BUILT").exists()) {
@@ -87,6 +93,7 @@ object IndexProbeScale {
     Seq(s"$out/ivf1x", s"$out/ivf10x").foreach(p =>
       graft.operators.IvfIndex.readAll(spark, p)._1.count())
     shard1.count(); shard10.count(); queries1.count()
+    semShard1.count(); semShard10.count()
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load(): Double = osBean.getSystemLoadAverage
@@ -104,6 +111,11 @@ object IndexProbeScale {
     def ivfServe(idx: String)(): Unit =
       graft.operators.IvfIndex.serveAll(spark, idx, queries1, k = 5, nProbe = 4)
         .write.format("noop").mode("overwrite").save()
+    def semProbe(idx: String, shard: DataFrame)(): Unit = {
+      val r = graft.operators.IvfIndex.probeSemantic(spark, idx, shard)
+      r.write.format("noop").mode("overwrite").save()
+      graft.operators.Storage.unpersistLocalCheckpoint(r)
+    }
 
     val cases: Seq[(String, () => Unit)] = Seq(
       ("mh_probe_idx1x_shard1x", mhProbe(s"$out/mh1x", shard1) _),
@@ -113,7 +125,10 @@ object IndexProbeScale {
       ("ch_probe_idx10x_shard1x", chProbe(s"$out/ch10x", shard1) _),
       ("ch_probe_idx1x_shard10x", chProbe(s"$out/ch1x", shard10) _),
       ("ivf_serve_idx1x_q64", ivfServe(s"$out/ivf1x") _),
-      ("ivf_serve_idx10x_q64", ivfServe(s"$out/ivf10x") _))
+      ("ivf_serve_idx10x_q64", ivfServe(s"$out/ivf10x") _),
+      ("sem_probe_idx1x_shard1x", semProbe(s"$out/ivf1x", semShard1) _),
+      ("sem_probe_idx10x_shard1x", semProbe(s"$out/ivf10x", semShard1) _),
+      ("sem_probe_idx1x_shard10x", semProbe(s"$out/ivf1x", semShard10) _))
 
     val picked =
       if (args.nonEmpty) cases.filter(c => args.exists(c._1.contains)) else cases

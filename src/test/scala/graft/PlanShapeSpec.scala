@@ -701,4 +701,48 @@ class PlanShapeSpec extends AnyFunSuite {
           f.partitionFilters.mkString("; "))
     }
   }
+
+  test("semantic admission probe: index segment scans are statically partition-pruned") {
+    // probeSemantic's o(index) claim: the shard's touched c_ids are
+    // pushed into the c_id-partitioned index segments as a LITERAL
+    // IN partition filter at planning time — inverted lists the shard
+    // doesn't touch are never read (DPP would skip a filter-less
+    // broadcast side, so the pruning is static by construction).
+    // Pinned on the factored builder (the operator surface hides the
+    // join behind its eager checkpoint).
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_semdpp").toString
+    graft.operators.IvfIndex.write(e.where(col("vec_id") % 2 === 0), seeds, path)
+    graft.operators.IvfIndex.appendEpoch(spark, path, 0L,
+      e.where(col("vec_id") % 2 =!= 0))
+    val shard = graft.operators.Similarity.ivfAssign(
+        e.where(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        spark.read.parquet(s"$path/centroids"))
+      .localCheckpoint(true)
+    try {
+      val qe = graft.operators.IvfIndex
+        .probeSemanticPlan(spark, path, shard, 0.9).queryExecution
+      qe.toRdd.count()
+      val segScans = walkPlan(qe.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains(path) &&
+            !f.metadata.getOrElse("Location", "").contains("centroids") => f }
+      assert(segScans.size >= 2,
+        s"expected base + delta segment scans, got ${segScans.size}")
+      segScans.foreach { f =>
+        assert(f.partitionFilters.exists(p =>
+            p.toString.contains("c_id") && (p.toString.contains(" IN ") ||
+              p.toString.contains("INSET"))),
+          "probe segment scan carries no literal c_id IN partition filter:\n" +
+            f.metadata.getOrElse("Location", "") + "\n" +
+            f.partitionFilters.mkString("; "))
+      }
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(shard)
+  }
 }
