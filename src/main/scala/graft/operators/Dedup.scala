@@ -768,4 +768,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Pair-set evaluation of an approximate near-dup tier against
+    * exact ground truth — the dedup counterpart of
+    * [[Similarity.retrievalEval]], and the measurement a pipeline
+    * gates a blocking configuration on (how many true duplicate pairs
+    * does this banding find, and how much of what it flags is real?).
+    * Both inputs carry `(a_id, b_id)`; pairs are canonicalized
+    * (least/greatest, distinct) so orientation and multiplicity can't
+    * skew counts. Reports one row: pair counts plus precision =
+    * hits/predicted, recall = hits/truth, F1 — all small-integer IEEE
+    * division, zero-guarded, so any tier/truth pairing whose two
+    * sides carry exact oracles composes into an exactly-oracled
+    * evaluation.
+    *
+    * Scale shape: one full-outer join on the canonical pair key (both
+    * sides pair-count-sized, far below corpus size) folding straight
+    * into a single global aggregate — output is ONE row. */
+  def pairEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame, flag: String) = df.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+      .withColumn(flag, lit(1L))
+    canon(predicted, "in_p")
+      .join(canon(truth, "in_t"), Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("in_p"), lit(0L))), lit(0L)).as("n_predicted"),
+        coalesce(sum(coalesce(col("in_t"), lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("in_p").isNotNull && col("in_t").isNotNull,
+          lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_hits"))
+      .select(
+        col("n_predicted"), col("n_truth"), col("n_hits"),
+        when(col("n_predicted") === 0L, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_predicted"))
+          .as("precision"),
+        when(col("n_truth") === 0L, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_truth"))
+          .as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
 }

@@ -877,6 +877,92 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** IVF-PQ with residual encoding — the composed billion-scale ANN
+    * layout (IVFADC, Jégou et al. 2011, the default FAISS shape): the
+    * coarse quantizer assigns each vector to its nearest centroid
+    * ([[ivfAssign]], same argmax-cosine as the IVF tier), the RESIDUAL
+    * v − c(v) is PQ-encoded against a shared residual codebook, and a
+    * query is answered by probing its `nProbe` nearest inverted lists
+    * with one ADC lookup table PER (query, probed centroid) — built
+    * from the query's residual against THAT centroid, so the table
+    * encodes the list-local geometry the plain PQ tier loses. Both
+    * prunings compose: a vector is scored only by queries probing its
+    * list (the IVF term), and scoring is `subspaces` table adds per
+    * candidate (the PQ term).
+    *
+    * Deterministic seeds throughout (coarse centroids = first
+    * `nCentroids` vectors, residual codewords = residuals of the first
+    * `codebookSize` vectors), strict left-to-right double folds — the
+    * full trajectory replays in the DuckDB oracle bit-for-bit;
+    * [[kmeans]] is the in-engine trainer when refined codebooks are
+    * wanted.
+    *
+    * Scale shape: centroids, the residual codebook, the probe table,
+    * and the per-(query, centroid) LUTs all broadcast (|Q|·nProbe·K·M
+    * doubles); the corpus is scanned once to assign+encode and never
+    * shuffled to score — the candidate join is LUTs-into-codes on
+    * c_id, exactly the partition-pruned probe shape the persisted IVF
+    * tier serves with; top-k is the two-phase salted pattern. */
+  def ivfPqKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      salts: Int = 32): DataFrame = {
+    val centroids = embeddings.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // assign + residual in one pass: r = v − c(v), element-wise double
+    // (float32 inputs subtract exactly in double, so the oracle's
+    // CAST-to-DOUBLE arithmetic matches bit-for-bit)
+    val residuals = ivfAssign(embeddings, centroids)
+      .join(broadcast(centroids), "c_id")
+      .select(col("vec_id"), col("c_id"),
+        zip_with(col("embedding"), col("c_vec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val cb = residuals.where(col("vec_id") < codebookSize)
+      .select(col("vec_id").cast("int").as("cw_k"), col("r").as("cw"))
+    // encode each residual against the shared codebook, carrying the
+    // vector's inverted list through the argmin aggregation
+    val d2 = pqSubD2(subDim) _
+    val enc = residuals.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: col("c_id") +: col("cw_k") +:
+        (0 until subspaces).map(m =>
+          d2(m, col("r"), col("cw")).as(s"d2_$m")): _*)
+    val codeAggs = first(col("c_id")).as("c_id") +:
+      (0 until subspaces).map(m =>
+        min(struct(col(s"d2_$m"), col("cw_k")))
+          .getField("cw_k").as(s"c$m"))
+    val codes = enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    // probe selection: the query's nProbe nearest centroids (same
+    // ranking as ivfServe), then one LUT per (query, probed centroid)
+    // from the query's residual against that centroid
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("c_id"),
+        cosine(col("q"), col("c_vec")).as("p_cos"),
+        zip_with(col("q"), col("c_vec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select("query_id", "c_id", "qr")
+    val qd2 = probes.crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("c_id") +: col("cw_k") +:
+        (0 until subspaces).map(m => d2(m, col("qr"), col("cw")).as(s"d2_$m")): _*)
+    val lutAggs = (0 until subspaces).map(m =>
+      transform(array_sort(collect_list(struct(col("cw_k"), col(s"d2_$m")))),
+        e => e.getField(s"d2_$m")).as(s"lut_$m"))
+    val luts = qd2.groupBy("query_id", "c_id")
+      .agg(lutAggs.head, lutAggs.tail: _*)
+    val scored = codes.join(broadcast(luts), "c_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until subspaces).map(m =>
+          element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
+    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
+  }
+
   /** Semantic deduplication (SemDeDup-style): k-means-cluster the
     * embedding space with the in-engine [[kmeans]] trainer, then keep
     * ONE representative per cluster — the member closest to its

@@ -131,6 +131,17 @@ object VectorQueries {
     "knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // IVF-PQ with residual encoding (IVFADC — the composed FAISS
+    // billion-scale layout): coarse assignment, PQ over residuals
+    // v − c(v), one ADC LUT per (query, probed centroid). Seeded
+    // coarse centroids + seeded residual codebook → the full
+    // trajectory (assignment, residuals, codes, per-probe LUTs, ADC,
+    // top-k) replays in the oracle bit-for-bit.
+    "knn_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqKnn(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nQueries = 8, k = 5)),
+
     // the durable-index serving path: build the seed-centroid IVF
     // index, persist it as parquet (assignments PARTITIONED BY c_id —
     // one directory per inverted list), reload, and serve top-k from
@@ -377,6 +388,20 @@ object VectorQueries {
 
     "neardup_cosine_exact" -> ((s, d) =>
       Similarity.cosineNearDupExact(Tables.embeddings(s, d), threshold = 0.35)),
+
+    // pair-set evaluation of a DEGRADED blocking config (8 planes per
+    // band × only 4 bands — selective bands, few chances to collide,
+    // so recall < 1 by construction) against the brute-force truth:
+    // the measurement a pipeline gates a banding choice on. Both the
+    // degraded tier and the truth replay exactly in the oracle, so
+    // precision/recall/F1 compose into an exactly-oracled evaluation.
+    "dedup_pair_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Dedup.pairEval(
+        Similarity.cosineNearDup(e, threshold = 0.35,
+          planesPerBand = 8, bands = 4),
+        Similarity.cosineNearDupExact(e, threshold = 0.35))
+    }),
 
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
@@ -923,6 +948,76 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5"""
   }
 
+  /** dedup_pair_eval oracle: replay the DEGRADED banding (8 planes ×
+    * 4 bands, seed-42 weights as literals — the same stream
+    * HyperplaneBandSignature draws, plane index b*planesPerBand+p),
+    * the bucket cap, the exact-cosine verify, and the brute-force
+    * truth, then fold both pair sets to precision/recall/F1 with the
+    * engine's exact zero-guarded IEEE arithmetic. */
+  private lazy val pairEvalOracle: String = {
+    val ppb = 8; val bands = 4; val dim = 64
+    val rnd = new scala.util.Random(42)
+    val w = Array.fill(ppb * bands * dim)(rnd.nextGaussian())
+    def projSql(plane: Int): String = {
+      val lits = (0 until dim)
+        .map(i => java.lang.Double.toString(w(plane * dim + i)))
+        .mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(embedding,
+            (x, i) -> CAST(x AS DOUBLE) * ($lits)[i]), (acc, v) -> acc + v)"""
+    }
+    def bandSigSql(b: Int): String =
+      (0 until ppb).map(p =>
+        s"(CASE WHEN ${projSql(b * ppb + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+    val sigCols = (0 until bands)
+      .map(b => s"${bandSigSql(b)} AS sig_$b").mkString(",\n          ")
+    val okCtes = (0 until bands).map(b =>
+      s"""ok$b AS (
+            SELECT label, sig_$b AS sig FROM sig
+            GROUP BY label, sig_$b HAVING count(*) BETWEEN 2 AND 4096)""")
+      .mkString(",\n        ")
+    val bandPairs = (0 until bands).map(b =>
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM sig a
+          JOIN sig b ON a.label = b.label AND a.sig_$b = b.sig_$b
+                    AND a.vec_id < b.vec_id
+          JOIN ok$b ok ON ok.label = a.label AND ok.sig = a.sig_$b""")
+      .mkString("\n          UNION ALL\n          ")
+    s"""WITH sig AS (
+          SELECT vec_id, label, embedding,
+          $sigCols
+          FROM embeddings),
+        $okCtes,
+        cand AS (SELECT DISTINCT a_id, b_id FROM ($bandPairs)),
+        pred AS (
+          SELECT c.a_id, c.b_id FROM cand c
+          JOIN embeddings a ON a.vec_id = c.a_id
+          JOIN embeddings b ON b.vec_id = c.b_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+        tru AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+        m AS (
+          SELECT CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_predicted,
+                 CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth,
+                 CAST((SELECT count(*) FROM pred JOIN tru USING (a_id, b_id))
+                      AS BIGINT) AS n_hits),
+        pr AS (
+          SELECT n_predicted, n_truth, n_hits,
+                 CASE WHEN n_predicted = 0 THEN 0.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_predicted END AS precision,
+                 CASE WHEN n_truth = 0 THEN 0.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+          FROM m)
+        SELECT n_predicted, n_truth, n_hits, precision, recall,
+               CASE WHEN precision + recall = 0.0 THEN 0.0
+                    ELSE ((2.0 * precision) * recall) / (precision + recall)
+               END AS f1
+        FROM pr"""
+  }
+
   // brute-force first-principles near-dup definition — the banded-LSH
   // operator must reproduce it exactly (recall ~1 by construction)
   private val neardupOracle =
@@ -971,6 +1066,75 @@ object VectorQueries {
     s"""WITH $pqAdcCtes
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
         FROM ranked WHERE rank <= 5"""
+
+  /** knn_ivfpq trajectory: coarse argmax-cosine assignment (smaller
+    * c_id tie-break), element-wise double residuals, seeded residual
+    * codebook, per-(query, probed-centroid) LUTs, ADC over probed
+    * lists only — every fold left-to-right double, so the whole
+    * IVFADC pipeline replays exactly. */
+  private lazy val ivfPqSeedOracle: String = {
+    // subspace-m squared L2 between two DOUBLE lists, offset m*16
+    def d2Sql(m: Int, a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, 17),
+           i -> (($a)[${m * 16} + i] - ($b)[${m * 16} + i]) *
+                (($a)[${m * 16} + i] - ($b)[${m * 16} + i])),
+           (acc, x) -> acc + x)"""
+    def residSql(v: String, c: String) =
+      s"""list_transform(range(1, 65),
+            i -> CAST(($v)[i] AS DOUBLE) - CAST(($c)[i] AS DOUBLE))"""
+    val encD2 = (0 until 4).map(m =>
+      s"${d2Sql(m, "res.r", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val qD2 = (0 until 4).map(m =>
+      s"${d2Sql(m, "qres.qr", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val codeCols = (0 until 4).map(m =>
+      s"first(k ORDER BY d2_$m ASC, k ASC) AS c$m").mkString(", ")
+    val lutCols = (0 until 4).map(m =>
+      s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
+    val adc = (0 until 4).map(m => s"l.lut_$m[codes.c$m + 1]").mkString(" + ")
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, c.c_id, c.c_vec,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        res AS (
+          SELECT vec_id, c_id, ${residSql("embedding", "c_vec")} AS r
+          FROM a WHERE rn = 1),
+        cb AS (SELECT CAST(vec_id AS INT) AS k, r AS cw FROM res WHERE vec_id < 16),
+        enc AS (
+          SELECT res.vec_id, res.c_id, cb.k,
+           $encD2
+          FROM res CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, min(c_id) AS c_id, $codeCols FROM enc GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id, c.c_vec,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        qres AS (
+          SELECT query_id, c_id, ${residSql("qv", "c_vec")} AS qr
+          FROM qa WHERE rn <= 4),
+        qenc AS (
+          SELECT qres.query_id, qres.c_id, cb.k,
+           $qD2
+          FROM qres CROSS JOIN cb),
+        luts AS (
+          SELECT query_id, c_id, $lutCols FROM qenc GROUP BY query_id, c_id),
+        scored AS (
+          SELECT l.query_id, codes.vec_id, $adc AS adc_dist
+          FROM codes JOIN luts l ON codes.c_id = l.c_id
+          WHERE codes.vec_id <> l.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= 5"""
+  }
 
   /** knn_binary trajectory (sign-disagreement hamming → top-k,
     * representation-independent), shared verbatim by `knn_binary`
@@ -1091,6 +1255,7 @@ object VectorQueries {
 
     "knn_pq" -> pqSeedOracle,
     "knn_pq_delta" -> pqSeedOracle,
+    "knn_ivfpq" -> ivfPqSeedOracle,
     "knn_maxsim" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the
@@ -1162,6 +1327,7 @@ object VectorQueries {
 
     "neardup_cosine" -> neardupOracle,
     "neardup_cosine_exact" -> neardupOracle,
+    "dedup_pair_eval" -> pairEvalOracle,
     "knn_lsh" -> lshOracle,
     "knn_lsh_mp" -> lshMultiProbeOracle,
     "knn_ivf_trained" -> ivfTrainedOracle,

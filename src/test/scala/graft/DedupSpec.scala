@@ -245,4 +245,25 @@ class DedupSpec extends AnyFunSuite {
     assert(truth.subsetOf(lsh), s"missed: ${truth -- lsh}")
     lsh.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("pairEval: hand-computed metrics, canonicalization, zero guards") {
+    // pred canonicalizes to {1-2, 3-4, 5-6} ((2,1) is (1,2) reversed);
+    // truth {1-2, 3-4, 7-8, 9-10} → hits 2, P = 2/3, R = 1/2,
+    // F1 = 2PR/(P+R) = 4/7
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val tru = Seq((1L, 2L), (3L, 4L), (7L, 8L), (9L, 10L)).toDF("a_id", "b_id")
+    val r = Dedup.pairEval(pred, tru).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-15)
+    assert(r.getDouble(4) == 0.5)
+    assert(math.abs(r.getDouble(5) - 4.0 / 7) < 1e-15)
+    // empty prediction → zero precision/F1, never null or NaN
+    val z = Dedup.pairEval(pred.where(lit(false)), tru).collect().head
+    assert(z.getLong(0) == 0 && z.getLong(2) == 0 &&
+      z.getDouble(3) == 0.0 && z.getDouble(4) == 0.0 && z.getDouble(5) == 0.0)
+    // both sides empty → one all-zero row, not an empty frame
+    val zz = Dedup.pairEval(
+      pred.where(lit(false)), tru.where(lit(false))).collect().head
+    assert(zz.getLong(1) == 0 && zz.getDouble(4) == 0.0 && zz.getDouble(5) == 0.0)
+  }
 }

@@ -102,6 +102,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r => r._2 == 1.0 && r._3 == 1.0 && r._4 == 3L))
   }
 
+  test("ivfPqKnn matches an independent driver-side IVFADC replay") {
+    // the composed IVF-PQ (residual-encoding) trajectory recomputed
+    // from first principles in plain Scala over the collected corpus:
+    // coarse argmax-cosine assignment (ties to the smaller c_id),
+    // element-wise double residuals, seeded residual codebook, argmin
+    // codes, per-(query, probed-centroid) LUTs, ADC over probed lists
+    // only, top-k by (adc asc, vec_id asc). Every fold mirrors the
+    // engine's left-to-right double order, so equality is exact.
+    val rows = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+    val vecs = rows.toMap
+    val dims = 64; val nC = 16; val nProbe = 4; val M = 4; val sub = 16
+    val cbN = 16; val nQ = 8; val k = 5
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until nC).map(c => c -> vecs(c)).toMap
+    def nearestCents(v: Seq[Float], n: Int): Seq[Long] =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    val asg = vecs.map { case (id, v) => id -> nearestCents(v, 1).head }
+    def resid(v: Seq[Float], c: Seq[Float]): Array[Double] =
+      Array.tabulate(dims)(i => v(i).toDouble - c(i).toDouble)
+    val res = vecs.map { case (id, v) => id -> resid(v, cents(asg(id))) }
+    val cb = (0 until cbN).map(kk => kk -> res(kk.toLong))
+    def d2(m: Int, a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < sub) {
+        val dx = a(m * sub + i) - b(m * sub + i); acc += dx * dx; i += 1
+      }
+      acc
+    }
+    val codes = res.map { case (id, r) =>
+      id -> (0 until M).map(m =>
+        cb.map { case (kk, cw) => (kk, d2(m, r, cw)) }
+          .minBy { case (kk, d) => (d, kk) }._1)
+    }
+    val want = (0L until nQ).flatMap { q =>
+      val probed = nearestCents(vecs(q), nProbe)
+      val luts = probed.map { c =>
+        val qr = resid(vecs(q), cents(c))
+        c -> Array.tabulate(M)(m => cb.map { case (_, cw) => d2(m, qr, cw) }.toArray)
+      }.toMap
+      vecs.keys
+        .filter(id => id != q && probed.contains(asg(id)))
+        .map { id =>
+          val lut = luts(asg(id))
+          (id, (0 until M).map(m => lut(m)(codes(id)(m))).reduce(_ + _))
+        }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+        .zipWithIndex.map { case ((id, d), i) => (q, id, i + 1, d) }
+    }.toSet
+    val got = Similarity.ivfPqKnn(
+        spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+          .select($"vec_id", $"embedding"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"IVFADC diverged: got ${got.size} rows, want ${want.size}")
+  }
+
   test("cosineNearDup only pairs within the same label block") {
     val vecs = Seq(
       (0L, Array(1f, 0f), 0),
