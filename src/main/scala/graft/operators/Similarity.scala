@@ -901,8 +901,9 @@ object Similarity {
     * and the per-(query, centroid) LUTs all broadcast (|Q|·nProbe·K·M
     * doubles); the corpus is scanned once to assign+encode and never
     * shuffled to score — the candidate join is LUTs-into-codes on
-    * c_id, exactly the partition-pruned probe shape the persisted IVF
-    * tier serves with; top-k is the two-phase salted pattern. */
+    * c_id, exactly the partition-pruned probe shape the persisted
+    * [[IvfPqIndex]] tier serves with; top-k is the two-phase salted
+    * pattern. */
   def ivfPqKnn(
       embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4,
@@ -910,18 +911,49 @@ object Similarity {
       salts: Int = 32): DataFrame = {
     val centroids = embeddings.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // assign + residual in one pass: r = v − c(v), element-wise double
-    // (float32 inputs subtract exactly in double, so the oracle's
-    // CAST-to-DOUBLE arithmetic matches bit-for-bit)
-    val residuals = ivfAssign(embeddings, centroids)
+    val residuals = ivfPqResiduals(embeddings, centroids)
+    val cb = residuals.where(col("vec_id") < codebookSize)
+      .select(col("vec_id").cast("int").as("cw_k"), col("r").as("cw"))
+    val codes = ivfPqEncodeCodes(residuals, cb, subspaces, subDim)
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val luts = ivfPqProbeLuts(queries, centroids, cb, subspaces, subDim, nProbe)
+    saltedTopK(ivfPqAdcScore(codes, luts, subspaces),
+      score = "adc_dist", ascending = true, k = k, salts = salts)
+  }
+
+  /** The assign-half of IVFADC: coarse assignment + residual in one
+    * pass — r = v − c(v), element-wise double (float32 inputs subtract
+    * exactly in double, so the oracle's CAST-to-DOUBLE arithmetic
+    * matches bit-for-bit). Returns (vec_id, c_id, r: array<double>).
+    * Shared by [[ivfPqKnn]] and the persisted [[IvfPqIndex]]. */
+  private[graft] def ivfPqResiduals(
+      vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(vectors, centroids)
       .join(broadcast(centroids), "c_id")
       .select(col("vec_id"), col("c_id"),
         zip_with(col("embedding"), col("c_vec"),
           (x, y) => x.cast("double") - y.cast("double")).as("r"))
-    val cb = residuals.where(col("vec_id") < codebookSize)
+
+  /** [[ivfPqKnn]]'s seed residual codebook as a standalone table —
+    * residuals of the first `codebookSize` vectors against the given
+    * centroids, in [[IvfPqIndex.write]]'s (cw_k int, cw array<double>)
+    * form. The persisted tier stores exactly this (or a [[kmeans]]-
+    * trained equivalent) once, for the life of the index. */
+  def ivfPqSeedCodebook(
+      vectors: DataFrame, centroids: DataFrame,
+      codebookSize: Int = 16): DataFrame =
+    ivfPqResiduals(vectors.where(col("vec_id") < codebookSize), centroids)
       .select(col("vec_id").cast("int").as("cw_k"), col("r").as("cw"))
-    // encode each residual against the shared codebook, carrying the
-    // vector's inverted list through the argmin aggregation
+
+  /** PQ-encode residual rows (vec_id, c_id, r) against a FIXED
+    * residual codebook (cw_k int, cw array<double>) → (vec_id, c_id,
+    * c0..c_{M−1}): codebookSize broadcast rows per vector, argmin(d2,
+    * k) per subspace — struct-min ties break to the smallest codeword
+    * — carrying the vector's inverted list through the aggregation. */
+  private[graft] def ivfPqEncodeCodes(
+      residuals: DataFrame, cb: DataFrame,
+      subspaces: Int, subDim: Int): DataFrame = {
     val d2 = pqSubD2(subDim) _
     val enc = residuals.crossJoin(broadcast(cb))
       .select(col("vec_id") +: col("c_id") +: col("cw_k") +:
@@ -931,14 +963,21 @@ object Similarity {
       (0 until subspaces).map(m =>
         min(struct(col(s"d2_$m"), col("cw_k")))
           .getField("cw_k").as(s"c$m"))
-    val codes = enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
-    // probe selection: the query's nProbe nearest centroids (same
-    // ranking as ivfServe), then one LUT per (query, probed centroid)
-    // from the query's residual against that centroid
+    enc.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+  }
+
+  /** Probe selection + per-(query, probed centroid) ADC lookup tables:
+    * the query's `nProbe` nearest centroids (same ranking as
+    * [[ivfServe]]), then one cw_k-ordered LUT per probed list from the
+    * query's residual against THAT centroid. Returns (query_id, c_id,
+    * lut_0..lut_{M−1}) — |Q|·nProbe rows, broadcast by the scorer. */
+  private[graft] def ivfPqProbeLuts(
+      queries: DataFrame, centroids: DataFrame, cb: DataFrame,
+      subspaces: Int, subDim: Int, nProbe: Int): DataFrame = {
+    val d2 = pqSubD2(subDim) _
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("p_cos").desc, col("c_id").asc)
-    val probes = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val probes = queries
       .join(broadcast(centroids))
       .select(col("query_id"), col("c_id"),
         cosine(col("q"), col("c_vec")).as("p_cos"),
@@ -953,15 +992,22 @@ object Similarity {
     val lutAggs = (0 until subspaces).map(m =>
       transform(array_sort(collect_list(struct(col("cw_k"), col(s"d2_$m")))),
         e => e.getField(s"d2_$m")).as(s"lut_$m"))
-    val luts = qd2.groupBy("query_id", "c_id")
+    qd2.groupBy("query_id", "c_id")
       .agg(lutAggs.head, lutAggs.tail: _*)
-    val scored = codes.join(broadcast(luts), "c_id")
+  }
+
+  /** ADC distance of every (query, probed-list vector) pair: LUTs
+    * broadcast-joined into the codes on c_id — the IVF pruning term;
+    * over [[IvfPqIndex]]'s c_id-partitioned segments the join's filter
+    * reaches the parquet sources as a partition filter — then
+    * `subspaces` table adds per candidate, self-matches excluded. */
+  private[graft] def ivfPqAdcScore(
+      codes: DataFrame, luts: DataFrame, subspaces: Int): DataFrame =
+    codes.join(broadcast(luts), "c_id")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
-    saltedTopK(scored, score = "adc_dist", ascending = true, k = k, salts = salts)
-  }
 
   /** Semantic deduplication (SemDeDup-style): k-means-cluster the
     * embedding space with the in-engine [[kmeans]] trainer, then keep

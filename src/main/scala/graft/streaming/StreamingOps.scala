@@ -617,6 +617,31 @@ object StreamingOps {
         snapshot, codebook, subspaces, subDim, batch, k, salts))(sink)
   }
 
+  /** [[ivfServeStream]]'s IVF-PQ-tier sibling: micro-batches of query
+    * vectors (query_id, q: array<float>) served against a durable
+    * [[graft.operators.IvfPqIndex]]. Snapshot AND trained state
+    * (centroids, residual codebook, grid) resolve once at stream
+    * start; per batch the IVFADC pipeline runs — per-(query, probed
+    * centroid) LUTs built from the fixed trained state, broadcast,
+    * codes touched only in the probed c_id partitions. */
+  def ivfPqServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      nProbe: Int = 4,
+      salts: Int = 32,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (snapshot, centroids, codebook, subspaces, subDim) =
+      graft.operators.IvfPqIndex.openAll(queries.sparkSession, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.IvfPqIndex.serveSnapshot(
+        snapshot, centroids, codebook, subspaces, subDim,
+        batch, k, nProbe, salts))(sink)
+  }
+
   /** [[ivfServeStream]]'s binary-tier sibling: micro-batches of
     * PACKED queries (query_id, qsig: array<long> — pack with the
     * index's own sign-bit representation) served against a durable
@@ -817,6 +842,23 @@ object StreamingOps {
       () => {
         graft.operators.PqIndex.compact(vectors.sparkSession, indexPath)
         graft.operators.PqIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+      })(onBatch)
+
+  /** [[ivfIngestStream]]'s IVF-PQ-tier sibling: each micro-batch is
+    * coarse-assigned and residual-encoded against the index's FIXED
+    * trained state ([[graft.operators.IvfPqIndex.appendEpoch]]) and
+    * committed as an idempotent delta segment. Same lineage guard. */
+  def ivfPqIngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("ivfPqIngestStream", vectors, indexPath, options,
+      graft.operators.IvfPqIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.IvfPqIndex.compact(vectors.sparkSession, indexPath)
+        graft.operators.IvfPqIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s binary-tier sibling: each micro-batch is
