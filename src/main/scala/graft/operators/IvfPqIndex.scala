@@ -49,14 +49,24 @@ object IvfPqIndex {
     * (cw_k int, cw: full-dimension array<double> residual codewords) —
     * [[Similarity.ivfPqKnn]]'s seed form ([[Similarity.ivfPqSeedCodebook]])
     * or any trained equivalent. Both are FIXED for the life of the
-    * index — re-training means a new index. */
+    * index — re-training means a new index.
+    *
+    * ADC serving indexes LUTs POSITIONALLY (element_at over a
+    * cw_k-sorted list), which is only correct when cw_k is dense
+    * 0..K−1 — so the codebook is re-keyed dense here, order-preserving
+    * (identity for an already-dense codebook, so the seed-form oracles
+    * are unchanged; a trained codebook with gaps — an emptied cluster —
+    * is made safe instead of silently misindexing). Encode and serve
+    * both read the STORED (re-keyed) codebook, so they stay mutually
+    * consistent by construction. */
   def write(
       vectors: DataFrame, centroids: DataFrame, codebook: DataFrame,
       path: String, subspaces: Int = 4, subDim: Int = 16): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    Similarity.denseCodebook(codebook)
+      .write.mode("overwrite").parquet(s"$path/codebook")
     Seq((subspaces, subDim)).toDF("subspaces", "sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
     LsmSegments.initBase(spark, path)(p =>

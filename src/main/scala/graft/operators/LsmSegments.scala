@@ -216,9 +216,17 @@ private[graft] object LsmSegments {
       .filter(n => n.forall(_.isDigit) &&
         (n.toLong <= minUpto || !committed.contains(n.toLong)))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$n"), true))
+    // markers are deleted only when their generation PARSES and is
+    // not retained; names that don't parse as `<gen>_<upto>` (a stray
+    // _SUCCESS-style file, an empty first segment, a >Long digit run)
+    // are invisible to genMarkers and are left alone here too — gc
+    // must never abort mid-sweep on junk it didn't write (Try, like
+    // genMarkers, instead of a bare toLong that throws on "" or
+    // overflow)
     listNames(spark, s"$path/gens")
-      .filter(n => n.split('_').headOption.forall(g =>
-        !g.forall(_.isDigit) || !keptGens.contains(g.toLong)))
+      .filter(n => n.split('_').headOption
+        .flatMap(g => scala.util.Try(g.toLong).toOption)
+        .exists(g => !keptGens.contains(g)))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/gens/$n"), false))
   }
 }

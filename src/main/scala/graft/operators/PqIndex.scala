@@ -39,18 +39,23 @@ object PqIndex {
     * int, cw: full-dimension array<float>) — [[Similarity.pqKnn]]'s
     * seed form or any trained equivalent; it is FIXED for the life of
     * the index (re-training means a new index, exactly like IVF
-    * centroids). */
+    * centroids). ADC serving indexes LUTs positionally, so the stored
+    * codebook is re-keyed dense 0..K−1 on write
+    * ([[Similarity.denseCodebook]] — order-preserving, identity for
+    * the already-dense seed form; a trained codebook with gaps is made
+    * safe instead of silently misindexing). */
   def write(
       vectors: DataFrame, codebook: DataFrame, path: String,
       subspaces: Int = 4, subDim: Int = 16): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    val cb = Similarity.denseCodebook(codebook)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
     Seq((subspaces, subDim)).toDF("subspaces", "sub_dim")
       .write.mode("overwrite").parquet(s"$path/meta")
     LsmSegments.initBase(spark, path)(p =>
       writeSegment(
-        Similarity.pqEncodeCodes(vectors, codebook, subspaces, subDim), p))
+        Similarity.pqEncodeCodes(vectors, cb, subspaces, subDim), p))
   }
 
   /** Idempotently encode + append one epoch of vectors against the

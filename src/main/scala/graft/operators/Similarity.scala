@@ -172,6 +172,20 @@ object Similarity {
       .select("query_id", "vec_id", "rank", score)
   }
 
+  /** Re-key a codebook (cw_k, cw) dense 0..K−1, order-preserving —
+    * identity for an already-dense codebook. ADC serving indexes LUTs
+    * POSITIONALLY (element_at over a cw_k-sorted list), which is only
+    * correct under dense keys; the persisted tiers ([[PqIndex]],
+    * [[IvfPqIndex]]) call this once at write time so a trained
+    * codebook with gaps (an emptied cluster) is made safe instead of
+    * silently misindexing. K is codebook-sized, so the unpartitioned
+    * row_number window is a non-issue. */
+  private[graft] def denseCodebook(codebook: DataFrame): DataFrame =
+    codebook.select(
+      (row_number().over(Window.orderBy(col("cw_k"))) - 1)
+        .cast("int").as("cw_k"),
+      col("cw"))
+
   /** Retrieval-quality evaluation of an ANN tier against exact ground
     * truth — the measurement every index deployment gates on. Both
     * inputs carry `(query_id, vec_id, rank ≤ k)`; per query this
@@ -470,6 +484,35 @@ object Similarity {
             (m, dt) => greatest(m, dot(qt, dt)))).as("maxsim"))
     saltedTopK(scored, score = "maxsim", ascending = false, k = k, salts = salts)
   }
+
+  /** Mean-pool token embeddings to one vector per document — the
+    * single-vector collapse of the same (doc_id = ⌊vec_id/tokensPerDoc⌋,
+    * vec_id-ordered token bag) layout [[maxSimKnn]] retrieves over.
+    * Returns (vec_id = doc_id, embedding: array<float> — the
+    * engine-wide embedding convention) so it feeds [[bruteForceKnn]]
+    * or any ANN tier directly — e.g. the exact-cosine pooled truth a
+    * late-interaction tier is evaluated against (the recall question
+    * a ColBERT-style deployment asks: what does multi-vector scoring
+    * buy over pooling?). Deterministic: tokens fold vec_id-ascending,
+    * each element accumulated left-to-right in double from 0.0, one
+    * double /tokensPerDoc, one round-to-nearest float — so the DuckDB
+    * oracle replays it bit-for-bit. Scale shape: one groupBy on
+    * doc_id (groups are tokensPerDoc-sized, output is |docs| rows —
+    * corpus-sized, one shuffle, no blowup). */
+  def meanPoolDocs(embeddings: DataFrame, tokensPerDoc: Int = 4): DataFrame =
+    embeddings
+      .select(floor(col("vec_id") / tokensPerDoc).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        e => e.getField("embedding")).as("toks"))
+      .select(col("doc_id").as("vec_id"),
+        transform(
+          aggregate(col("toks"),
+            transform(element_at(col("toks"), 1), _ => lit(0.0)),
+            (acc, t) => zip_with(acc, t, (a, x) => a + x.cast("double"))),
+          s => (s / lit(tokensPerDoc.toDouble)).cast("float")).as("embedding"))
 
   /** Two-stage retrieval — THE production ANN serving shape: a cheap
     * ADC shortlist ([[pqKnn]], `shortlist` candidates per query) is
