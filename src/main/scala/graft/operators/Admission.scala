@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** The production ADMISSION LOOP: arriving document shards are probed
   * against a pair of durable dedup indexes, the survivors admitted,
-  * and the admitted docs appended back into BOTH indexes — so every
+  * and the admitted docs appended back into EVERY index store — so every
   * later shard dedups against everything admitted so far, without a
   * corpus re-scan, across process restarts. This is the gate an LLM
   * pretrain corpus actually runs at ingest time: the batch
@@ -14,17 +14,25 @@ import org.apache.spark.sql.functions._
   * state. (Stateless quality/langid/decontamination gates compose
   * upstream of this loop unchanged — they need no index.)
   *
-  * Three marker-last [[LsmSegments]] stores under one root `path`:
-  *  - `path/admitted` — the admitted corpus (doc_id, text), one delta
-  *    segment per epoch. This doubles as the loop's WRITE-AHEAD
-  *    DECISION LOG: the admission decision for epoch e is computed
-  *    once, against index state that cannot yet contain e, and
-  *    committed here FIRST — replays re-read the stored decision
-  *    instead of re-deciding against indexes that may already hold
-  *    the epoch's own docs (which would wrongly flag every admitted
-  *    doc as a duplicate of itself);
+  * Three marker-last [[LsmSegments]] stores under one root `path` —
+  * four when the loop is initialized with a SEMANTIC stage:
+  *  - `path/admitted` — the admitted corpus (doc_id, text[, embedding
+  *    when the semantic stage is on]), one delta segment per epoch.
+  *    This doubles as the loop's WRITE-AHEAD DECISION LOG: the
+  *    admission decision for epoch e is computed once, against index
+  *    state that cannot yet contain e, and committed here FIRST —
+  *    replays re-read the stored decision instead of re-deciding
+  *    against indexes that may already hold the epoch's own docs
+  *    (which would wrongly flag every admitted doc as a duplicate of
+  *    itself);
   *  - `path/exact`   — the [[ContentHashIndex]] of admitted docs;
-  *  - `path/neardup` — the [[MinHashIndex]] of admitted docs.
+  *  - `path/neardup` — the [[MinHashIndex]] of admitted docs;
+  *  - `path/semantic` (optional, [[init]]'s `semanticCentroids`) —
+  *    the persisted [[IvfIndex]] of admitted doc EMBEDDINGS, probed
+  *    with [[IvfIndex.probeSemantic]] (SemDeDup at ingest — near-dup
+  *    *meanings* with zero token overlap, the gap both text stages
+  *    share). Its coarse centroids are FIXED at init like the
+  *    MinHash LSH parameters.
   *
   * ADMISSION POLICY (deterministic; the oracle replays it in SQL):
   * per shard, in arrival (epoch) order —
@@ -38,7 +46,14 @@ import org.apache.spark.sql.functions._
   *     Exact-dropped docs cannot shelter a near-dup: any pair through
   *     a dropped exact copy also exists through its indexed/surviving
   *     twin (identical text ⇒ identical shingle set);
-  *  3. survivors are admitted and appended into both indexes under
+  *  3. semantic stage (when on): among near-dup survivors, the same
+  *     smaller-id-wins drop law over [[IvfIndex.probeSemantic]]'s
+  *     same-inverted-list cos ≥ `semanticThreshold` pairs (vs the
+  *     indexed embeddings ∪ the surviving shard docs). Stage order is
+  *     part of the policy: a doc dropped by an EARLIER stage no
+  *     longer shelters or drops anyone at this one — deterministic
+  *     either way, and the decision log replays it exactly;
+  *  4. survivors are admitted and appended into every store under
   *     the shard's epoch id.
   *
   * Crash safety (the order IS the proof): the decision commits to
@@ -49,12 +64,12 @@ import org.apache.spark.sql.functions._
   * policy, exactly-once source replay). A crash after it finds the
   * decision committed and only re-runs whichever index appends are
   * missing. Single writer per root, per the [[LsmSegments]] contract;
-  * run [[compact]] in maintenance windows (it folds all three stores
+  * run [[compact]] in maintenance windows (it folds every store
   * — an admitted delta segment must outlive its epoch's index appends,
   * which a mid-lineage gc of a crashed epoch could violate).
   *
   * 100 TB shape: per shard the work is one fingerprint pass over the
-  * SHARD, o(index) broadcast-semi-join probes against both indexes,
+  * SHARD, o(index) broadcast-semi-join probes against each index,
   * and one shard shuffle on the 8-byte content hash — never a scan of
   * the admitted corpus. Shard doc_ids must be globally unique (crawl
   * record ids), so shards are disjoint from the indexes by
@@ -63,32 +78,84 @@ object Admission {
 
   private def store(path: String, which: String) = s"$path/$which"
 
-  /** Initialize all three stores empty. LSH parameters are fixed for
-    * the life of the loop, like any [[MinHashIndex]]. */
+  /** Initialize all stores empty. LSH parameters are fixed for the
+    * life of the loop, like any [[MinHashIndex]]; `semanticCentroids`
+    * = Some((c_id, c_vec)) turns the semantic stage ON with those
+    * coarse centroids fixed for the life of the loop — shards must
+    * then carry an `embedding` column alongside (doc_id, text). */
   def init(
       spark: SparkSession, path: String, shingleN: Int = 3,
-      numHashes: Int = 16, bands: Int = 8): Unit = {
+      numHashes: Int = 16, bands: Int = 8,
+      semanticCentroids: Option[DataFrame] = None): Unit = {
     val empty = spark.range(0)
       .select(col("id").as("doc_id"), lit("").as("text"))
+    // with the semantic stage on, every admitted segment carries the
+    // doc embedding (the decision log feeds the semantic append on
+    // replay) — the empty base must carry the column too, or the
+    // base ∪ deltas union of [[admittedAll]] can't line up
+    val emptyAdmitted =
+      if (semanticCentroids.isEmpty) empty
+      else empty.withColumn("embedding", lit(null).cast("array<float>"))
     LsmSegments.initBase(spark, store(path, "admitted"))(p =>
-      empty.write.mode("overwrite").parquet(p))
+      emptyAdmitted.write.mode("overwrite").parquet(p))
     ContentHashIndex.write(empty, store(path, "exact"))
     MinHashIndex.write(empty, store(path, "neardup"), shingleN, numHashes, bands)
+    semanticCentroids.foreach { cents =>
+      IvfIndex.write(
+        cents.select(col("c_id").as("vec_id"), col("c_vec").as("embedding"))
+          .where(lit(false)),
+        cents, store(path, "semantic"))
+    }
+  }
+
+  /** Whether this loop was initialized with the semantic stage — one
+    * driver-side existence check on the fourth store's marker dir. */
+  private[graft] def hasSemantic(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${store(path, "semantic")}/gens")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The smaller-id-wins drop law shared by the near-dup and semantic
+    * stages: `pairs` are oriented a < b and touch the shard — a
+    * shard-side b always has a smaller-id partner (indexed or
+    * in-shard) — dropped; a shard-side a with a non-shard b is paired
+    * with an indexed doc — dropped. Returns the survivors, eagerly
+    * materialized. */
+  private def dropPaired(
+      survivors: DataFrame, pairs: DataFrame): DataFrame = {
+    val survivorIds = survivors.select("doc_id")
+    val dropB = pairs
+      .join(survivorIds, pairs("b_id") === survivorIds("doc_id"),
+        "left_semi")
+      .select(col("b_id").as("doc_id"))
+    val dropA = pairs
+      .join(survivorIds, pairs("b_id") === survivorIds("doc_id"),
+        "left_anti")
+      .select(col("a_id").as("doc_id"))
+    survivors
+      .join(broadcast(dropB.unionByName(dropA).distinct()),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
   }
 
   /** The admission decision for one shard against the CURRENT index
     * state — the pure policy, shared by the loop and its spec.
-    * Returns an eagerly materialized (doc_id, text) frame (at most
+    * Returns an eagerly materialized shard-column frame (at most
     * shard-sized; release with [[Storage.unpersistLocalCheckpoint]]).
     * Does NOT mutate anything. */
   private[graft] def decide(
       spark: SparkSession, path: String, shard: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, semanticThreshold: Double = 0.95): DataFrame = {
+    // the shard's full column set (doc_id, text[, embedding]) rides
+    // through every stage — the admitted segment IS the decision log
+    // and the index appends re-read it, so it must carry everything
+    // the downstream appends need
+    val shardCols = shard.columns.toSeq
     // ONE scan of the shard source, materialized with its content
     // hash — every exact-stage branch (index probe, keep-first agg,
     // survivor projection) reads the checkpoint, never the source
-    val hashed = shard.select(col("doc_id"), col("text"),
-      xxhash64(col("text")).as("text_hash"))
+    val hashed = shard
+      .withColumn("text_hash", xxhash64(col("text")))
       .localCheckpoint(eager = true)
     val exactSurvivors = try {
       val exactDropped = ContentHashIndex
@@ -100,60 +167,56 @@ object Admission {
       // hash, no per-hash window funnel
       hashed
         .groupBy("text_hash")
-        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
+        .agg(min_by(struct(shardCols.map(col): _*), col("doc_id"))
           .as("first"))
-        .select(col("first.doc_id").as("doc_id"),
-          col("first.text").as("text"))
+        .select(shardCols.map(c => col(s"first.$c").as(c)): _*)
         .join(broadcast(exactDropped), Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
     } finally Storage.unpersistLocalCheckpoint(hashed)
-    try {
+    val nearSurvivors = try {
       // near-dup stage: pairs touching the shard, vs index ∪ shard
       // (eager, output-sized — released below)
       val pairs = MinHashIndex.probePairs(
         spark, store(path, "neardup"), exactSurvivors, threshold)
-      try {
-        val survivorIds = exactSurvivors.select("doc_id")
-        // pairs are oriented a < b: a shard-side b always has a
-        // smaller-id partner (indexed or in-shard) — dropped; a
-        // shard-side a with a non-shard b is paired with an indexed
-        // doc — dropped
-        val dropB = pairs
-          .join(survivorIds, pairs("b_id") === survivorIds("doc_id"),
-            "left_semi")
-          .select(col("b_id").as("doc_id"))
-        val dropA = pairs
-          .join(survivorIds, pairs("b_id") === survivorIds("doc_id"),
-            "left_anti")
-          .select(col("a_id").as("doc_id"))
-        exactSurvivors
-          .join(broadcast(dropB.unionByName(dropA).distinct()),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint(eager = true)
-      } finally Storage.unpersistLocalCheckpoint(pairs)
+      try dropPaired(exactSurvivors, pairs)
+      finally Storage.unpersistLocalCheckpoint(pairs)
     } finally Storage.unpersistLocalCheckpoint(exactSurvivors)
+    if (!hasSemantic(spark, path)) nearSurvivors
+    else try {
+      // semantic stage: same drop law over the same-inverted-list
+      // cosine pairs vs the indexed embeddings ∪ the surviving shard
+      val pairs = IvfIndex.probeSemantic(
+        spark, store(path, "semantic"),
+        nearSurvivors.select(col("doc_id").as("vec_id"), col("embedding")),
+        semanticThreshold)
+      try dropPaired(nearSurvivors, pairs)
+      finally Storage.unpersistLocalCheckpoint(pairs)
+    } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
   }
 
   /** Admit one epoch: decide (or, on replay, re-read the committed
     * decision), commit the admitted segment, then append the admitted
-    * docs into both indexes. Idempotent under replay at every crash
+    * docs into every index store. Idempotent under replay at every crash
     * point. Returns the admitted docs (lazy, over the stored
     * segment). */
   def admitEpoch(
       spark: SparkSession, path: String, epoch: Long, shard: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, semanticThreshold: Double = 0.95): DataFrame = {
     val admittedPath = store(path, "admitted")
     // fail fast on a loop that was never [[init]]ed — appendEpoch
     // itself would happily commit into a half-existing store
     LsmSegments.current(spark, admittedPath)
     LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
-      val admitted = decide(spark, path, shard, threshold)
+      val admitted = decide(spark, path, shard, threshold, semanticThreshold)
       try admitted.write.mode("overwrite").parquet(p)
       finally Storage.unpersistLocalCheckpoint(admitted)
     }
     val admitted = spark.read.parquet(s"$admittedPath/deltas/$epoch")
     ContentHashIndex.appendEpoch(spark, store(path, "exact"), epoch, admitted)
     MinHashIndex.appendEpoch(spark, store(path, "neardup"), epoch, admitted)
+    if (hasSemantic(spark, path))
+      IvfIndex.appendEpoch(spark, store(path, "semantic"), epoch,
+        admitted.select(col("doc_id").as("vec_id"), col("embedding")))
     admitted
   }
 
@@ -172,7 +235,7 @@ object Admission {
   def committedEpochs(spark: SparkSession, path: String): Seq[Long] =
     LsmSegments.committedEpochs(spark, store(path, "admitted"))
 
-  /** Maintenance: fold + retire all three stores. With the default
+  /** Maintenance: fold + retire every store. With the default
     * `retainGens = 0`, run in a window when the ingest stream is
     * stopped (see the class contract). `retainGens = 1` is the
     * IN-LOOP policy ([[graft.streaming.StreamingOps.admissionIngestStream]]'s
@@ -193,5 +256,9 @@ object Admission {
     ContentHashIndex.gc(spark, store(path, "exact"), retainGens)
     MinHashIndex.compact(spark, store(path, "neardup"))
     MinHashIndex.gc(spark, store(path, "neardup"), retainGens)
+    if (hasSemantic(spark, path)) {
+      IvfIndex.compact(spark, store(path, "semantic"))
+      IvfIndex.gc(spark, store(path, "semantic"), retainGens)
+    }
   }
 }

@@ -62,9 +62,24 @@ object IvfIndex {
     else LsmSegments.liveSegments(spark, path)
   }
 
-  private def writeSegment(df: DataFrame, p: String): Unit =
+  private def writeSegment(df: DataFrame, p: String): Unit = {
     graft.sources.FileSources.writePartitionedParquet(
       df, p, partitionCols = Seq("c_id"))
+    // a partitioned write of an EMPTY frame lands no partition dirs
+    // and no data files — unreadable (no schema to infer). An empty
+    // segment is a real case (an admission epoch where nothing
+    // survives; an empty store init for the admission loop's semantic
+    // stage), so it is rewritten unpartitioned: one metadata-only
+    // parquet file carrying the schema, c_id as a plain (long) column.
+    // loadSegment unions segments byName and its c_id cast is a no-op
+    // on the long, and the zero-row segment never affects pruning.
+    // The check is one driver-side directory listing.
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hasParts = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("c_id="))
+    if (!hasParts) df.write.mode("overwrite").parquet(p)
+  }
 
   /** Build the assignment from `centroids` and persist both halves
     * (base generation 0, committed by its generation marker). */
@@ -151,14 +166,27 @@ object IvfIndex {
     * self-join. The shard assignment is computed ONCE (eager
     * localCheckpoint — it feeds three plan branches) and the result
     * comes back eagerly materialized (it is output-sized); release
-    * with [[Storage.unpersistLocalCheckpoint]]. */
+    * with [[Storage.unpersistLocalCheckpoint]].
+    *
+    * SKEW CAP (`maxList`): a touched inverted list holding more than
+    * `maxList` INDEXED members is saturated and contributes NO pairs —
+    * the same documented contract as [[Similarity.cosineLshVerdicts]]'
+    * megabuckets and [[Dedup.MAX_BUCKET]]'s LSH buckets (every other
+    * candidate-generation path is bounded; this one is too). Without
+    * it, one k-means megacluster — real embedding corpora have them —
+    * makes one straggler task own |list|×|shard∩list| of the probe at
+    * 100 TB. Recall inside a saturated list degrades explicitly (the
+    * list stops flagging), never silently (no partial pair set). The
+    * per-list member count is computed over the ALREADY-PRUNED
+    * partitions with a map-side-combinable count whose scan touches
+    * only the partition column — metadata-cheap. */
   def probeSemantic(
       spark: SparkSession, path: String, newVectors: DataFrame,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxList: Int = 4096): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val shard = Similarity.ivfAssign(newVectors, centroids)
       .localCheckpoint(eager = true)
-    try probeSemanticPlan(spark, path, shard, threshold)
+    try probeSemanticPlan(spark, path, shard, threshold, maxList)
       .localCheckpoint(eager = true)
     finally Storage.unpersistLocalCheckpoint(shard)
   }
@@ -177,24 +205,38 @@ object IvfIndex {
     * side). */
   private[graft] def probeSemanticPlan(
       spark: SparkSession, path: String, shard: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxList: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions.cosine
     val touched = shard.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val (allSegs, _) = readAll(spark, path)
-    val all = allSegs.where(col("c_id").isin(touched: _*))
+    val pruned = allSegs.where(col("c_id").isin(touched: _*))
+    // the skew cap's saturated-list set: indexed members per TOUCHED
+    // list (count over the pruned partitions, reading only the
+    // partition column), lists past maxList excluded from both pair
+    // branches via a broadcast anti-join (≤ nCentroids rows). A
+    // touched list with NO indexed members never saturates — its
+    // within-shard pairs still flow.
+    val saturated = pruned.groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxList)
+      .select("c_id")
+    val all = pruned
+      .join(broadcast(saturated), Seq("c_id"), "left_anti")
+    val shardOk = shard
+      .join(broadcast(saturated), Seq("c_id"), "left_anti")
     val crossPairs = all
-      .join(broadcast(shard.select(col("c_id"),
+      .join(broadcast(shardOk.select(col("c_id"),
         col("vec_id").as("s_id"), col("embedding").as("s_v"))), "c_id")
       .select(
         least(col("vec_id"), col("s_id")).as("a_id"),
         greatest(col("vec_id"), col("s_id")).as("b_id"),
         cosine(col("embedding"), col("s_v")).as("cos"))
       .where(col("cos") >= threshold)
-    val withinPairs = shard
+    val withinPairs = shardOk
       .select(col("c_id"), col("vec_id").as("a_id"),
         col("embedding").as("a_v"))
-      .join(broadcast(shard.select(col("c_id"),
+      .join(broadcast(shardOk.select(col("c_id"),
         col("vec_id").as("b_id"), col("embedding").as("b_v"))), "c_id")
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

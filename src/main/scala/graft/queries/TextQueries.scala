@@ -177,6 +177,55 @@ object TextQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // the FULL admission loop with the semantic stage on: the fourth
+    // store is a persisted IvfIndex over admitted doc embeddings
+    // (fixed seed centroids), and each epoch's near-dup survivors are
+    // additionally screened by IvfIndex.probeSemantic (SemDeDup at
+    // ingest). The planted re-crawls here are REWORDED — unique text
+    // the exact and MinHash stages cannot see (template shingles
+    // shared between two plants give Jaccard 0.25 < 0.5) — but carry
+    // their original's EXACT embedding, so cos(copy, original) folds
+    // to 1.0 and the copy lands in its original's inverted list: only
+    // the semantic stage can drop them, which makes the stage
+    // non-vacuous at every SF. The oracle replays the whole
+    // three-epoch fold, semantic assignment and cosine pair law
+    // included, in SQL.
+    "dedup_admission_semantic" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val cents = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_adm_sem_")
+      dedupIndexDirs.add(dir)
+      val path = dir.toAbsolutePath.toString
+      graft.operators.Admission.init(s, path, semanticCentroids = Some(cents))
+      def shard(e: Int): DataFrame = {
+        val own = base.where(col("doc_id") % 3 === e)
+        // same-shard exact dups keep stage 1 non-vacuous
+        val withDupes = own.unionByName(
+          base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              col("embedding")))
+        // semantic re-crawls of the PREVIOUS shard: reworded text,
+        // original embedding
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(1000000L * e)).as("doc_id"),
+              concat(lit("semantic recrawl of document "), col("doc_id"),
+                lit(" reworded entirely")).as("text"),
+              col("embedding")))
+      }
+      (0 to 2).map { e =>
+        graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e),
+          threshold = 0.5, semanticThreshold = 0.95)
+          .select(col("doc_id"), lit(e.toLong).as("epoch"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // md5-bit variant so the whole pipeline (tokenize → bit votes →
     // sign vector → pigeonhole blocking → hamming join) is DuckDB-
     // hash-verified; the single-pass xxhash64 kernel path
@@ -904,6 +953,114 @@ object TextQueries {
         SELECT CAST(doc_id AS BIGINT), CAST(2 AS BIGINT) FROM a2"""
   }
 
+  /** dedup_admission_semantic's oracle: the same three-epoch fold as
+    * [[admissionOracle]] plus the semantic stage — every doc carries
+    * its embedding `v` and its fixed-centroid inverted-list `c_id`
+    * (argmax cosine, ties → smaller c_id — [[Similarity.ivfAssign]]'s
+    * law; plants inherit their original's embedding, hence its list),
+    * and a near-dup survivor x is dropped when a same-list cos ≥ 0.95
+    * partner exists among smaller-id stage inputs (dominance — a
+    * rejected survivor still dominates) or among ALL previously
+    * admitted docs (arrival order wins regardless of id). Cosine is
+    * the standard element-wise-double left-to-right fold — bit-equal
+    * to the engine's CosineSimilarity. */
+  private lazy val admissionSemanticOracle: String = {
+    def J(x: String, y: String) =
+      s"""CAST(len(list_intersect($x.sh, $y.sh)) AS DOUBLE) /
+          (len($x.sh) + len($y.sh) - len(list_intersect($x.sh, $y.sh)))"""
+    def dotO(x: String, y: String) =
+      s"list_reduce(list_transform($x, (xe, i) -> CAST(xe AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, t) -> acc + t)"
+    def nrmO(x: String) =
+      s"sqrt(list_reduce(list_transform($x, xe -> CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)), (acc, t) -> acc + t))"
+    def cosO(x: String, y: String) =
+      s"(${dotO(x, y)} / (${nrmO(x)} * ${nrmO(y)}))"
+    def exact(sN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $sN x
+          WHERE x.doc_id = (SELECT min(y.doc_id) FROM $sN y
+                            WHERE y.text = x.text)""" +
+        adm.map(a =>
+          s" AND NOT EXISTS (SELECT 1 FROM $a z WHERE z.text = x.text)")
+          .getOrElse("")
+    def near(eN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $eN x
+          WHERE NOT EXISTS (SELECT 1 FROM $eN y
+                            WHERE y.doc_id < x.doc_id
+                              AND ${J("x", "y")} >= 0.5)""" +
+        adm.map(a =>
+          s""" AND NOT EXISTS (SELECT 1 FROM $a z
+                               WHERE ${J("x", "z")} >= 0.5)""")
+          .getOrElse("")
+    def sem(nN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $nN x
+          WHERE NOT EXISTS (SELECT 1 FROM $nN y
+                            WHERE y.doc_id < x.doc_id AND y.c_id = x.c_id
+                              AND ${cosO("x.v", "y.v")} >= 0.95)""" +
+        adm.map(a =>
+          s""" AND NOT EXISTS (SELECT 1 FROM $a z
+                               WHERE z.c_id = x.c_id
+                                 AND ${cosO("x.v", "z.v")} >= 0.95)""")
+          .getOrElse("")
+    def plant(mod3: Int, off: Long) =
+      s"""SELECT p.doc_id + $off AS doc_id, p.text,
+            ${shingleSetSql(3)} AS sh, p.v, p.c_id
+          FROM (
+            SELECT b.doc_id,
+                   'semantic recrawl of document ' || CAST(b.doc_id AS VARCHAR)
+                     || ' reworded entirely' AS text,
+                   b.v, b.c_id
+            FROM ba b
+            WHERE b.doc_id % 3 = $mod3 AND b.doc_id % 4 = 0) p"""
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        b0 AS (
+          SELECT d.doc_id, d.text, e.embedding AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        asg AS (
+          SELECT doc_id, c_id FROM (
+            SELECT b.doc_id, c.c_id,
+                   row_number() OVER (PARTITION BY b.doc_id
+                     ORDER BY ${cosO("b.v", "c.c_vec")} DESC, c.c_id ASC) AS rn
+            FROM b0 b CROSS JOIN c) WHERE rn = 1),
+        ba AS MATERIALIZED (
+          SELECT b.doc_id, b.text, ${shingleSetSql(3)} AS sh, b.v, a.c_id
+          FROM b0 b JOIN asg a USING (doc_id)),
+        s0 AS (
+          SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+        s1 AS (
+          SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+          UNION ALL
+          ${plant(0, 1000000L)}),
+        s2 AS (
+          SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
+          UNION ALL
+          ${plant(1, 2000000L)}),
+        e0 AS MATERIALIZED (${exact("s0", None)}),
+        n0 AS MATERIALIZED (${near("e0", None)}),
+        m0 AS MATERIALIZED (${sem("n0", None)}),
+        e1 AS MATERIALIZED (${exact("s1", Some("m0"))}),
+        n1 AS MATERIALIZED (${near("e1", Some("m0"))}),
+        m1 AS MATERIALIZED (${sem("n1", Some("m0"))}),
+        adm1 AS MATERIALIZED (
+          SELECT * FROM m0 UNION ALL SELECT * FROM m1),
+        e2 AS MATERIALIZED (${exact("s2", Some("adm1"))}),
+        n2 AS MATERIALIZED (${near("e2", Some("adm1"))}),
+        m2 AS MATERIALIZED (${sem("n2", Some("adm1"))})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS epoch FROM m0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM m1
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(2 AS BIGINT) FROM m2"""
+  }
+
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
   // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)
   private def shingleSetSql(n: Int) =
@@ -1237,6 +1394,7 @@ object TextQueries {
           WHERE j >= 0.5 AND (a_id % 3 = 2 OR b_id % 3 = 2)""",
 
     "dedup_admission_loop" -> admissionOracle,
+    "dedup_admission_semantic" -> admissionSemanticOracle,
 
     // brute-force first-principles SimHash: per-token bits from md5
     // nibbles (byte-identical across engines), frequency-weighted bit

@@ -117,6 +117,31 @@ object VectorQueries {
         Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
     }),
 
+    // the doubly-lossy tier (coarse pruning + residual quantization)
+    // is precisely the one whose recall@k a deployment gates on —
+    // evaluated against the same exact-cosine truth as the rest of
+    // the matrix.
+    "knn_eval_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.ivfPqKnn(
+          e.select(col("vec_id"), col("embedding")), nQueries = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
+    // late-interaction retrieval vs its single-vector collapse: the
+    // exhaustive MaxSim ranking evaluated against exact cosine over
+    // MEAN-POOLED doc vectors — the "what does multi-vector scoring
+    // buy over pooling" measurement, at doc granularity on both sides.
+    "knn_eval_maxsim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.maxSimKnn(e, tokensPerDoc = 4, nQueries = 4, k = 5),
+        Similarity.bruteForceKnn(
+          Similarity.meanPoolDocs(e, tokensPerDoc = 4), nQueries = 4, k = 5),
+        k = 5)
+    }),
+
     // product quantization + ADC: codes and lookup tables are exact
     // double arithmetic with deterministic tie-breaks, so the whole
     // encode→LUT→score→top-k pipeline is recomputed by the oracle.
@@ -141,6 +166,44 @@ object VectorQueries {
       Similarity.ivfPqKnn(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         nQueries = 8, k = 5)),
+
+    // ...and the PERSISTED IVFADC tier under the correctness gate: the
+    // trained state (seed coarse centroids + seed residual codebook
+    // over the FULL corpus — the same pair the in-memory trajectory
+    // derives) persisted once, base codes from two thirds of the
+    // corpus, the rest assigned+residual-encoded as two committed
+    // delta epochs AGAINST THE STORED STATE, then compacted + gc'd
+    // (marker-last generation swap) before serving — the full
+    // write→append→compact→gc→serve maintenance cycle. Assignment and
+    // codes are pure functions of (vector, stored state) and ints /
+    // float32 centroids / double residual codewords round-trip parquet
+    // exactly, so the serve is bit-identical to knn_ivfpq over the
+    // union — the shared oracle.
+    "knn_ivfpq_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cb = Similarity.ivfPqSeedCodebook(
+        e.select(col("vec_id"), col("embedding")), seeds)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfPqIndex.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        seeds, cb, path)
+      graft.operators.IvfPqIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfPqIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfPqIndex.compact(s, path)
+      graft.operators.IvfPqIndex.gc(s, path)
+      graft.operators.IvfPqIndex.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5, nProbe = 4)
+    }),
 
     // the durable-index serving path: build the seed-centroid IVF
     // index, persist it as parquet (assignments PARTITIONED BY c_id —
@@ -1180,8 +1243,14 @@ object VectorQueries {
     * reports zeros. Divisions are forced to DOUBLE (DuckDB's literal
     * arithmetic is decimal-typed and would round differently). */
   private def evalOracle(tierSql: String): String =
+    evalOracleVs(tierSql, bruteOracle)
+
+  /** [[evalOracle]] with an explicit truth side — for tiers whose
+    * natural ground truth is not vector-level brute cosine (MaxSim is
+    * doc-level, so its truth is brute cosine over mean-pooled docs). */
+  private def evalOracleVs(tierSql: String, truthSql: String): String =
     s"""WITH res AS ($tierSql),
-         tru AS ($bruteOracle),
+         tru AS ($truthSql),
          marked AS (
            SELECT t.query_id, r.rank,
                   CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -1194,6 +1263,37 @@ object VectorQueries {
                         CAST(0 AS DOUBLE)) AS mrr,
                CAST(sum(hit) AS BIGINT) AS n_hits
         FROM marked GROUP BY query_id"""
+
+  /** knn_eval_maxsim's truth: brute cosine over MEAN-POOLED doc
+    * vectors — per element a vec_id-ascending left-to-right double
+    * fold (list_reduce without a seed starts at the first element;
+    * 0.0 + x == x, so it matches Spark's aggregate-from-0.0), one
+    * double /4.0, one round-to-nearest float (the engine-wide
+    * embedding convention [[Similarity.meanPoolDocs]] emits) — then
+    * the standard exact-cosine ranking at doc granularity. */
+  private lazy val pooledBruteOracle: String =
+    s"""WITH ptoks AS (
+          SELECT CAST(floor(vec_id / 4) AS BIGINT) AS doc_id,
+                 list(embedding ORDER BY vec_id) AS toks
+          FROM embeddings GROUP BY 1),
+        pooled AS (
+          SELECT doc_id AS vec_id,
+                 list_transform(range(1, 65),
+                   i -> CAST(list_reduce(
+                          list_transform(toks, t -> CAST(t[i] AS DOUBLE)),
+                          (acc, x) -> acc + x) / 4.0 AS FLOAT)) AS v
+          FROM ptoks),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM pooled WHERE vec_id < 4),
+        scored AS (
+          SELECT q.query_id, p.vec_id, ${cosSql("q.qv", "p.v")} AS cos
+          FROM pooled p JOIN q ON p.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
 
   /** knn_maxsim oracle: the same nested-HOF MaxSim — token bags
     * vec_id-ordered, dot = left-to-right double fold, inner max
@@ -1236,6 +1336,10 @@ object VectorQueries {
     "knn_eval_sq8" -> evalOracle(sq8Oracle),
     "knn_eval_pq" -> evalOracle(pqSeedOracle),
     "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
+    "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
+    // doc-level tier, doc-level truth: pooled-cosine ranking as the
+    // truth side (see pooledBruteOracle)
+    "knn_eval_maxsim" -> evalOracleVs(maxSimOracle, pooledBruteOracle),
 
     "knn_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
@@ -1256,6 +1360,10 @@ object VectorQueries {
     "knn_pq" -> pqSeedOracle,
     "knn_pq_delta" -> pqSeedOracle,
     "knn_ivfpq" -> ivfPqSeedOracle,
+    // the persisted tier's full maintenance cycle serves bit-identical
+    // to the in-memory trajectory over the union — shared oracle,
+    // like every other delta tier
+    "knn_ivfpq_delta" -> ivfPqSeedOracle,
     "knn_maxsim" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the

@@ -575,9 +575,17 @@ object StreamingOps {
     * vectors (query_id, qv: array<float>) served against a durable
     * [[graft.operators.Sq8Index]]. The base∪deltas snapshot is
     * resolved ONCE at stream start (one consistent view for the
-    * stream's lifetime — restart to pick up later-ingested epochs;
-    * an ingest loop compacting with `retainGens = 1` keeps that view
-    * readable for a full compaction cycle), and each batch runs the
+    * stream's lifetime — restart to pick up later-ingested epochs).
+    * LIFETIME BOUND, shared by every fixed-snapshot serve stream here
+    * (ivf/sq8/pq/ivfPq/binary): a concurrent ingest loop compacting
+    * with `retainGens = 1` keeps this view's files alive for exactly
+    * ONE further compaction cycle — after the SECOND in-loop
+    * compaction gc retires them and the stream's batches fail loudly
+    * (FileNotFoundException), they do not silently serve partial
+    * results. A server that must outlive compaction cycles either
+    * restarts within each cycle, runs its ingest with a larger
+    * `retainGens`, or screens per-batch like [[exactProbeStream]]
+    * (snapshot-per-batch, always-fresh). Each batch runs the
     * exact batch serving plan — per-query top-k is state-free across
     * batches, so streaming == [[graft.operators.Sq8Index.serveAll]]
     * restricted per batch (pinned in StreamingOpsSpec). */
@@ -801,13 +809,19 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("ivfIngestStream", vectors, indexPath, options,
       graft.operators.IvfIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.IvfIndex.compact(vectors.sparkSession, indexPath)
-        graft.operators.IvfIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+        graft.operators.IvfIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s SQ8-tier sibling: each micro-batch is
@@ -818,13 +832,19 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("sq8IngestStream", vectors, indexPath, options,
       graft.operators.Sq8Index.appendEpoch, compactEvery,
       () => {
         graft.operators.Sq8Index.compact(vectors.sparkSession, indexPath)
-        graft.operators.Sq8Index.gc(vectors.sparkSession, indexPath, retainGens = 1)
+        graft.operators.Sq8Index.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s PQ-tier sibling: each micro-batch is
@@ -835,13 +855,19 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("pqIngestStream", vectors, indexPath, options,
       graft.operators.PqIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.PqIndex.compact(vectors.sparkSession, indexPath)
-        graft.operators.PqIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+        graft.operators.PqIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s IVF-PQ-tier sibling: each micro-batch is
@@ -852,13 +878,19 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("ivfPqIngestStream", vectors, indexPath, options,
       graft.operators.IvfPqIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.IvfPqIndex.compact(vectors.sparkSession, indexPath)
-        graft.operators.IvfPqIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+        graft.operators.IvfPqIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s binary-tier sibling: each micro-batch is
@@ -869,13 +901,19 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("binaryIngestStream", vectors, indexPath, options,
       graft.operators.BinaryIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.BinaryIndex.compact(vectors.sparkSession, indexPath)
-        graft.operators.BinaryIndex.gc(vectors.sparkSession, indexPath, retainGens = 1)
+        graft.operators.BinaryIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s dedup sibling: each micro-batch of
@@ -888,13 +926,19 @@ object StreamingOps {
       documents: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("minhashIngestStream", documents, indexPath, options,
       graft.operators.MinHashIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.MinHashIndex.compact(documents.sparkSession, indexPath)
-        graft.operators.MinHashIndex.gc(documents.sparkSession, indexPath, retainGens = 1)
+        graft.operators.MinHashIndex.gc(documents.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[minhashIngestStream]]'s exact-dedup sibling: each micro-batch
@@ -907,13 +951,19 @@ object StreamingOps {
       documents: DataFrame,
       indexPath: String,
       options: Map[String, String] = Map.empty,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      // generations a triggered in-loop gc retains; 1 (default) keeps
+      // one superseded snapshot alive for concurrent fixed-snapshot
+      // readers — a long-lived serve stream needs retainGens sized to
+      // its lifetime in compaction cycles (see the serve streams'
+      // LIFETIME BOUND note)
+      retainGens: Int = 1)(
       onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
     lsmIngestStream("exactDedupIngestStream", documents, indexPath, options,
       graft.operators.ContentHashIndex.appendEpoch, compactEvery,
       () => {
         graft.operators.ContentHashIndex.compact(documents.sparkSession, indexPath)
-        graft.operators.ContentHashIndex.gc(documents.sparkSession, indexPath, retainGens = 1)
+        graft.operators.ContentHashIndex.gc(documents.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** The full ADMISSION LOOP as a durable stream — the production
@@ -921,7 +971,7 @@ object StreamingOps {
     * documents (doc_id, text) is probed against the loop's persisted
     * content-hash and MinHash indexes, the survivors admitted under
     * [[graft.operators.Admission]]'s deterministic policy, and the
-    * admitted docs appended back into BOTH indexes — so later batches
+    * admitted docs appended back into EVERY index store — so later batches
     * dedup against everything admitted so far, across restarts.
     * Every step is marker-guarded and idempotent (the admitted store
     * is the write-ahead decision log: replayed epochs re-read the
@@ -934,12 +984,20 @@ object StreamingOps {
       documents: DataFrame,
       path: String,
       threshold: Double = 0.5,
+      // cosine threshold of the optional semantic stage — used only
+      // when the loop was initialized with semanticCentroids (the
+      // fourth store exists); batches must then carry an `embedding`
+      // column
+      semanticThreshold: Double = 0.95,
       options: Map[String, String] = Map.empty,
-      // > 0: fold all three stores whenever this many committed
-      // epochs are unfolded in the admitted store, gc'ing with
-      // retainGens = 1 — same in-loop maintenance policy (and same
-      // safety argument) as lsmIngestStream's compactEvery
-      compactEvery: Int = 0)(
+      // > 0: fold every store whenever this many committed
+      // epochs are unfolded in the admitted store — same in-loop
+      // maintenance policy (and same safety argument) as
+      // lsmIngestStream's compactEvery
+      compactEvery: Int = 0,
+      // generations the triggered gc retains per store; 1 (default)
+      // keeps one superseded snapshot alive for concurrent readers
+      retainGens: Int = 1)(
       onBatch: (Long, DataFrame) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = documents.sparkSession
     requireDurableLineage("admissionIngestStream",
@@ -950,7 +1008,7 @@ object StreamingOps {
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         onBatch(epoch, graft.operators.Admission.admitEpoch(
-          spark, path, epoch, batch.toDF(), threshold))
+          spark, path, epoch, batch.toDF(), threshold, semanticThreshold))
         if (compactEvery > 0) {
           // admitEpoch returned, so ALL THREE stores have committed
           // this epoch — the between-appends window the single-writer
@@ -960,7 +1018,7 @@ object StreamingOps {
           val unfolded = graft.operators.Admission
             .committedEpochs(spark, path).count(_ > upto)
           if (unfolded >= compactEvery)
-            graft.operators.Admission.compact(spark, path, retainGens = 1)
+            graft.operators.Admission.compact(spark, path, retainGens = retainGens)
         }
         ()
       }

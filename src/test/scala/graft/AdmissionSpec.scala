@@ -182,6 +182,113 @@ class AdmissionSpec extends AnyFunSuite {
     assert(MinHashIndex.servePairs(spark, s"$loop/neardup").isEmpty)
   }
 
+  // ---- semantic stage (fourth store) ----
+  // unique long token runs per doc: the exact and MinHash stages pass
+  // EVERYTHING, so every drop below is attributable to the semantic
+  // stage alone. Two fixed centroids split the embedding plane.
+  private def run(k: String) = (1 to 40).map(i => s"$k$i").mkString(" ")
+  private def sdocs(rows: (Long, String, Array[Float])*) =
+    rows.toDF("doc_id", "text", "embedding")
+  private val semCentroids = Seq(
+    (0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("c_id", "c_vec")
+  private val vA = Array(1f, 0f)
+  private val vB = Array(0f, 1f)
+  private val vA2 = Array(0.99f, 0.1f)    // cos(vA2, vA) ≈ 0.995 — same list
+  private val vAfar = Array(0.8f, 0.6f)   // list 0, cos(vAfar, vA) = 0.8
+  private val vB2 = Array(0.1f, 0.99f)    // cos(vB2, vB) ≈ 0.995 — same list
+  private val u1 = Array(0.6f, 0.8f)      // list 1, cos(u1, vB) = 0.8
+  private val u2 = Array(0.58f, 0.82f)    // cos(u1, u2) ≈ 0.9996 — in-shard pair
+  private val semShard0 = sdocs(
+    (1L, run("ta"), vA), (2L, run("tb"), vB))
+  private val semShard1 = sdocs(
+    (10L, run("tc"), vA2),   // semantic copy of admitted 1 → drop
+    (11L, run("td"), vAfar), // same list as 1, cos 0.8 → keep
+    (12L, run("te"), vB2),   // semantic copy of admitted 2 → drop
+    (14L, run("tf"), u1),    // keeps (smaller id of the in-shard pair)
+    (15L, run("tg"), u2))    // in-shard semantic dup of 14 → drop
+  private val semWant = Map(0L -> Set(1L, 2L), 1L -> Set(11L, 14L))
+
+  test("semantic stage drops embedding near-dups the text stages cannot see") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_sem_spec_").toString
+    Admission.init(spark, path, semanticCentroids = Some(semCentroids))
+    val got = Seq(semShard0, semShard1).zipWithIndex.map { case (sh, e) =>
+      e.toLong -> admittedIds(Admission.admitEpoch(spark, path, e.toLong, sh))
+    }.toMap
+    assert(got == semWant, s"semantic admission diverged: $got")
+    // the fourth store holds exactly the admitted embeddings
+    val indexed = graft.operators.IvfIndex.readAll(spark, s"$path/semantic")
+      ._1.select("vec_id").as[Long].collect().toSet
+    assert(indexed == semWant.values.flatten.toSet,
+      s"semantic index out of sync: $indexed")
+    // and the admitted store (the decision log) carries the embedding
+    // column — the replay path re-reads it for the semantic append
+    assert(Admission.admittedAll(spark, path).columns.contains("embedding"))
+    // maintenance folds the fourth store with the other three
+    Admission.compact(spark, path)
+    assert(LsmSegments.current(spark, s"$path/semantic") == (1L, 1L),
+      "semantic store did not fold")
+    assert(admittedIds(Admission.admittedAll(spark, path)) ==
+      semWant.values.flatten.toSet)
+  }
+
+  test("replay with the semantic append lost re-reads the decision and completes the fourth store") {
+    // worst crash point for the EXTENDED loop: admitted + exact +
+    // neardup committed for epoch 1, the semantic append LOST. The
+    // replay must re-read the stored decision (re-deciding would see
+    // epoch 1's own embeddings in... nothing — the semantic index is
+    // exactly the store whose append is missing, but the exact index
+    // DOES already hold epoch 1's texts, which is what poisons a
+    // re-decision) and only complete the missing semantic append.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_sem_replay_").toString
+    Admission.init(spark, path, semanticCentroids = Some(semCentroids))
+    Admission.admitEpoch(spark, path, 0L, semShard0)
+    val decided = Admission.decide(spark, path, semShard1, 0.5)
+    try {
+      LsmSegments.appendEpoch(spark, s"$path/admitted", 1L)(p =>
+        decided.write.mode("overwrite").parquet(p))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(decided)
+    val committed1 = spark.read.parquet(s"$path/admitted/deltas/1")
+    ContentHashIndex.appendEpoch(spark, s"$path/exact", 1L, committed1)
+    MinHashIndex.appendEpoch(spark, s"$path/neardup", 1L, committed1)
+    assert(LsmSegments.committedEpochs(spark, s"$path/semantic") == Seq(0L),
+      "test harness: the semantic append must be missing")
+    val replayed = admittedIds(Admission.admitEpoch(spark, path, 1L, semShard1))
+    assert(replayed == semWant(1L),
+      s"replay changed the committed decision: $replayed")
+    assert(LsmSegments.committedEpochs(spark, s"$path/semantic") == Seq(0L, 1L),
+      "replay did not complete the missing semantic append")
+    val indexed = graft.operators.IvfIndex.readAll(spark, s"$path/semantic")
+      ._1.select("vec_id").as[Long].collect().toSet
+    assert(indexed == semWant.values.flatten.toSet)
+  }
+
+  test("streamed semantic loop killed and resumed equals the batch fold") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_adm_sem_stream_").toString
+    val (src, ckpt, loop) = (s"$base/src", s"$base/chk", s"$base/loop")
+    Admission.init(spark, loop, semanticCentroids = Some(semCentroids))
+    val perEpoch =
+      scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    def start() = StreamingOps.admissionIngestStream(
+      spark.readStream.schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      loop, options = Map("checkpointLocation" -> ckpt)) { (ep, admitted) =>
+      perEpoch(ep) = admittedIds(admitted)
+    }
+    semShard0.coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()   // KILL
+    assert(perEpoch.get(0L).contains(semWant(0L)), s"$perEpoch")
+    semShard1.coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()                                  // RESUME
+    try q2.processAllAvailable() finally q2.stop()
+    assert(perEpoch.toMap == semWant, s"$perEpoch")
+    assert(admittedIds(Admission.admittedAll(spark, loop)) ==
+      semWant.values.flatten.toSet)
+  }
+
   test("an un-initialized loop fails loudly instead of admitting into thin air") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_adm_uninit_").toString

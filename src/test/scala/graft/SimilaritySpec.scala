@@ -506,6 +506,42 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.operators.Storage.unpersistLocalCheckpoint(got)
   }
 
+  test("semantic probe megacluster: a saturated inverted list stops flagging instead of owning the probe") {
+    // the skew cap every other candidate-generation path already has:
+    // with ONE centroid every vector lands in one inverted list; a
+    // maxList below the index size saturates that list — the probe
+    // completes and emits NOTHING (explicit degradation, never a
+    // partial pair set), while the default cap reproduces the full
+    // pair law (so the dedup_semantic_probe oracle is unaffected
+    // below the cap).
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val oneSeed = e.where($"vec_id" === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_mega").toString
+    graft.operators.IvfIndex.write(e, oneSeed, path)
+    val shard = e.where($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val capped = graft.operators.IvfIndex.probeSemantic(
+      spark, path, shard, threshold = 0.9, maxList = 8)
+    try assert(capped.count() == 0,
+      "a saturated megacluster list must stop flagging entirely")
+    finally graft.operators.Storage.unpersistLocalCheckpoint(capped)
+    val full = graft.operators.IvfIndex.probeSemantic(
+      spark, path, shard, threshold = 0.9)
+    try {
+      // below the cap the declared pair law holds verbatim: every
+      // re-keyed exact copy surfaces its original
+      val gotSet = full.as[(Long, Long, Double)].collect().toSet
+      val copies = e.where($"vec_id" % 5 === 0).select($"vec_id").as[Long].collect()
+      assert(gotSet.nonEmpty)
+      copies.foreach(id => assert(
+        gotSet.exists { case (a, b, _) => a == id && b == id + 1000000L },
+        s"copy of indexed vector $id not flagged below the cap"))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(full)
+  }
+
   test("IVF compaction race: a reader between base-rewrite and marker swap double-counts nothing") {
     // the generation-pointer protocol's whole job: compact writes
     // base/<gen+1> FIRST and its gens/ marker second. A serve

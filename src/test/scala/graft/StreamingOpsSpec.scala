@@ -1447,6 +1447,67 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(binGot == binWant && binGot.nonEmpty, "binaryServeStream diverged from batch serveAll")
   }
 
+  test("streaming IVFADC ingest + serve equal the batch tier (delta segments against the stored trained state)") {
+    // ivfPqIngestStream: micro-batches are coarse-assigned and
+    // residual-encoded against the index's FIXED stored state and land
+    // as committed delta segments — serveAll must equal an index built
+    // from everything at once (codes are pure functions of the stored
+    // state). ivfPqServeStream: query micro-batches against the fixed
+    // snapshot must reproduce the batch serveAll rows exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val seeds = e.where($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val cb = graft.operators.Similarity.ivfPqSeedCodebook(e, seeds)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivfpq_s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivfpq_sf").toString
+    graft.operators.IvfPqIndex.write(e.where($"vec_id" % 2 === 0), seeds, cb, inc)
+    graft.operators.IvfPqIndex.write(e, seeds, cb, full)
+    val rest = e.where($"vec_id" % 2 === 1)
+      .as[(Long, Seq[Float])].collect()
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = StreamingOps.ivfPqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), inc) { (ep, ok) =>
+      applied.synchronized { applied += ((ep, ok)) }
+    }
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.synchronized(applied.toList).forall(_._2) &&
+      applied.size == 2, s"epochs: $applied")
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    def servedAll(p: String) =
+      graft.operators.IvfPqIndex.serveAll(spark, p, queries, k = 5, nProbe = 4)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(servedAll(inc) == servedAll(full) && servedAll(inc).nonEmpty,
+      "streamed IVFADC ingest diverged from the all-at-once index")
+    // serve stream: two query micro-batches == batch serveAll of the union
+    val qRows = e.where($"vec_id" < 6)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val qmem = MemoryStream[(Long, Seq[Float])]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    val sq = StreamingOps.ivfPqServeStream(
+      qmem.toDF().toDF("query_id", "q"), inc, k = 5, nProbe = 4) { b =>
+      out.synchronized { out ++= b.as[(Long, Long, Int, Double)].collect() }
+    }
+    try {
+      qmem.addData(qRows.take(3): _*); sq.processAllAvailable()
+      qmem.addData(qRows.drop(3): _*); sq.processAllAvailable()
+    } finally sq.stop()
+    val servedStream = out.sortBy(r => (r._1, r._3)).toSeq
+    val wantStream = graft.operators.IvfPqIndex.serveAll(spark, inc,
+      e.where($"vec_id" < 6).select($"vec_id".as("query_id"), $"embedding".as("q")),
+      k = 5, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(servedStream == wantStream && servedStream.nonEmpty,
+      "ivfPqServeStream diverged from batch serveAll")
+  }
+
   test("ingest loop auto-compacts past the epoch threshold; readers on the retained generation stay consistent") {
     // compactEvery = 2 on a streaming SQ8 ingest: every second
     // committed epoch folds the deltas into a new base generation and
