@@ -177,9 +177,12 @@ object IvfIndex {
     * makes one straggler task own |list|×|shard∩list| of the probe at
     * 100 TB. Recall inside a saturated list degrades explicitly (the
     * list stops flagging), never silently (no partial pair set). The
-    * per-list member count is computed over the ALREADY-PRUNED
-    * partitions with a map-side-combinable count whose scan touches
-    * only the partition column — metadata-cheap. */
+    * per-list member count is one map-side-combinable count over the
+    * already-pruned partitions touching only the partition column —
+    * metadata-cheap — resolved driver-side (≤ nCentroids values, the
+    * same literal-filter class as `touched`), so the exclusion
+    * reaches every segment scan as a planning-time partition filter
+    * and no pair branch re-runs the aggregation. */
   def probeSemantic(
       spark: SparkSession, path: String, newVectors: DataFrame,
       threshold: Double = 0.95, maxList: Int = 4096): DataFrame = {
@@ -210,21 +213,24 @@ object IvfIndex {
     val touched = shard.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val (allSegs, _) = readAll(spark, path)
-    val pruned = allSegs.where(col("c_id").isin(touched: _*))
     // the skew cap's saturated-list set: indexed members per TOUCHED
-    // list (count over the pruned partitions, reading only the
-    // partition column), lists past maxList excluded from both pair
-    // branches via a broadcast anti-join (≤ nCentroids rows). A
-    // touched list with NO indexed members never saturates — its
-    // within-shard pairs still flow.
-    val saturated = pruned.groupBy("c_id")
-      .agg(count(lit(1)).as("n_members"))
+    // list (one count over the pruned partitions, reading only the
+    // partition column — metadata-cheap), resolved DRIVER-SIDE like
+    // `touched` itself (≤ min(|touched|, nCentroids) rows — the same
+    // literal-partition-filter class as a DPP literal). Resolving it
+    // here instead of as a relational anti-join keeps it out of the
+    // pair branches, which would each re-run the aggregation (plan
+    // branches share no work), and lets the exclusion reach every
+    // scan as a planning-time partition filter. A touched list with
+    // NO indexed members never saturates — its within-shard pairs
+    // still flow.
+    val saturated = allSegs.where(col("c_id").isin(touched: _*))
+      .groupBy("c_id").agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxList)
-      .select("c_id")
-    val all = pruned
-      .join(broadcast(saturated), Seq("c_id"), "left_anti")
-    val shardOk = shard
-      .join(broadcast(saturated), Seq("c_id"), "left_anti")
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    val ok = touched.filterNot(saturated)
+    val all = allSegs.where(col("c_id").isin(ok: _*))
+    val shardOk = shard.where(col("c_id").isin(ok: _*))
     val crossPairs = all
       .join(broadcast(shardOk.select(col("c_id"),
         col("vec_id").as("s_id"), col("embedding").as("s_v"))), "c_id")
