@@ -84,6 +84,19 @@ object IndexProbeScale {
       graft.operators.IvfIndex.write(embs(big), seeds, s"$out/ivf10x")
       new java.io.FileOutputStream(s"$out/_BUILT").close()
     }
+    // round-13 addition, own marker so a pre-existing round-12 build
+    // dir gains the IVFADC tier without a rebuild of the rest: both
+    // indexes share the 1× trained state (64 seed centroids + the 1×
+    // seed residual codebook — train once, encode forever), so 10× is
+    // 10× codes per inverted list
+    if (!new java.io.File(s"$out/_BUILT_IVFPQ").exists()) {
+      val seeds = embs(base).where(col("vec_id") < 64)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cb = graft.operators.Similarity.ivfPqSeedCodebook(embs(base), seeds)
+      graft.operators.IvfPqIndex.write(embs(base), seeds, cb, s"$out/ivfpq1x")
+      graft.operators.IvfPqIndex.write(embs(big), seeds, cb, s"$out/ivfpq10x")
+      new java.io.FileOutputStream(s"$out/_BUILT_IVFPQ").close()
+    }
 
     // warmup: touch every index + input once
     Seq(s"$out/mh1x", s"$out/mh10x").foreach(p =>
@@ -92,6 +105,8 @@ object IndexProbeScale {
       graft.operators.ContentHashIndex.readAll(spark, p).count())
     Seq(s"$out/ivf1x", s"$out/ivf10x").foreach(p =>
       graft.operators.IvfIndex.readAll(spark, p)._1.count())
+    Seq(s"$out/ivfpq1x", s"$out/ivfpq10x").foreach(p =>
+      graft.operators.IvfPqIndex.readAll(spark, p).count())
     shard1.count(); shard10.count(); queries1.count()
     semShard1.count(); semShard10.count()
 
@@ -111,6 +126,9 @@ object IndexProbeScale {
     def ivfServe(idx: String)(): Unit =
       graft.operators.IvfIndex.serveAll(spark, idx, queries1, k = 5, nProbe = 4)
         .write.format("noop").mode("overwrite").save()
+    def ivfPqServe(idx: String)(): Unit =
+      graft.operators.IvfPqIndex.serveAll(spark, idx, queries1, k = 5, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
     def semProbe(idx: String, shard: DataFrame)(): Unit = {
       val r = graft.operators.IvfIndex.probeSemantic(spark, idx, shard)
       r.write.format("noop").mode("overwrite").save()
@@ -126,6 +144,8 @@ object IndexProbeScale {
       ("ch_probe_idx1x_shard10x", chProbe(s"$out/ch1x", shard10) _),
       ("ivf_serve_idx1x_q64", ivfServe(s"$out/ivf1x") _),
       ("ivf_serve_idx10x_q64", ivfServe(s"$out/ivf10x") _),
+      ("ivfpq_serve_idx1x_q64", ivfPqServe(s"$out/ivfpq1x") _),
+      ("ivfpq_serve_idx10x_q64", ivfPqServe(s"$out/ivfpq10x") _),
       ("sem_probe_idx1x_shard1x", semProbe(s"$out/ivf1x", semShard1) _),
       ("sem_probe_idx10x_shard1x", semProbe(s"$out/ivf10x", semShard1) _),
       ("sem_probe_idx1x_shard10x", semProbe(s"$out/ivf1x", semShard10) _))
