@@ -373,13 +373,12 @@ object Similarity {
       // fold straight back into the per-m broadcast form — one
       // materializing job per round, superseded round released
       val sumCols = (0 until subDim).map(d =>
-        sum(element_at(col("sv"), d + 1).cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+        fpSum(element_at(col("sv"), d + 1).cast("double")).as(s"s$d"))
       val next = assigned.groupBy("m", "cw_k")
         .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
         .select(col("m"), col("cw_k"),
           array((0 until subDim).map(d =>
-            (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("cw"))
+            fpMean(col(s"s$d"), col("n"))): _*).as("cw"))
         .groupBy("m")
         .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
         .localCheckpoint(true)
@@ -761,6 +760,32 @@ object Similarity {
     * .unpersistLocalCheckpoint walks to the underlying block).
     *
     * Returns (c_id, c_vec: array<float>). */
+  /** Exact, engine-unambiguous fixed-point mean pieces shared by
+    * every Lloyd trainer ([[kmeans]], [[pqKnnTrained]], the IVFADC
+    * residual trainer): the input quantizes to an exact 2^36
+    * fixed-point integer (x·2^36 is an exact double product, floor
+    * exact), sums accumulate in DECIMAL(38,0) — exact, associative
+    * (map-side-combinable in any order), unbounded at any realistic
+    * cluster size — and the mean divides back in double (one IEEE
+    * rounding, one exact power-of-two division) before the float32
+    * trained-state cast. The earlier DECIMAL(25,15) recipe's
+    * double→decimal cast is engine-AMBIGUOUS at the 15th decimal
+    * digit (binary↔decimal boundary cases round differently per
+    * engine), which was invisible while trained state only drove
+    * rankings but surfaced as 1-float-ulp centroid divergence once a
+    * consumer (IVFADC residuals) used the state numerically. The
+    * 2^-36 input quantization is deterministic, identical on both
+    * engines, and far below float32 state precision at any input
+    * magnitude the quantization itself doesn't dominate. */
+  private val FP_SCALE = math.pow(2, 36)
+  private def fpSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(x * FP_SCALE + 0.5)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+  private def fpMean(
+      sumCol: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sumCol.cast("double") / n / FP_SCALE).cast("float")
+
   def kmeans(
       embeddings: DataFrame, k: Int = 16, iters: Int = 3,
       metric: String = "cosine", dims: Int = 64): DataFrame = {
@@ -812,19 +837,20 @@ object Similarity {
                 .otherwise(acc)
             }).getField("c_id").as("c_id"))
       // recompute in ONE static-width aggregation (same shape as
-      // pqKnnTrained): per-dimension decimal sums as columns — no
-      // explode of n×dims rows, no second shuffle; the DECIMAL(25,15)
-      // sums are order-independent so the result is bit-identical to
-      // the explode+double-groupBy form the oracle unrolls
+      // pqKnnTrained): per-dimension FIXED-POINT sums as columns — no
+      // explode of n×dims rows, no second shuffle; the 2^36 integer
+      // sums are exact and order-independent so the result is
+      // bit-identical to the explode+groupBy form the oracle unrolls,
+      // on BOTH engines (see fpSum — the old decimal recipe was
+      // engine-ambiguous at the 15th digit)
       val sumCols = (0 until dims).map(d =>
-        sum(element_at(col("embedding"), d + 1).cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+        fpSum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
       val next = assigned
         .groupBy("c_id")
         .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
         .select(col("c_id"),
           array((0 until dims).map(d =>
-            (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
+            fpMean(col(s"s$d"), col("n"))): _*).as("c_vec"))
         // fold straight into next round's broadcast form — one job
         .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cents"))
         .localCheckpoint(true)
@@ -1051,6 +1077,170 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (0 until subspaces).map(m =>
           element_at(col(s"lut_$m"), col(s"c$m") + 1)).reduce(_ + _).as("adc_dist"))
+
+  /** Fully TRAINED IVFADC — [[ivfPqKnn]] with both trained halves:
+    * coarse centroids from the in-engine [[kmeans]] (cosine Lloyd,
+    * the exact trajectory `knn_ivf_trained` pins) and a residual
+    * codebook trained per subspace by L2 Lloyd over the residual
+    * slices (the [[pqKnnTrained]] grouped-loop recipe; trained
+    * codewords land as float32 — the family convention for every
+    * trained state, kmeans centroids and PQ codebooks alike — while
+    * the residuals being encoded stay exact doubles). Completes the
+    * seed/trained symmetry of the tier
+    * family: IVF, PQ, and IVFADC each serve from either a seeded or
+    * a Lloyd-trained state with a bit-exact oracle.
+    *
+    * Trained state is kept per-(subspace m, codeword): encode and the
+    * per-(query, probed centroid) LUTs slice once and join the
+    * broadcast per-m codebook — no cross-subspace coupling, so a
+    * cluster emptying during training shrinks only its own subspace's
+    * codebook (dense re-key per m, exactly like [[pqKnnTrained]]).
+    * Scoring reuses [[ivfPqAdcScore]] verbatim: both prunings hold.
+    *
+    * Deterministic end to end (fixed-point-exact means, strict-first
+    * tie-breaks), so the DuckDB oracle replays coarse training,
+    * residuals, residual-codebook training, encode, per-probe LUTs,
+    * ADC, and top-k bit-for-bit.
+    *
+    * Scale shape: training touches the corpus once per Lloyd round
+    * via the one materialized slice relation (the kmeans lesson);
+    * serving is [[ivfPqKnn]]'s — trained state broadcasts, corpus
+    * scanned once to assign+encode and never shuffled to score. */
+  def ivfPqKnnTrained(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      coarseIters: Int = 3, pqIters: Int = 2, salts: Int = 32): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = kmeans(emb, nCentroids, coarseIters, dims = subspaces * subDim)
+    // the residual relation feeds training AND encode — materialize
+    // once (plan branches share no work), release before return
+    val residuals = ivfPqResiduals(emb, centroids).localCheckpoint(true)
+    try {
+      val guarded = when(size(col("r")) === subspaces * subDim, col("r"))
+        .otherwise(raise_error(concat(
+          lit(s"ivfPqKnnTrained: residual dimension must be $subspaces*$subDim = " +
+            s"${subspaces * subDim}, got "), size(col("r")).cast("string"))))
+      val sliced = residuals.select(col("vec_id"), col("c_id"),
+        posexplode(array((0 until subspaces).map(m =>
+          slice(guarded, m * subDim + 1, subDim)): _*)))
+        .toDF("vec_id", "c_id", "m", "sv")
+        .localCheckpoint(true)
+      try {
+        val cbDense = trainResidualCodebook(sliced, subDim, codebookSize, pqIters)
+        try {
+          val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, t) => acc + t)
+          // encode: argmin d2 per (vector, subspace) against the per-m
+          // broadcast codebook, the subspace pivot folded into ONE
+          // aggregation carrying the vector's inverted list
+          val enc = sliced.join(broadcast(cbDense), "m")
+            .select(col("vec_id"), col("c_id"), col("m"), col("cw_k"),
+              d2(col("sv"), col("cw")).as("d2"))
+          val codeCols = first(col("c_id")).as("c_id") +:
+            (0 until subspaces).map(m =>
+              min(when(col("m") === m, struct(col("d2"), col("cw_k"))))
+                .getField("cw_k").as(s"c$m"))
+          val codes = enc.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+          // per-(query, probed centroid) LUTs: probe selection as in
+          // [[ivfPqProbeLuts]], the query residual sliced per m and
+          // scored against the same per-m codebook, pivoted in one agg
+          val queries = emb.where(col("vec_id") < nQueries)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+          val wProbe = Window.partitionBy("query_id")
+            .orderBy(col("p_cos").desc, col("c_id").asc)
+          val probes = queries
+            .join(broadcast(centroids))
+            .select(col("query_id"), col("c_id"),
+              cosine(col("q"), col("c_vec")).as("p_cos"),
+              zip_with(col("q"), col("c_vec"),
+                (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+            .withColumn("pr", row_number().over(wProbe))
+            .where(col("pr") <= nProbe)
+            .select(col("query_id"), col("c_id"),
+              posexplode(array((0 until subspaces).map(m =>
+                slice(col("qr"), m * subDim + 1, subDim)): _*)))
+            .toDF("query_id", "c_id", "m", "qsv")
+          val qenc = probes.join(broadcast(cbDense), "m")
+            .select(col("query_id"), col("c_id"), col("m"), col("cw_k"),
+              d2(col("qsv"), col("cw")).as("d2"))
+          val lutCols = (0 until subspaces).map(m =>
+            transform(array_sort(collect_list(when(col("m") === m,
+              struct(col("cw_k"), col("d2"))))), e => e.getField("d2")).as(s"lut_$m"))
+          val luts = qenc.groupBy("query_id", "c_id")
+            .agg(lutCols.head, lutCols.tail: _*)
+          saltedTopK(ivfPqAdcScore(codes, luts, subspaces),
+            score = "adc_dist", ascending = true, k = k, salts = salts)
+            .localCheckpoint(true)
+        } finally Storage.unpersistLocalCheckpoint(cbDense)
+      } finally Storage.unpersistLocalCheckpoint(sliced)
+    } finally {
+      Storage.unpersistLocalCheckpoint(residuals)
+      Storage.unpersistLocalCheckpoint(centroids)
+    }
+  }
+
+  /** [[ivfPqKnnTrained]]'s residual-codebook trainer: per-subspace L2
+    * Lloyd over ALREADY-SLICED residual rows (vec_id, c_id, m, sv:
+    * array<double>), all subspaces in one grouped loop ([[pqKnnTrained]]'s
+    * recipe) — seed = the first `codebookSize` vectors' raw double
+    * slices, argmin by strict-first scan (ties → lowest cw_k), means
+    * as exact 2^36 fixed-point long sums divided in double then
+    * rounded to float32 (the family convention for trained state;
+    * distances against the float codewords still evaluate in double;
+    * the 2^-36 input quantization is deterministic and far below the
+    * float32 output precision), surviving
+    * codewords re-keyed dense per m. Returns the eagerly-materialized
+    * per-m codebook (m, cw_k, cw). */
+  private def trainResidualCodebook(
+      sliced: DataFrame, subDim: Int, codebookSize: Int,
+      iters: Int): DataFrame = {
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    var cents = sliced.where(col("vec_id") < codebookSize)
+      .select(col("m"), col("vec_id").cast("int").as("cw_k"), col("sv").as("cw"))
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = sliced.join(broadcast(cents), "m")
+          .select(col("m"), col("sv"),
+            aggregate(col("cents"),
+              struct(lit(Double.NegativeInfinity).as("key"), lit(-1).as("cw_k")),
+              (acc, c) => {
+                // argmax of -d2 == argmin d2; strict > keeps the FIRST
+                // (lowest cw_k) on ties, matching ORDER BY d2, cw_k
+                val key = -d2(col("sv"), c.getField("cw"))
+                when(key > acc.getField("key"),
+                  struct(key.as("key"), c.getField("cw_k").as("cw_k")))
+                  .otherwise(acc)
+              }).getField("cw_k").as("cw_k"))
+        // fixed-point means — see fpSum/fpMean
+        val sumCols = (0 until subDim).map(d =>
+          fpSum(element_at(col("sv"), d + 1)).as(s"s$d"))
+        val next = assigned.groupBy("m", "cw_k")
+          .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
+          .select(col("m"), col("cw_k"),
+            array((0 until subDim).map(d =>
+              fpMean(col(s"s$d"), col("n"))): _*).as("cw"))
+          .groupBy("m")
+          .agg(array_sort(collect_list(struct(col("cw_k"), col("cw")))).as("cents"))
+          .localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(cents)
+        cents = next
+      }
+      cents
+        .select(col("m"), explode(col("cents")).as("c"))
+        .select(col("m"),
+          (row_number().over(Window.partitionBy("m").orderBy(col("c.cw_k"))) - 1)
+            .cast("int").as("cw_k"),
+          col("c.cw").as("cw"))
+        .localCheckpoint(true)
+    } finally Storage.unpersistLocalCheckpoint(cents)
+  }
 
   /** Semantic deduplication (SemDeDup-style): k-means-cluster the
     * embedding space with the in-engine [[kmeans]] trainer, then keep

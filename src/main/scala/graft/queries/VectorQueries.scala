@@ -117,6 +117,25 @@ object VectorQueries {
         Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
     }),
 
+    // the probabilistic tiers under the same truth-driven evaluation:
+    // LSH recall is the one the planes/maxBucket knobs are tuned by.
+    // The tier ranks every bucketed vector as a query; the truth-driven
+    // join restricts to the 8 truth queries (extra tier rows drop with
+    // no metric effect — retrievalEval's documented contract).
+    "knn_eval_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.lshKnn(e, planes = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
+    "knn_eval_lsh_mp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.lshKnnMultiProbe(e, planes = 8, k = 5),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
     // the doubly-lossy tier (coarse pruning + residual quantization)
     // is precisely the one whose recall@k a deployment gates on —
     // evaluated against the same exact-cosine truth as the rest of
@@ -204,6 +223,18 @@ object VectorQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("q")),
         k = 5, nProbe = 4)
     }),
+
+    // fully TRAINED IVFADC: Lloyd-trained coarse centroids (the
+    // knn_ivf_trained trajectory) + a per-subspace Lloyd-trained
+    // RESIDUAL codebook (float32 trained state, the family
+    // convention; encode/score arithmetic stays double), then the
+    // standard IVFADC serve.
+    // Completes the seed/trained symmetry across the tier family;
+    // the oracle replays BOTH trainings and the whole serve.
+    "knn_ivfpq_trained" -> ((s, d) =>
+      Similarity.ivfPqKnnTrained(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nQueries = 8, k = 5)),
 
     // the durable-index serving path: build the seed-centroid IVF
     // index, persist it as parquet (assignments PARTITIONED BY c_id —
@@ -417,7 +448,7 @@ object VectorQueries {
       Similarity.pqKnnTrained(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
     // IVF over a k-means-TRAINED codebook: 3 distributed Lloyd
-    // iterations (broadcast assignment + decimal-exact mean recompute,
+    // iterations (broadcast assignment + fixed-point-exact mean recompute,
     // float32 centroids) — the oracle unrolls the same 3 iterations,
     // so the whole training trajectory is hash-verified, not just the
     // final probe.
@@ -787,7 +818,8 @@ object VectorQueries {
 
   /** knn_ivf_trained oracle: unrolls the SAME 3 Lloyd iterations the
     * engine runs — argmax-cosine assignment (ties to lowest c_id),
-    * per-dim mean via exact DECIMAL(25,15) sums (order-independent)
+    * per-dim mean via the family's exact 2^36 fixed-point sums
+    * (order-independent, engine-unambiguous — Similarity.fpSum)
     * divided once in double, centroid rounded through REAL (the
     * engine's float32 cast) — then the standard IVF probe against the
     * trained table. Every centroid of every iteration must agree
@@ -805,8 +837,8 @@ object VectorQueries {
       s"""c$i AS (
             SELECT c_id, list(CAST(cx AS REAL) ORDER BY dim) AS c_vec FROM (
               SELECT c_id, dim,
-                     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
-                       / count(*) AS cx
+                     CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 68719476736 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 68719476736 AS cx
               FROM (
                 SELECT c_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
                        unnest(embedding) AS x
@@ -939,7 +971,7 @@ object VectorQueries {
 
   /** knn_pq_trained oracle: for each of the 4 subspaces, slice the
     * corpus, replay 2 L2-Lloyd iterations (argmin d2 ties-to-lowest,
-    * DECIMAL(25,15) means, REAL cast), re-key surviving codewords
+    * fixed-point means — Similarity.fpSum, REAL cast), re-key surviving codewords
     * densely, then encode + per-query LUTs + ADC + top-k — the exact
     * arithmetic of [[graft.operators.Similarity.pqKnnTrained]]. */
   private lazy val pqTrainedOracle: String = {
@@ -963,8 +995,8 @@ object VectorQueries {
             c${m}_$i AS (
               SELECT cw_k, list(CAST(cx AS REAL) ORDER BY dim) AS cw FROM (
                 SELECT cw_k, dim,
-                       CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
-                         / count(*) AS cx
+                       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 68719476736 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 68719476736 AS cx
                 FROM (
                   SELECT cw_k, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS dim,
                          unnest(sv) AS x
@@ -1264,6 +1296,106 @@ object VectorQueries {
                CAST(sum(hit) AS BIGINT) AS n_hits
         FROM marked GROUP BY query_id"""
 
+  /** knn_ivfpq_trained oracle: BOTH trainings replayed — the shared
+    * 3-round cosine-Lloyd coarse trajectory (`lloydCtes`, identical to
+    * knn_ivf_trained's), double residuals against the trained c3,
+    * then per subspace a 2-round L2 Lloyd over the residual slices
+    * (argmin d2 ties→lowest cw_k; means = the family's exact 2^36
+    * fixed-point sums divided in double, rounded to REAL — see
+    * Similarity.fpSum: the old decimal recipe was engine-ambiguous
+    * at the 15th digit),
+    * dense per-m re-key, encode, per-(query, probed
+    * centroid) LUTs from the query's residual against THAT centroid,
+    * ADC, top-k. Every fold left-to-right double. */
+  private lazy val ivfPqTrainedOracle: String = {
+    val S = 4; val D = 16; val K = 16; val ITERS = 2
+    // strict left-to-right Σ(a_i−b_i)² over two D-length DOUBLE lists
+    def d2L(a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, ${D + 1}),
+            i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])),
+            (acc, x) -> acc + x)"""
+    def residSql(v: String, c: String) =
+      s"""list_transform(range(1, ${S * D + 1}),
+            i -> CAST(($v)[i] AS DOUBLE) - CAST(($c)[i] AS DOUBLE))"""
+    def subCtes(m: Int): String = {
+      val off = m * D
+      val iterCtes = (1 to ITERS).map { i =>
+        s"""ra${m}_$i AS (
+              SELECT vec_id, sv, cw_k FROM (
+                SELECT s.vec_id, s.sv, c.cw_k,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY ${d2L("s.sv", "c.cw")} ASC, c.cw_k ASC) AS rn
+                FROM rs$m s CROSS JOIN rc${m}_${i - 1} c)
+              WHERE rn = 1),
+            rc${m}_$i AS (
+              SELECT cw_k, list(CAST(cx AS REAL) ORDER BY dim) AS cw FROM (
+                SELECT cw_k, dim,
+                       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 68719476736 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 68719476736 AS cx
+                FROM (
+                  SELECT cw_k, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS dim,
+                         unnest(sv) AS x
+                  FROM ra${m}_$i)
+                GROUP BY 1, 2)
+              GROUP BY cw_k)"""
+      }.mkString(",\n")
+      s"""rs$m AS (
+            SELECT vec_id, list_transform(range(1, ${D + 1}), i -> r[$off + i]) AS sv
+            FROM res),
+          rc${m}_0 AS (SELECT CAST(vec_id AS INT) AS cw_k, sv AS cw FROM rs$m WHERE vec_id < $K),
+          $iterCtes,
+          rct$m AS (
+            SELECT CAST(row_number() OVER (ORDER BY cw_k) - 1 AS INT) AS cw_k, cw
+            FROM rc${m}_$ITERS),
+          rcode$m AS (
+            SELECT vec_id, cw_k AS c$m FROM (
+              SELECT s.vec_id, c.cw_k,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${d2L("s.sv", "c.cw")} ASC, c.cw_k ASC) AS rn
+              FROM rs$m s CROSS JOIN rct$m c)
+            WHERE rn = 1),
+          rlut$m AS (
+            SELECT query_id, c_id, list(d2v ORDER BY cw_k) AS lut_$m FROM (
+              SELECT p.query_id, p.c_id, c.cw_k,
+                     ${d2L(s"list_transform(range(1, ${D + 1}), i -> p.qr[$off + i])", "c.cw")} AS d2v
+              FROM qres p CROSS JOIN rct$m c)
+            GROUP BY query_id, c_id)"""
+    }
+    val codesJoin = (1 until S).map(m => s"JOIN rcode$m USING (vec_id)").mkString(" ")
+    val lutsJoin = (1 until S).map(m => s"JOIN rlut$m USING (query_id, c_id)").mkString(" ")
+    val adc = (0 until S).map(m => s"l.lut_$m[codes.c$m + 1]").mkString(" + ")
+    s"""WITH $lloydCtes,
+        res AS (
+          SELECT a.vec_id, a.c_id, ${residSql("a.embedding", "c.c_vec")} AS r
+          FROM af a JOIN c3 c USING (c_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id, c.c_vec,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c3 c),
+        qres AS (
+          SELECT query_id, c_id, ${residSql("qv", "c_vec")} AS qr
+          FROM qa WHERE rn <= 4),
+        ${(0 until S).map(subCtes).mkString(",\n")},
+        codes AS (
+          SELECT r.vec_id, r.c_id, c0, c1, c2, c3
+          FROM (SELECT * FROM rcode0 $codesJoin) k
+          JOIN res r USING (vec_id)),
+        luts AS (SELECT * FROM rlut0 $lutsJoin),
+        scored AS (
+          SELECT l.query_id, codes.vec_id, $adc AS adc_dist
+          FROM codes JOIN luts l ON codes.c_id = l.c_id
+          WHERE codes.vec_id <> l.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= 5"""
+  }
+
   /** knn_eval_maxsim's truth: brute cosine over MEAN-POOLED doc
     * vectors — per element a vec_id-ascending left-to-right double
     * fold (list_reduce without a seed starts at the first element;
@@ -1337,6 +1469,8 @@ object VectorQueries {
     "knn_eval_pq" -> evalOracle(pqSeedOracle),
     "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
+    "knn_eval_lsh" -> evalOracle(lshOracle),
+    "knn_eval_lsh_mp" -> evalOracle(lshMultiProbeOracle),
     // doc-level tier, doc-level truth: pooled-cosine ranking as the
     // truth side (see pooledBruteOracle)
     "knn_eval_maxsim" -> evalOracleVs(maxSimOracle, pooledBruteOracle),
@@ -1440,6 +1574,7 @@ object VectorQueries {
     "knn_lsh_mp" -> lshMultiProbeOracle,
     "knn_ivf_trained" -> ivfTrainedOracle,
     "knn_pq_trained" -> pqTrainedOracle,
+    "knn_ivfpq_trained" -> ivfPqTrainedOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
     "knn_ivf" -> ivfSeedOracle,

@@ -189,15 +189,19 @@ object Profile {
                   struct(key.as("key"), c.getField("c_id").as("c_id")))
                   .otherwise(acc)
               }).getField("c_id").as("c_id"))
+      // mirrors kmeans' production fixed-point recipe (Similarity.fpSum)
+      // so the staged timings reflect the real aggregation shape
       val sumCols = (0 until dims).map(d =>
-        sum(element_at(col("embedding"), d + 1).cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(25, 15))).as(s"s$d"))
+        sum(floor(element_at(col("embedding"), d + 1).cast("double")
+            * math.pow(2, 36) + 0.5)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$d"))
       def recompute(assigned: DataFrame): DataFrame =
         assigned.groupBy("c_id")
           .agg(sumCols.head, (sumCols.tail :+ count(lit(1)).as("n")): _*)
           .select(col("c_id"),
             array((0 until dims).map(d =>
-              (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c_vec"))
+              (col(s"s$d").cast("double") / col("n") / math.pow(2, 36))
+                .cast("float")): _*).as("c_vec"))
       // seed in one-row form
       val seedRow = emb.where(col("vec_id") < k)
         .agg(array_sort(collect_list(

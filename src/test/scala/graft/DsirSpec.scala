@@ -274,7 +274,13 @@ class DsirSpec extends AnyFunSuite {
       fitA.write.mode("append").parquet(srcFit)
       qFit.processAllAvailable()
       val m1 = currentModel.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-      serve1.write.mode("append").parquet(srcServe)
+      // ONE file per serve epoch: the serve stream is already running
+      // and polls the directory, so a multi-part write can split one
+      // intended epoch across two micro-batches (a trigger fires on a
+      // partial listing mid-write) and `.last` would see only the
+      // remainder chunk. A single renamed-in part file is atomic to
+      // the listing.
+      serve1.coalesce(1).write.mode("append").parquet(srcServe)
       qServe.processAllAvailable()
       val want1 = batchAdmit(fitA, serve1)
       assert(admittedByEpoch.synchronized(admittedByEpoch.last) == want1,
@@ -286,7 +292,7 @@ class DsirSpec extends AnyFunSuite {
       qFit.processAllAvailable()
       val m2 = currentModel.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
       assert(m1 != m2, "model did not advance after the second fit epoch")
-      serve2.write.mode("append").parquet(srcServe)
+      serve2.coalesce(1).write.mode("append").parquet(srcServe)
       qServe.processAllAvailable()
       val want2 = batchAdmit(cols, serve2)
       assert(admittedByEpoch.synchronized(admittedByEpoch.last) == want2,

@@ -702,6 +702,46 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPq serveAll: every code segment scan is dynamically partition-pruned") {
+    // the persisted IVFADC tier's disk-round-trip claim: the LUT
+    // broadcast join's c_id filter reaches every code segment's
+    // parquet source as a partition filter, so the IVF pruning term
+    // survives persistence — without it the serve silently degrades
+    // to scanning every inverted list's codes. Same law the IVF tier
+    // pins; the codes are the doubly-compressed payload here.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cb = graft.operators.Similarity.ivfPqSeedCodebook(e, seeds)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_dpp").toString
+    graft.operators.IvfPqIndex.write(
+      e.where(col("vec_id") % 2 === 0), seeds, cb, path)
+    graft.operators.IvfPqIndex.appendEpoch(spark, path, 0L,
+      e.where(col("vec_id") % 2 =!= 0))
+    val queries = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val qe = graft.operators.IvfPqIndex
+      .serveAll(spark, path, queries, k = 5, nProbe = 4).queryExecution
+    qe.toRdd.count()
+    val segScans = walkPlan(qe.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains(path) &&
+          !f.metadata.getOrElse("Location", "").contains("centroids") &&
+          !f.metadata.getOrElse("Location", "").contains("codebook") &&
+          !f.metadata.getOrElse("Location", "").contains("meta") => f }
+    assert(segScans.size >= 2,
+      s"expected base + delta code segment scans, got ${segScans.size}")
+    segScans.foreach { f =>
+      assert(f.partitionFilters.mkString.contains("dynamicpruning"),
+        "code segment scan is not dynamically partition-pruned on c_id:\n" +
+          f.metadata.getOrElse("Location", "") + "\n" +
+          f.partitionFilters.mkString("; "))
+    }
+  }
+
   test("semantic admission probe: index segment scans are statically partition-pruned") {
     // probeSemantic's o(index) claim: the shard's touched c_ids are
     // pushed into the c_id-partitioned index segments as a LITERAL

@@ -375,6 +375,34 @@ class SimilaritySpec extends AnyFunSuite {
     graft.operators.Storage.unpersistLocalCheckpoint(sd)
   }
 
+  test("ivfPqKnnTrained: rank law holds and the trainer is storage-flat") {
+    // the full trajectory (coarse Lloyd + residual-codebook Lloyd +
+    // IVFADC serve) is pinned bit-exact by the knn_ivfpq_trained
+    // oracle; this spec pins the operator-side contracts the oracle
+    // can't see — per-query rank law (1..k dense, self excluded,
+    // adc_dist non-decreasing) and the trainer storage discipline
+    // (every round, the sliced relation, and the trained state
+    // release; only the answer block stays).
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Similarity.ivfPqKnnTrained(e, nQueries = 4, k = 5)
+    val rows = out.as[(Long, Long, Int, Double)].collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"ivfPqKnnTrained retained more than its result: $before before, $after after")
+    graft.operators.Storage.unpersistLocalCheckpoint(out)
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.size).toSeq,
+        s"query $q ranks not dense: ${sorted.map(_._3).toSeq}")
+      assert(sorted.forall(_._2 != q), s"query $q ranked itself")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $q adc_dist not non-decreasing")
+    }
+  }
+
   test("IVF index persists to parquet and serves hash-identically to in-memory") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val seeds = e.where($"vec_id" < 8)
