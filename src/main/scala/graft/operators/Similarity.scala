@@ -484,6 +484,37 @@ object Similarity {
     saltedTopK(scored, score = "maxsim", ascending = false, k = k, salts = salts)
   }
 
+  /** [[pqKnnRescore]]'s IVFADC sibling — THE billion-scale serving
+    * shape end-to-end: the doubly-compressed first pass
+    * ([[ivfPqKnn]]: partition-pruned lists + table-add scoring)
+    * produces a `shortlist` per query, and only those
+    * queries × shortlist rows are exactly re-scored with the true
+    * cosine and re-ranked to the final top-k. The coarse stage never
+    * touches un-probed lists; the exact stage's cost is independent
+    * of corpus size (shortlist broadcast back against the corpus to
+    * fetch candidate vectors — no corpus shuffle; final window sorts
+    * ≤ shortlist rows per query). */
+  def ivfPqKnnRescore(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      shortlist: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      salts: Int = 32): DataFrame = {
+    val cand = ivfPqKnn(embeddings, nQueries, shortlist, nCentroids,
+      nProbe, subspaces, subDim, codebookSize, salts)
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val rescored = embeddings
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
   /** Mean-pool token embeddings to one vector per document — the
     * single-vector collapse of the same (doc_id = ⌊vec_id/tokensPerDoc⌋,
     * vec_id-ordered token bag) layout [[maxSimKnn]] retrieves over.

@@ -224,6 +224,14 @@ object VectorQueries {
         k = 5, nProbe = 4)
     }),
 
+    // two-stage IVFADC serving — THE billion-scale production shape:
+    // the doubly-compressed first pass shortlists 50 per query, the
+    // exact cosine re-ranks only queries × shortlist rows.
+    "knn_ivfpq_rescore" -> ((s, d) =>
+      Similarity.ivfPqKnnRescore(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nQueries = 8, k = 5, shortlist = 50)),
+
     // fully TRAINED IVFADC: Lloyd-trained coarse centroids (the
     // knn_ivf_trained trajectory) + a per-subspace Lloyd-trained
     // RESIDUAL codebook (float32 trained state, the family
@@ -1167,7 +1175,15 @@ object VectorQueries {
     * codebook, per-(query, probed-centroid) LUTs, ADC over probed
     * lists only — every fold left-to-right double, so the whole
     * IVFADC pipeline replays exactly. */
-  private lazy val ivfPqSeedOracle: String = {
+  private lazy val ivfPqSeedOracle: String =
+    s"""WITH $ivfPqAdcChain
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= 5"""
+
+  /** The full IVFADC CTE chain up to `ranked` — shared by
+    * knn_ivfpq/knn_ivfpq_delta (top-5 select) and
+    * knn_ivfpq_rescore (rank ≤ shortlist → exact rescore). */
+  private lazy val ivfPqAdcChain: String = {
     // subspace-m squared L2 between two DOUBLE lists, offset m*16
     def d2Sql(m: Int, a: String, b: String) =
       s"""list_reduce(list_transform(range(1, 17),
@@ -1186,7 +1202,7 @@ object VectorQueries {
     val lutCols = (0 until 4).map(m =>
       s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
     val adc = (0 until 4).map(m => s"l.lut_$m[codes.c$m + 1]").mkString(" + ")
-    s"""WITH c AS (
+    s"""c AS (
           SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
         a AS (
           SELECT e.vec_id, e.embedding, c.c_id, c.c_vec,
@@ -1226,9 +1242,7 @@ object VectorQueries {
           SELECT query_id, vec_id, adc_dist,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY adc_dist ASC, vec_id ASC) AS rank
-          FROM scored)
-        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-        FROM ranked WHERE rank <= 5"""
+          FROM scored)"""
   }
 
   /** knn_binary trajectory (sign-disagreement hamming → top-k,
@@ -1498,6 +1512,24 @@ object VectorQueries {
     // to the in-memory trajectory over the union — shared oracle,
     // like every other delta tier
     "knn_ivfpq_delta" -> ivfPqSeedOracle,
+    // two-stage: the same chain's rank ≤ 50 shortlist, exactly
+    // re-scored (the knn_pq_rescore composition over IVFADC)
+    "knn_ivfpq_rescore" ->
+      s"""WITH $ivfPqAdcChain,
+          sl AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+          resc AS (
+            SELECT sl.query_id, sl.vec_id,
+                   ${cosSql("q.embedding", "e.embedding")} AS cos
+            FROM sl
+            JOIN embeddings q ON q.vec_id = sl.query_id
+            JOIN embeddings e ON e.vec_id = sl.vec_id),
+          rr AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM resc)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+          FROM rr WHERE rank <= 5""",
     "knn_maxsim" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the
