@@ -117,6 +117,19 @@ object VectorQueries {
         Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
     }),
 
+    // ...and the two-stage composition's recall — the number a
+    // deployment actually gates on (rescoring can only fix ranking
+    // INSIDE the shortlist; this measures what the compressed first
+    // pass left recoverable).
+    "knn_eval_ivfpq_rescore" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.ivfPqKnnRescore(
+          e.select(col("vec_id"), col("embedding")),
+          nQueries = 8, k = 5, shortlist = 50),
+        Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
+    }),
+
     // the probabilistic tiers under the same truth-driven evaluation:
     // LSH recall is the one the planes/maxBucket knobs are tuned by.
     // The tier ranks every bucketed vector as a query; the truth-driven
@@ -1180,6 +1193,26 @@ object VectorQueries {
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
         FROM ranked WHERE rank <= 5"""
 
+  /** knn_ivfpq_rescore's full ranking: the IVFADC chain's rank ≤ 50
+    * shortlist, exactly re-scored and re-ranked (also the tier side
+    * of knn_eval_ivfpq_rescore). */
+  private lazy val ivfPqRescoreOracle: String =
+    s"""WITH $ivfPqAdcChain,
+        sl AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+        resc AS (
+          SELECT sl.query_id, sl.vec_id,
+                 ${cosSql("q.embedding", "e.embedding")} AS cos
+          FROM sl
+          JOIN embeddings q ON q.vec_id = sl.query_id
+          JOIN embeddings e ON e.vec_id = sl.vec_id),
+        rr AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM resc)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM rr WHERE rank <= 5"""
+
   /** The full IVFADC CTE chain up to `ranked` — shared by
     * knn_ivfpq/knn_ivfpq_delta (top-5 select) and
     * knn_ivfpq_rescore (rank ≤ shortlist → exact rescore). */
@@ -1514,22 +1547,8 @@ object VectorQueries {
     "knn_ivfpq_delta" -> ivfPqSeedOracle,
     // two-stage: the same chain's rank ≤ 50 shortlist, exactly
     // re-scored (the knn_pq_rescore composition over IVFADC)
-    "knn_ivfpq_rescore" ->
-      s"""WITH $ivfPqAdcChain,
-          sl AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
-          resc AS (
-            SELECT sl.query_id, sl.vec_id,
-                   ${cosSql("q.embedding", "e.embedding")} AS cos
-            FROM sl
-            JOIN embeddings q ON q.vec_id = sl.query_id
-            JOIN embeddings e ON e.vec_id = sl.vec_id),
-          rr AS (
-            SELECT query_id, vec_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, vec_id ASC) AS rank
-            FROM resc)
-          SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
-          FROM rr WHERE rank <= 5""",
+    "knn_ivfpq_rescore" -> ivfPqRescoreOracle,
+    "knn_eval_ivfpq_rescore" -> evalOracle(ivfPqRescoreOracle),
     "knn_maxsim" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the
