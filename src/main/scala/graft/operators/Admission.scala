@@ -52,7 +52,17 @@ import org.apache.spark.sql.functions._
   *     indexed embeddings ∪ the surviving shard docs). Stage order is
   *     part of the policy: a doc dropped by an EARLIER stage no
   *     longer shelters or drops anyone at this one — deterministic
-  *     either way, and the decision log replays it exactly;
+  *     either way, and the decision log replays it exactly. The
+  *     probe's SKEW CAP (`semanticMaxList`, plumbed through
+  *     [[admitEpoch]]/[[decide]]) is part of the policy too: an
+  *     inverted list holding more than `semanticMaxList` INDEXED
+  *     embeddings saturates and contributes no pairs — deterministic
+  *     (a pure function of index state), but the SQL oracle models
+  *     the UN-saturated regime, so verified SFs are pinned below
+  *     saturation (at sf0.1 the largest of the 16 fixed lists holds
+  *     ~hundreds of admitted embeddings, two orders under the 4096
+  *     default; a deployment sizing `nCentroids` for its corpus keeps
+  *     expected list size ≪ the cap for exactly this reason);
   *  4. survivors are admitted and appended into every store under
   *     the shard's epoch id.
   *
@@ -145,7 +155,8 @@ object Admission {
     * Does NOT mutate anything. */
   private[graft] def decide(
       spark: SparkSession, path: String, shard: DataFrame,
-      threshold: Double, semanticThreshold: Double = 0.95): DataFrame = {
+      threshold: Double, semanticThreshold: Double = 0.95,
+      semanticMaxList: Int = 4096): DataFrame = {
     // the shard's full column set (doc_id, text[, embedding]) rides
     // through every stage — the admitted segment IS the decision log
     // and the index appends re-read it, so it must carry everything
@@ -188,7 +199,7 @@ object Admission {
       val pairs = IvfIndex.probeSemantic(
         spark, store(path, "semantic"),
         nearSurvivors.select(col("doc_id").as("vec_id"), col("embedding")),
-        semanticThreshold)
+        semanticThreshold, semanticMaxList)
       try dropPaired(nearSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
     } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
@@ -201,13 +212,15 @@ object Admission {
     * segment). */
   def admitEpoch(
       spark: SparkSession, path: String, epoch: Long, shard: DataFrame,
-      threshold: Double = 0.5, semanticThreshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.5, semanticThreshold: Double = 0.95,
+      semanticMaxList: Int = 4096): DataFrame = {
     val admittedPath = store(path, "admitted")
     // fail fast on a loop that was never [[init]]ed — appendEpoch
     // itself would happily commit into a half-existing store
     LsmSegments.current(spark, admittedPath)
     LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
-      val admitted = decide(spark, path, shard, threshold, semanticThreshold)
+      val admitted = decide(
+        spark, path, shard, threshold, semanticThreshold, semanticMaxList)
       try admitted.write.mode("overwrite").parquet(p)
       finally Storage.unpersistLocalCheckpoint(admitted)
     }

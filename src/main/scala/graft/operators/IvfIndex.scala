@@ -62,24 +62,10 @@ object IvfIndex {
     else LsmSegments.liveSegments(spark, path)
   }
 
-  private def writeSegment(df: DataFrame, p: String): Unit = {
-    graft.sources.FileSources.writePartitionedParquet(
-      df, p, partitionCols = Seq("c_id"))
-    // a partitioned write of an EMPTY frame lands no partition dirs
-    // and no data files — unreadable (no schema to infer). An empty
-    // segment is a real case (an admission epoch where nothing
-    // survives; an empty store init for the admission loop's semantic
-    // stage), so it is rewritten unpartitioned: one metadata-only
-    // parquet file carrying the schema, c_id as a plain (long) column.
-    // loadSegment unions segments byName and its c_id cast is a no-op
-    // on the long, and the zero-row segment never affects pruning.
-    // The check is one driver-side directory listing.
-    val dir = new org.apache.hadoop.fs.Path(p)
-    val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val hasParts = fs.exists(dir) &&
-      fs.listStatus(dir).exists(_.getPath.getName.startsWith("c_id="))
-    if (!hasParts) df.write.mode("overwrite").parquet(p)
-  }
+  /** c_id-partitioned with the empty-frame fallback, shared with
+    * [[IvfPqIndex]] — see [[LsmSegments.writeCidPartitionedSegment]]. */
+  private def writeSegment(df: DataFrame, p: String): Unit =
+    LsmSegments.writeCidPartitionedSegment(df, p)
 
   /** Build the assignment from `centroids` and persist both halves
     * (base generation 0, committed by its generation marker). */

@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * same trained state (pinned by spec + the `knn_ivfpq_delta` oracle). */
 object IvfPqIndex {
 
+  /** Shared with [[IvfIndex]]: c_id-partitioned with the empty-frame
+    * fallback (an empty micro-batch epoch must not poison the store —
+    * see [[LsmSegments.writeCidPartitionedSegment]]). */
   private def writeSegment(df: DataFrame, p: String): Unit =
-    graft.sources.FileSources.writePartitionedParquet(
-      df, p, partitionCols = Seq("c_id"))
+    LsmSegments.writeCidPartitionedSegment(df, p)
 
   /** The c_id partition column comes back type-inferred (int); the
     * serving plan joins it against the probe LUTs' long. */

@@ -83,21 +83,49 @@ private[graft] object LsmSegments {
     }
   }
 
+  /** Write one c_id-partitioned segment — the on-disk shape both
+    * inverted-list tiers ([[IvfIndex]], [[IvfPqIndex]]) share, so the
+    * empty-frame fallback lives ONCE here: a partitioned write of an
+    * EMPTY frame lands no partition dirs and no data files —
+    * unreadable (no schema to infer) — yet the caller still commits
+    * the epoch/generation marker, permanently poisoning the store. An
+    * empty segment is a real case (an empty streaming micro-batch, an
+    * admission epoch where nothing survives, an empty store init for
+    * the admission loop's semantic stage), so it is rewritten
+    * unpartitioned: one metadata-only parquet file carrying the
+    * schema, c_id as a plain (long) column. Both tiers' loadSegment
+    * unions byName and casts c_id to long (a no-op on the plain
+    * column), and the zero-row segment never affects pruning. The
+    * check is one driver-side directory listing. */
+  private[graft] def writeCidPartitionedSegment(df: DataFrame, p: String): Unit = {
+    graft.sources.FileSources.writePartitionedParquet(
+      df, p, partitionCols = Seq("c_id"))
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val f = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hasParts = f.exists(dir) &&
+      f.listStatus(dir).exists(_.getPath.getName.startsWith("c_id="))
+    if (!hasParts) df.write.mode("overwrite").parquet(p)
+  }
+
   /** Committed delta epochs, ascending. */
   def committedEpochs(spark: SparkSession, path: String): Seq[Long] =
     listNames(spark, s"$path/epochs")
       .filter(_.forall(_.isDigit)).map(_.toLong).sorted
 
+  /** The exact `<gen>_<upto>` marker-name parse shared by
+    * [[genMarkers]] (reads) and [[gc]] (deletes) — one definition so
+    * "invisible to readers" and "untouchable by gc" are the same set
+    * of names by construction. */
+  private def parseGenMarker(n: String): Option[(Long, Long)] =
+    n.split('_') match {
+      case Array(g, u) if g.forall(_.isDigit) =>
+        scala.util.Try((g.toLong, u.toLong)).toOption
+      case _ => None
+    }
+
   /** All committed (generation, maxFoldedEpoch) markers. */
   private def genMarkers(spark: SparkSession, path: String): Seq[(Long, Long)] =
-    listNames(spark, s"$path/gens")
-      .flatMap { n =>
-        n.split('_') match {
-          case Array(g, u) if g.forall(_.isDigit) =>
-            scala.util.Try((g.toLong, u.toLong)).toOption
-          case _ => None
-        }
-      }
+    listNames(spark, s"$path/gens").flatMap(parseGenMarker)
 
   /** The current (generation, maxFoldedEpoch). Fails loudly on an
     * uninitialized index — serving from a half-written index must
@@ -216,17 +244,14 @@ private[graft] object LsmSegments {
       .filter(n => n.forall(_.isDigit) &&
         (n.toLong <= minUpto || !committed.contains(n.toLong)))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/deltas/$n"), true))
-    // markers are deleted only when their generation PARSES and is
-    // not retained; names that don't parse as `<gen>_<upto>` (a stray
-    // _SUCCESS-style file, an empty first segment, a >Long digit run)
-    // are invisible to genMarkers and are left alone here too — gc
-    // must never abort mid-sweep on junk it didn't write (Try, like
-    // genMarkers, instead of a bare toLong that throws on "" or
-    // overflow)
+    // markers are deleted only when the FULL `<gen>_<upto>` name
+    // parses (genMarkers' exact parse, reused) and the generation is
+    // not retained; names genMarkers can't see (a stray _SUCCESS-style
+    // file, `12_garbage`, a >Long digit run) are invisible to readers
+    // and left alone here too — gc deletes only markers its own
+    // writer could have produced, and never aborts mid-sweep on junk
     listNames(spark, s"$path/gens")
-      .filter(n => n.split('_').headOption
-        .flatMap(g => scala.util.Try(g.toLong).toOption)
-        .exists(g => !keptGens.contains(g)))
+      .filter(n => parseGenMarker(n).exists { case (g, _) => !keptGens.contains(g) })
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/gens/$n"), false))
   }
 }

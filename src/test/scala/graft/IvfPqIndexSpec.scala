@@ -67,6 +67,14 @@ class IvfPqIndexSpec extends AnyFunSuite {
     // the torn epoch's dir was reclaimed by gc; its replay must commit
     assert(IvfPqIndex.appendEpoch(spark, p, 2L, e.where($"vec_id" < 0)),
       "the torn epoch must be committable by its replay after gc")
+    // ...and that replay is an EMPTY epoch (nothing matched) — the
+    // empty-frame fallback must leave a schema-bearing segment behind,
+    // or every later readAll/serveAll/compact dies on schema inference
+    // against the committed-but-dataless delta dir
+    assert(served(p, e) == want, "an empty committed epoch broke serving")
+    IvfPqIndex.compact(spark, p)
+    IvfPqIndex.gc(spark, p)
+    assert(served(p, e) == want, "compacting over an empty epoch changed serving")
   }
 
   test("IVFADC compaction race: a reader between base-rewrite and marker swap double-counts nothing") {

@@ -31,6 +31,10 @@ class LsmSegmentsSpec extends AnyFunSuite {
     Files.write(Paths.get(p, "gens", "99999999999999999999999_0"),
       Array.emptyByteArray)
     Files.write(Paths.get(p, "gens", "not_a_marker"), Array.emptyByteArray)
+    // a name whose HEAD parses as a non-retained generation but whose
+    // upto does not ("12_garbage") is invisible to genMarkers — gc
+    // must leave it alone too (same parse for reads and deletes)
+    Files.write(Paths.get(p, "gens", "12_garbage"), Array.emptyByteArray)
     // a second generation so gc has something real to retire
     Files.createDirectories(Paths.get(p, "base", "1"))
     Files.write(Paths.get(p, "base", "1", "data.bin"), Array[Byte](9))
@@ -41,7 +45,8 @@ class LsmSegmentsSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(p, "gens", "1_-1")),
       "current marker must survive gc")
     assert(Files.exists(Paths.get(p, "gens", "_SUCCESS")) &&
-      Files.exists(Paths.get(p, "gens", "99999999999999999999999_0")),
+      Files.exists(Paths.get(p, "gens", "99999999999999999999999_0")) &&
+      Files.exists(Paths.get(p, "gens", "12_garbage")),
       "gc deleted junk it cannot attribute to a generation")
     assert(LsmSegments.current(spark, p) == (1L, -1L))
   }
