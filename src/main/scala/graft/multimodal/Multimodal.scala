@@ -40,6 +40,11 @@ case class ImageFeatures(
     px00_r: Int,
     pxlast_b: Int)
 
+/** A 64-bit perceptual image hash (block-mean aHash over decoded
+  * pixels), carried as 4×16-bit chunk ints like the text SimHash
+  * signatures — the chunks double as the pigeonhole blocking keys. */
+case class ImagePHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
+
 /** A fixture audio asset: WAV-encoded (PCM16LE mono) payload plus its
   * declared sample geometry. */
 case class AudioAsset(
@@ -212,6 +217,87 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit perceptual hash (block-mean aHash) from REAL decoded
+    * pixels: each pixel's integer luma (r·299 + g·587 + b·114 — the
+    * scaled BT.601 weights, exact in Long) is block-mapped onto an
+    * 8×8 grid (gx = ⌊x·8/w⌋, gy = ⌊y·8/h⌋ — dimension-robust: any
+    * w,h ≥ 8 fills all 64 cells), and bit (gy·8 + gx) is set iff the
+    * cell's mean luma exceeds the whole image's mean luma, compared
+    * in EXACT integer cross-multiplied form
+    * (cell_sum·n_pixels > total_sum·cell_n — no float ordering
+    * anywhere, so the DuckDB oracle recomputes every bit from the
+    * closed-form pixel formula). Emitted as 4×16-bit chunk ints
+    * (c0 = bits 0–15), the same signature carriage as
+    * [[graft.operators.Dedup.simhashPairsMd5]] — no uint64 traps, and
+    * the chunks are the Hamming-pigeonhole blocking keys.
+    *
+    * Scale shape: one decode pass in the per-partition codec seam
+    * (decode parallelism == scan parallelism), 4 ints out per asset —
+    * the signature stage never shuffles. */
+  def imageAHash(
+      spark: SparkSession, assets: Dataset[ImageAsset]): Dataset[ImagePHash] = {
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory stream cache
+      rows.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"undecodable payload for asset ${a.asset_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= 8 && h >= 8,
+          s"imageAHash needs w,h >= 8 to fill the 8x8 grid, got ${w}x$h")
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var totSum = 0L
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val gx = x * 8 / w
+            val p = img.getRGB(x, y)
+            val gray = ((p >> 16) & 0xff) * 299L +
+              ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+            val i = gy * 8 + gx
+            cellSum(i) += gray
+            cellN(i) += 1
+            totSum += gray
+            x += 1
+          }
+          y += 1
+        }
+        val totN = w.toLong * h
+        val chunks = new Array[Int](4)
+        var i = 0
+        while (i < 64) {
+          // exact-integer cell_mean > image_mean (products ≤ ~5e10 ≪ 2⁶³)
+          if (cellSum(i) * totN > totSum * cellN(i))
+            chunks(i / 16) |= 1 << (i % 16)
+          i += 1
+        }
+        ImagePHash(a.asset_id, chunks(0), chunks(1), chunks(2), chunks(3))
+      }
+    }
+  }
+
+  /** Multimodal near-dup dedup — the perceptual-hash analogue of the
+    * text SimHash family: [[imageAHash]] signatures over the decoded
+    * BMP fixtures, then the shared chunk-blocked Hamming pair law
+    * ([[graft.operators.Dedup]]'s pigeonhole: a pair within
+    * `maxHamming` ≤ 3 of a 64-bit hash must agree exactly on ≥ 1 of
+    * the 4 chunks, so blocking is exhaustive, never probabilistic).
+    * Returns (a_id, b_id, hamming ≤ maxHamming) — the pairs an image
+    * ingest drops before a training corpus. */
+  def imageNearDupPairs(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingChunkPairs(
+      imageAHash(spark, imageAssets(spark, documents)).toDF()
+        .withColumnRenamed("asset_id", "doc_id"),
+      maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
 
   /** Deterministic WAV fixture audio, one clip per document:
     * n_samples = id%400 + 100 at 8 kHz, and every PCM16 sample is the

@@ -279,7 +279,13 @@ object Dedup {
   }
 
   /** Chunk-blocked hamming pairs over (doc_id, c0..c3) signatures —
-    * the shared tail of the md5 SimHash paths. */
+    * the shared tail of the md5 SimHash paths and the multimodal
+    * perceptual-hash dedup ([[graft.multimodal.Multimodal.imageNearDupPairs]]):
+    * any 64-bit signature carried as 4×16-bit chunks gets the same
+    * exhaustive pigeonhole blocking. */
+  private[graft] def hammingChunkPairs(
+      sigs: DataFrame, maxHamming: Int): DataFrame = chunkPairs(sigs, maxHamming)
+
   private def chunkPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = sigs.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),

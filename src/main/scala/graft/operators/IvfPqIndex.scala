@@ -75,14 +75,53 @@ object IvfPqIndex {
       writeSegment(encode(spark, path, vectors, subspaces, subDim), p))
   }
 
-  /** Assign + residual-encode against the STORED trained state. */
+  /** Persist a FULLY TRAINED state — coarse centroids plus the
+    * PER-SUBSPACE residual codebook (m, cw_k, cw: array<float>), the
+    * pair [[Similarity.ivfPqTrainState]] returns — and assign/encode
+    * `vectors` as base generation 0. This is the production IVFADC
+    * trajectory: Lloyd-train both halves ONCE on a sample, persist,
+    * then residual-encode every arriving epoch against the stored
+    * state forever ([[appendEpoch]] dispatches on the stored
+    * codebook's shape, so deltas encode through the per-m path
+    * automatically). The codebook is re-keyed dense per subspace on
+    * the way in ([[Similarity.denseCodebookPerM]] — identity for the
+    * trainer's already-dense output, safety for gappy books: ADC
+    * LUT indexing is positional). Segments share the full-dim form's
+    * exact (vec_id, c_id, c0..c_{M−1}) layout, so every maintenance
+    * path ([[compact]]/[[gc]]/[[readAll]]) is form-agnostic. */
+  def writeTrained(
+      vectors: DataFrame, centroids: DataFrame, cbPerM: DataFrame,
+      path: String, subspaces: Int = 4, subDim: Int = 16): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    Similarity.denseCodebookPerM(cbPerM)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((subspaces, subDim)).toDF("subspaces", "sub_dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    LsmSegments.initBase(spark, path)(p =>
+      writeSegment(encode(spark, path, vectors, subspaces, subDim), p))
+  }
+
+  /** Assign + residual-encode against the STORED trained state,
+    * dispatching on the stored codebook's shape: a per-m codebook
+    * (the [[writeTrained]] form — it has an `m` column) encodes
+    * through the sliced per-subspace path; a full-dim codebook (the
+    * [[write]] seed form) through [[Similarity.ivfPqEncodeCodes]].
+    * Both yield the identical (vec_id, c_id, c0..c_{M−1}) segment
+    * schema. */
   private def encode(
       spark: SparkSession, path: String, vectors: DataFrame,
-      subspaces: Int, subDim: Int): DataFrame =
-    Similarity.ivfPqEncodeCodes(
-      Similarity.ivfPqResiduals(
-        vectors, spark.read.parquet(s"$path/centroids")),
-      spark.read.parquet(s"$path/codebook"), subspaces, subDim)
+      subspaces: Int, subDim: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val residuals = Similarity.ivfPqResiduals(
+      vectors, spark.read.parquet(s"$path/centroids"))
+    if (cb.columns.contains("m"))
+      Similarity.ivfPqEncodePerM(
+        Similarity.ivfPqSliceResiduals(residuals, subspaces, subDim),
+        cb, subspaces)
+    else Similarity.ivfPqEncodeCodes(residuals, cb, subspaces, subDim)
+  }
 
   /** Idempotently assign + encode one epoch of vectors against the
     * stored trained state; false = epoch already committed (replay —
@@ -125,8 +164,14 @@ object IvfPqIndex {
       snapshot: DataFrame, centroids: DataFrame, codebook: DataFrame,
       subspaces: Int, subDim: Int, queries: DataFrame,
       k: Int, nProbe: Int, salts: Int): DataFrame = {
-    val luts = Similarity.ivfPqProbeLuts(
-      queries, centroids, codebook, subspaces, subDim, nProbe)
+    // LUT construction dispatches on the stored codebook's shape like
+    // [[encode]]; scoring is shared — codes are codes either way
+    val luts =
+      if (codebook.columns.contains("m"))
+        Similarity.ivfPqLutsPerM(
+          queries, centroids, codebook, subspaces, subDim, nProbe)
+      else Similarity.ivfPqProbeLuts(
+        queries, centroids, codebook, subspaces, subDim, nProbe)
     Similarity.saltedTopK(
       Similarity.ivfPqAdcScore(snapshot, luts, subspaces),
       score = "adc_dist", ascending = true, k = k, salts = salts)
@@ -142,6 +187,115 @@ object IvfPqIndex {
     val (snapshot, centroids, codebook, subspaces, subDim) = openAll(spark, path)
     serveSnapshot(
       snapshot, centroids, codebook, subspaces, subDim, queries, k, nProbe, salts)
+  }
+
+  /** COMPRESSED semantic admission probe — [[IvfIndex.probeSemantic]]
+    * with the admitted embedding store held as PQ codes instead of
+    * raw float32 (the store is 16–32× smaller, which is what matters
+    * at 100 TB where it grows by one row per admitted doc): ADC
+    * shortlists candidates inside the shard's own inverted lists
+    * (nProbe = 1 — the probe ranking's rn = 1 IS the assignment, so
+    * the pair law stays "same inverted list" like the uncompressed
+    * stage), and ONLY the shortlisted admitted ids are exact-cosine
+    * verified against `vectorSource` — the rescore pattern of
+    * [[Similarity.ivfPqKnnRescore]] applied to admission.
+    * `vectorSource` = (vec_id, embedding) raw floats for every
+    * indexed id — in the admission loop that is the decision log
+    * ([[Admission.admittedAll]]), which a deployment keeps anyway as
+    * the corpus itself, so the raw floats exist ONCE, not again
+    * inside the ANN store.
+    *
+    * Same contracts as the uncompressed probe: shard ids disjoint
+    * from the index, output = (a_id, b_id, cos ≥ threshold) pairs
+    * touching the shard (cross via the ADC shortlist, within-shard
+    * exact), `maxList` skew cap with explicit saturation. Recall
+    * through the shortlist is explicitly bounded: a true pair whose
+    * ADC rank exceeds `shortlist` inside its list is missed — an
+    * exact duplicate can never be (its residual's nearest codeword
+    * IS its twin's code, so its ADC distance is the per-query
+    * minimum). Deterministic end to end (ADC doubles + the
+    * (adc_dist, vec_id) total order), so the DuckDB oracle replays
+    * shortlist and verify exactly.
+    *
+    * Scale shape: o(index) per probe — the shard's lists are
+    * partition-pruned literals like [[IvfIndex.probeSemanticPlan]],
+    * the ADC stage reads CODES only (the compressed representation
+    * does the heavy scan), and the exact stage touches
+    * O(|shard|·shortlist) rows of `vectorSource` via one broadcast
+    * semi-join into a column-pruned scan. */
+  def probeSemantic(
+      spark: SparkSession, path: String, newVectors: DataFrame,
+      vectorSource: DataFrame, threshold: Double = 0.95,
+      shortlist: Int = 8, maxList: Int = 4096): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val shard = Similarity.ivfAssign(newVectors, centroids)
+      .localCheckpoint(eager = true)
+    try probeSemanticPlan(
+      spark, path, shard, vectorSource, threshold, shortlist, maxList)
+      .localCheckpoint(eager = true)
+    finally Storage.unpersistLocalCheckpoint(shard)
+  }
+
+  /** Pure plan builder of [[probeSemantic]] over an already-assigned,
+    * materialized shard (vec_id, embedding, c_id) — factored like
+    * [[IvfIndex.probeSemanticPlan]] so the pruning tree stays visible
+    * to plan pins. The touched/saturated sets resolve driver-side as
+    * planning-time partition-filter literals (≤ nCentroids values,
+    * the DPP-literal class), exactly as documented there. */
+  private[graft] def probeSemanticPlan(
+      spark: SparkSession, path: String, shard: DataFrame,
+      vectorSource: DataFrame, threshold: Double, shortlist: Int,
+      maxList: Int = 4096, salts: Int = 32): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val (subspaces, subDim) = readMeta(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val touched = shard.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val allSegs = readAll(spark, path)
+    val saturated = allSegs.where(col("c_id").isin(touched: _*))
+      .groupBy("c_id").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxList)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    val ok = touched.filterNot(saturated)
+    val codes = allSegs.where(col("c_id").isin(ok: _*))
+    val shardOk = shard.where(col("c_id").isin(ok: _*))
+    val shardQ = shardOk
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // nProbe = 1: each shard vector's LUT is against ITS OWN centroid
+    val luts =
+      if (codebook.columns.contains("m"))
+        Similarity.ivfPqLutsPerM(shardQ, centroids, codebook, subspaces, subDim, 1)
+      else Similarity.ivfPqProbeLuts(shardQ, centroids, codebook, subspaces, subDim, 1)
+    val short = Similarity.saltedTopK(
+      Similarity.ivfPqAdcScore(codes, luts, subspaces),
+      score = "adc_dist", ascending = true, k = shortlist, salts = salts)
+    // exact verify of ONLY the shortlisted admitted ids: the
+    // shortlist is output-sized and broadcasts into one column-pruned
+    // scan of the raw vector source
+    val crossPairs = vectorSource
+      .select(col("vec_id"), col("embedding").as("i_v"))
+      .join(broadcast(short.select(
+        col("query_id").as("s_id"), col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(shardOk.select(
+        col("vec_id").as("s_id"), col("embedding").as("s_v"))), Seq("s_id"))
+      .select(
+        least(col("vec_id"), col("s_id")).as("a_id"),
+        greatest(col("vec_id"), col("s_id")).as("b_id"),
+        cosine(col("i_v"), col("s_v")).as("cos"))
+      .where(col("cos") >= threshold)
+    // within-shard pairs are exact (the shard's raw vectors are in
+    // hand) — identical law to the uncompressed stage
+    val withinPairs = shardOk
+      .select(col("c_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_v"))
+      .join(broadcast(shardOk.select(col("c_id"),
+        col("vec_id").as("b_id"), col("embedding").as("b_v"))), "c_id")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+      .where(col("cos") >= threshold)
+    crossPairs.unionByName(withinPairs)
   }
 
   /** Fold committed deltas into a new base generation (marker written

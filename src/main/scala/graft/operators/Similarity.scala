@@ -186,6 +186,18 @@ object Similarity {
         .cast("int").as("cw_k"),
       col("cw"))
 
+  /** [[denseCodebook]] for a PER-SUBSPACE codebook (m, cw_k, cw):
+    * re-key dense 0..K_m−1 independently per m, order-preserving —
+    * identity for already-dense books ([[trainResidualCodebook]]'s
+    * output), safety for any externally-trained book with per-m
+    * gaps. The window is partitioned by m, so no codebook-sized
+    * single-partition funnel either. */
+  private[graft] def denseCodebookPerM(cbPerM: DataFrame): DataFrame =
+    cbPerM.select(col("m"),
+      (row_number().over(Window.partitionBy("m").orderBy(col("cw_k"))) - 1)
+        .cast("int").as("cw_k"),
+      col("cw"))
+
   /** Retrieval-quality evaluation of an ANN tier against exact ground
     * truth — the measurement every index deployment gates on. Both
     * inputs carry `(query_id, vec_id, rank ≤ k)`; per query this
@@ -1148,59 +1160,16 @@ object Similarity {
     // once (plan branches share no work), release before return
     val residuals = ivfPqResiduals(emb, centroids).localCheckpoint(true)
     try {
-      val guarded = when(size(col("r")) === subspaces * subDim, col("r"))
-        .otherwise(raise_error(concat(
-          lit(s"ivfPqKnnTrained: residual dimension must be $subspaces*$subDim = " +
-            s"${subspaces * subDim}, got "), size(col("r")).cast("string"))))
-      val sliced = residuals.select(col("vec_id"), col("c_id"),
-        posexplode(array((0 until subspaces).map(m =>
-          slice(guarded, m * subDim + 1, subDim)): _*)))
-        .toDF("vec_id", "c_id", "m", "sv")
+      val sliced = ivfPqSliceResiduals(residuals, subspaces, subDim)
         .localCheckpoint(true)
       try {
         val cbDense = trainResidualCodebook(sliced, subDim, codebookSize, pqIters)
         try {
-          val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-            aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, t) => acc + t)
-          // encode: argmin d2 per (vector, subspace) against the per-m
-          // broadcast codebook, the subspace pivot folded into ONE
-          // aggregation carrying the vector's inverted list
-          val enc = sliced.join(broadcast(cbDense), "m")
-            .select(col("vec_id"), col("c_id"), col("m"), col("cw_k"),
-              d2(col("sv"), col("cw")).as("d2"))
-          val codeCols = first(col("c_id")).as("c_id") +:
-            (0 until subspaces).map(m =>
-              min(when(col("m") === m, struct(col("d2"), col("cw_k"))))
-                .getField("cw_k").as(s"c$m"))
-          val codes = enc.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
-          // per-(query, probed centroid) LUTs: probe selection as in
-          // [[ivfPqProbeLuts]], the query residual sliced per m and
-          // scored against the same per-m codebook, pivoted in one agg
+          val codes = ivfPqEncodePerM(sliced, cbDense, subspaces)
           val queries = emb.where(col("vec_id") < nQueries)
             .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-          val wProbe = Window.partitionBy("query_id")
-            .orderBy(col("p_cos").desc, col("c_id").asc)
-          val probes = queries
-            .join(broadcast(centroids))
-            .select(col("query_id"), col("c_id"),
-              cosine(col("q"), col("c_vec")).as("p_cos"),
-              zip_with(col("q"), col("c_vec"),
-                (x, y) => x.cast("double") - y.cast("double")).as("qr"))
-            .withColumn("pr", row_number().over(wProbe))
-            .where(col("pr") <= nProbe)
-            .select(col("query_id"), col("c_id"),
-              posexplode(array((0 until subspaces).map(m =>
-                slice(col("qr"), m * subDim + 1, subDim)): _*)))
-            .toDF("query_id", "c_id", "m", "qsv")
-          val qenc = probes.join(broadcast(cbDense), "m")
-            .select(col("query_id"), col("c_id"), col("m"), col("cw_k"),
-              d2(col("qsv"), col("cw")).as("d2"))
-          val lutCols = (0 until subspaces).map(m =>
-            transform(array_sort(collect_list(when(col("m") === m,
-              struct(col("cw_k"), col("d2"))))), e => e.getField("d2")).as(s"lut_$m"))
-          val luts = qenc.groupBy("query_id", "c_id")
-            .agg(lutCols.head, lutCols.tail: _*)
+          val luts = ivfPqLutsPerM(
+            queries, centroids, cbDense, subspaces, subDim, nProbe)
           saltedTopK(ivfPqAdcScore(codes, luts, subspaces),
             score = "adc_dist", ascending = true, k = k, salts = salts)
             .localCheckpoint(true)
@@ -1210,6 +1179,104 @@ object Similarity {
       Storage.unpersistLocalCheckpoint(residuals)
       Storage.unpersistLocalCheckpoint(centroids)
     }
+  }
+
+  /** The TRAINED IVFADC state pair, materialized — coarse centroids
+    * from [[kmeans]] plus the per-subspace Lloyd residual codebook
+    * (m, cw_k, cw: array<float>, dense per m) — exactly the state
+    * [[ivfPqKnnTrained]] derives internally, exposed so the persisted
+    * [[IvfPqIndex.writeTrained]] tier can run the production shape:
+    * train once (here), persist, then encode every arriving epoch
+    * against the STORED state forever. Caller releases both frames
+    * with [[Storage.unpersistLocalCheckpoint]] once persisted. */
+  def ivfPqTrainState(
+      embeddings: DataFrame, nCentroids: Int = 16,
+      subspaces: Int = 4, subDim: Int = 16, codebookSize: Int = 16,
+      coarseIters: Int = 3, pqIters: Int = 2): (DataFrame, DataFrame) = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = kmeans(emb, nCentroids, coarseIters, dims = subspaces * subDim)
+    val residuals = ivfPqResiduals(emb, centroids).localCheckpoint(true)
+    try {
+      val sliced = ivfPqSliceResiduals(residuals, subspaces, subDim)
+        .localCheckpoint(true)
+      try (centroids, trainResidualCodebook(sliced, subDim, codebookSize, pqIters))
+      finally Storage.unpersistLocalCheckpoint(sliced)
+    } finally Storage.unpersistLocalCheckpoint(residuals)
+  }
+
+  /** Slice residual rows (vec_id, c_id, r) into per-subspace rows
+    * (vec_id, c_id, m, sv: subDim-length array<double>) with a loud
+    * dimension guard — the common front of the per-m trained-codebook
+    * paths (training, encode). */
+  private[graft] def ivfPqSliceResiduals(
+      residuals: DataFrame, subspaces: Int, subDim: Int): DataFrame = {
+    val guarded = when(size(col("r")) === subspaces * subDim, col("r"))
+      .otherwise(raise_error(concat(
+        lit(s"ivfPq: residual dimension must be $subspaces*$subDim = " +
+          s"${subspaces * subDim}, got "), size(col("r")).cast("string"))))
+    residuals.select(col("vec_id"), col("c_id"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(guarded, m * subDim + 1, subDim)): _*)))
+      .toDF("vec_id", "c_id", "m", "sv")
+  }
+
+  /** Strict left-to-right Σ(a_i−b_i)² over two equal-length lists —
+    * float elements widen to double per element, matching the oracle's
+    * CAST AS DOUBLE arithmetic. */
+  private def perMD2(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Encode against a PER-SUBSPACE codebook (m, cw_k, cw): argmin d2
+    * per (vector, subspace) against the broadcast per-m codebook, the
+    * subspace pivot folded into ONE aggregation carrying the vector's
+    * inverted list. Input is [[ivfPqSliceResiduals]]' shape; returns
+    * (vec_id, c_id, c0..c_{M−1}) — the same segment schema as the
+    * full-dim [[ivfPqEncodeCodes]], so both codebook forms share the
+    * persisted layout and [[ivfPqAdcScore]]. */
+  private[graft] def ivfPqEncodePerM(
+      sliced: DataFrame, cbPerM: DataFrame, subspaces: Int): DataFrame = {
+    val enc = sliced.join(broadcast(cbPerM), "m")
+      .select(col("vec_id"), col("c_id"), col("m"), col("cw_k"),
+        perMD2(col("sv"), col("cw")).as("d2"))
+    val codeCols = first(col("c_id")).as("c_id") +:
+      (0 until subspaces).map(m =>
+        min(when(col("m") === m, struct(col("d2"), col("cw_k"))))
+          .getField("cw_k").as(s"c$m"))
+    enc.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** Per-(query, probed centroid) ADC LUTs against a PER-SUBSPACE
+    * codebook: probe selection as in [[ivfPqProbeLuts]], the query
+    * residual sliced per m and scored against the per-m codebook,
+    * pivoted in one agg. Returns (query_id, c_id, lut_0..lut_{M−1}) —
+    * |Q|·nProbe rows, broadcast by the scorer. */
+  private[graft] def ivfPqLutsPerM(
+      queries: DataFrame, centroids: DataFrame, cbPerM: DataFrame,
+      subspaces: Int, subDim: Int, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = queries
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("c_id"),
+        cosine(col("q"), col("c_vec")).as("p_cos"),
+        zip_with(col("q"), col("c_vec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("c_id"),
+        posexplode(array((0 until subspaces).map(m =>
+          slice(col("qr"), m * subDim + 1, subDim)): _*)))
+      .toDF("query_id", "c_id", "m", "qsv")
+    val qenc = probes.join(broadcast(cbPerM), "m")
+      .select(col("query_id"), col("c_id"), col("m"), col("cw_k"),
+        perMD2(col("qsv"), col("cw")).as("d2"))
+    val lutCols = (0 until subspaces).map(m =>
+      transform(array_sort(collect_list(when(col("m") === m,
+        struct(col("cw_k"), col("d2"))))), e => e.getField("d2")).as(s"lut_$m"))
+    qenc.groupBy("query_id", "c_id")
+      .agg(lutCols.head, lutCols.tail: _*)
   }
 
   /** [[ivfPqKnnTrained]]'s residual-codebook trainer: per-subspace L2

@@ -257,6 +257,39 @@ object VectorQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         nQueries = 8, k = 5)),
 
+    // ...and the trained state PERSISTED end-to-end — the production
+    // train-once/encode-forever trajectory on disk: ivfPqTrainState
+    // Lloyd-trains both halves on the full corpus, writeTrained
+    // persists them (per-subspace codebook, dense re-key) with base
+    // codes from two thirds, the remaining third arrives as two
+    // committed delta epochs residual-encoded AGAINST THE STORED
+    // STATE, then compact + gc (marker-last generation swap) before
+    // serving. Encode is a pure function of (vector, stored state)
+    // and float32 centroids / float32 codewords / int codes
+    // round-trip parquet exactly, so the serve is bit-identical to
+    // knn_ivfpq_trained over the union — the shared oracle.
+    "knn_ivfpq_trained_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (centroids, cbPerM) = Similarity.ivfPqTrainState(e)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_tdelta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfPqIndex.writeTrained(
+        e.where(col("vec_id") % 3 =!= 2), centroids, cbPerM, path)
+      graft.operators.Storage.unpersistLocalCheckpoint(centroids)
+      graft.operators.Storage.unpersistLocalCheckpoint(cbPerM)
+      graft.operators.IvfPqIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0))
+      graft.operators.IvfPqIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0))
+      graft.operators.IvfPqIndex.compact(s, path)
+      graft.operators.IvfPqIndex.gc(s, path)
+      graft.operators.IvfPqIndex.serveAll(s, path,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5, nProbe = 4)
+    }),
+
     // the durable-index serving path: build the seed-centroid IVF
     // index, persist it as parquet (assignments PARTITIONED BY c_id —
     // one directory per inverted list), reload, and serve top-k from
@@ -733,7 +766,16 @@ object VectorQueries {
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(Tables.documents(s, d)))
         .groupBy("asset_id")
-        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame_bytes"))).as("total_bytes"))))
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame_bytes"))).as("total_bytes"))),
+
+    // multimodal near-dup dedup: 64-bit perceptual aHash over REAL
+    // decoded pixels (block-mean luma, exact-integer threshold), then
+    // the chunk-blocked Hamming pair law shared with dedup_simhash —
+    // pigeonhole-exhaustive at maxHamming ≤ 3. The BMP fixtures'
+    // pixels are closed-form, so the oracle recomputes every hash bit
+    // from the formula and replays the pair set exactly.
+    "mm_neardup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3)))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -1626,6 +1668,11 @@ object VectorQueries {
     "knn_ivf_trained" -> ivfTrainedOracle,
     "knn_pq_trained" -> pqTrainedOracle,
     "knn_ivfpq_trained" -> ivfPqTrainedOracle,
+    // the persisted trained trajectory serves bit-identically to the
+    // in-memory one over the same union (encode is a pure function of
+    // the stored trained state) — the shared oracle, like
+    // knn_ivfpq_delta shares knn_ivfpq's
+    "knn_ivfpq_trained_delta" -> ivfPqTrainedOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
     "knn_ivf" -> ivfSeedOracle,
@@ -1861,6 +1908,49 @@ object VectorQueries {
            SELECT asset_id, least(32, greatest(n - i * 64, 0)) AS flen FROM idx)
          SELECT asset_id, count(*) AS n_frames, CAST(sum(flen) AS BIGINT) AS total_bytes
          FROM f WHERE flen > 0 GROUP BY asset_id""",
+
+    // every aHash bit recomputed from the closed-form pixel formula
+    // (exact integer luma sums, cross-multiplied cell-vs-image mean
+    // threshold), then all-pairs hamming — the Spark side blocks on
+    // 16-bit chunks, but hamming <= 3 forces agreement on >= 1 of 4
+    // chunks (pigeonhole), so blocking is exhaustive and the pair
+    // sets must match exactly (same argument as dedup_simhash).
+    "mm_neardup" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(doc_id % 16 + 8 AS INT) AS width,
+                  CAST(doc_id % 12 + 8 AS INT) AS height
+           FROM documents),
+         px AS (
+           SELECT asset_id, width, height, tx.x AS x, ty.y AS y
+           FROM a, range(23) tx(x), range(19) ty(y)
+           WHERE tx.x < width AND ty.y < height),
+         g AS (
+           SELECT asset_id,
+                  CAST((y * 8) // height * 8 + (x * 8) // width AS INT) AS i,
+                  ((asset_id*31 + x*7 + y*13) % 256) * 299
+                + ((asset_id*17 + x*5 + y*11) % 256) * 587
+                + ((asset_id*29 + x*3 + y*19) % 256) * 114 AS gray
+           FROM px),
+         cells AS (SELECT asset_id, i, sum(gray) AS cs, count(*) AS cn FROM g GROUP BY 1, 2),
+         tot AS (SELECT asset_id, sum(gray) AS ts, count(*) AS tn FROM g GROUP BY 1),
+         bits AS (
+           SELECT c.asset_id, c.i,
+                  CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+           FROM cells c JOIN tot t USING (asset_id)),
+         sigs AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN i < 16 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN i >= 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM bits GROUP BY asset_id)
+         SELECT * FROM (
+           SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id)
+         WHERE hamming <= 3""",
 
     "emb_label_centroid_dist" ->
       """WITH dims AS (

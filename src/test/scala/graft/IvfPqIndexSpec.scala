@@ -103,6 +103,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(served(p, e) == want, "gc changed serving results")
   }
 
+  test("TRAINED state persisted end-to-end: write/append/compact/gc serves bit-identically to the in-memory trained trajectory") {
+    // the production shape: Lloyd-train both halves once
+    // (ivfPqTrainState), persist, base codes from a third, two delta
+    // epochs encoded against the STORED state, compact + gc — must
+    // equal ivfPqKnnTrained over the full corpus (encode is a pure
+    // function of (vector, stored state); float32 trained state and
+    // int codes round-trip parquet exactly)
+    val e = corpus().select($"vec_id", $"embedding")
+    val (centroids, cbPerM) = Similarity.ivfPqTrainState(e)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_tr").toString
+    IvfPqIndex.writeTrained(e.where($"vec_id" % 3 === 0), centroids, cbPerM, p)
+    graft.operators.Storage.unpersistLocalCheckpoint(centroids)
+    graft.operators.Storage.unpersistLocalCheckpoint(cbPerM)
+    IvfPqIndex.appendEpoch(spark, p, 0L, e.where($"vec_id" % 3 === 1))
+    IvfPqIndex.appendEpoch(spark, p, 1L, e.where($"vec_id" % 3 === 2))
+    val want = Similarity.ivfPqKnnTrained(e, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served(p, e) == want && want.nonEmpty,
+      "persisted TRAINED IVFADC diverges from the in-memory trained trajectory")
+    IvfPqIndex.compact(spark, p)
+    IvfPqIndex.gc(spark, p)
+    assert(served(p, e) == want,
+      "compaction/gc changed trained-IVFADC serving results")
+    // replay no-op holds for the trained form too
+    assert(!IvfPqIndex.appendEpoch(spark, p, 1L, e.where($"vec_id" % 3 === 2)))
+    assert(served(p, e) == want, "replayed epoch changed the trained index")
+  }
+
   test("a gappy trained codebook is re-keyed dense on write and serves like its dense equivalent") {
     // ADC scoring is positional (element_at over cw_k-sorted LUTs) —
     // a trained codebook with holes (an emptied cluster) must not

@@ -116,4 +116,62 @@ class MultimodalSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(one == expected)
   }
+
+  private def bmpOf(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "bmp", out))
+    out.toByteArray
+  }
+
+  test("perceptual-hash near-dup: planted duplicate found at hamming 0, resize-invariant, unrelated image excluded") {
+    import graft.multimodal.ImageAsset
+    // a structured 16x16 half-dark/half-light image; a byte-identical
+    // copy under a different id; the SAME pattern at 24x12 (block-mean
+    // aHash is resize-invariant for block-constant patterns); a
+    // brightness-shifted copy (+10 on all channels — shifts cell and
+    // image means equally, so every bit is unchanged); and an inverted
+    // pattern (every bit flips -> hamming 64, no pair)
+    def pat(lum: (Int, Int) => Boolean)(w: Int, h: Int, lift: Int = 0) =
+      bmpOf(w, h)((x, y) => {
+        val v = (if (lum(x * 8 / w, y * 8 / h)) 200 else 40) + lift
+        (v << 16) | (v << 8) | v
+      })
+    val half = (gx: Int, _: Int) => gx < 4
+    val inv = (gx: Int, _: Int) => gx >= 4
+    val planted = Seq(
+      ImageAsset(0L, 16, 16, pat(half)(16, 16)),
+      ImageAsset(1L, 16, 16, pat(half)(16, 16)), // byte-identical dup
+      ImageAsset(2L, 24, 12, pat(half)(24, 12)), // same pattern, resized
+      ImageAsset(3L, 16, 16, pat(half)(16, 16, lift = 10)), // brightness shift
+      ImageAsset(4L, 16, 16, pat(inv)(16, 16))) // inverted: hamming 64
+    val sigs = Multimodal.imageAHash(spark, planted.toDS()).collect()
+      .map(p => p.asset_id -> (p.c0, p.c1, p.c2, p.c3)).toMap
+    assert(sigs(0L) == sigs(1L) && sigs(0L) == sigs(2L) && sigs(0L) == sigs(3L),
+      "dup/resize/brightness-shift must hash identically")
+    assert(sigs(0L) != sigs(4L), "inverted pattern must not collide")
+    val pairs = graft.operators.Dedup.hammingChunkPairs(
+      planted.toDS().toDF().transform(df =>
+        Multimodal.imageAHash(spark, df.as[ImageAsset]).toDF()
+          .withColumnRenamed("asset_id", "doc_id")), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((0L, 1L, 0), (0L, 2L, 0), (0L, 3L, 0),
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"planted near-dup pair set wrong: $pairs")
+  }
+
+  test("mm_neardup over the corpus: pair law (hamming <= 3, a < b) and signature determinism hold") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val pairs = Multimodal.imageNearDupPairs(spark, docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty, "fixture corpus should contain natural aHash near-dups")
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "duplicate pairs emitted")
+    val again = Multimodal.imageNearDupPairs(spark, docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.sortBy(p => (p._1, p._2)).toSeq == again.sortBy(p => (p._1, p._2)).toSeq)
+  }
 }
