@@ -92,11 +92,25 @@ object Admission {
     * life of the loop, like any [[MinHashIndex]]; `semanticCentroids`
     * = Some((c_id, c_vec)) turns the semantic stage ON with those
     * coarse centroids fixed for the life of the loop — shards must
-    * then carry an `embedding` column alongside (doc_id, text). */
+    * then carry an `embedding` column alongside (doc_id, text).
+    *
+    * `semanticCodebook` = Some((cw_k, cw) or the per-m trained form)
+    * additionally selects the COMPRESSED semantic tier: the fourth
+    * store becomes an [[IvfPqIndex]] holding PQ codes instead of raw
+    * float32 (16–32× smaller — the store that grows fastest at
+    * 100 TB, one embedding per admitted doc), probed via the
+    * ADC-shortlist + exact-verify pattern
+    * ([[IvfPqIndex.probeSemantic]]) with the decision log as the raw
+    * vector source — the floats exist ONCE, in the corpus the
+    * deployment keeps anyway. `semanticSubspaces`×`semanticSubDim`
+    * must equal the embedding dimension; like the codebook itself,
+    * the grid is fixed at init for the life of the loop. */
   def init(
       spark: SparkSession, path: String, shingleN: Int = 3,
       numHashes: Int = 16, bands: Int = 8,
-      semanticCentroids: Option[DataFrame] = None): Unit = {
+      semanticCentroids: Option[DataFrame] = None,
+      semanticCodebook: Option[DataFrame] = None,
+      semanticSubspaces: Int = 4, semanticSubDim: Int = 16): Unit = {
     val empty = spark.range(0)
       .select(col("id").as("doc_id"), lit("").as("text"))
     // with the semantic stage on, every admitted segment carries the
@@ -111,10 +125,19 @@ object Admission {
     ContentHashIndex.write(empty, store(path, "exact"))
     MinHashIndex.write(empty, store(path, "neardup"), shingleN, numHashes, bands)
     semanticCentroids.foreach { cents =>
-      IvfIndex.write(
-        cents.select(col("c_id").as("vec_id"), col("c_vec").as("embedding"))
-          .where(lit(false)),
-        cents, store(path, "semantic"))
+      val emptyVecs = cents
+        .select(col("c_id").as("vec_id"), col("c_vec").as("embedding"))
+        .where(lit(false))
+      semanticCodebook match {
+        case Some(cb) if cb.columns.contains("m") =>
+          IvfPqIndex.writeTrained(emptyVecs, cents, cb,
+            store(path, "semantic"), semanticSubspaces, semanticSubDim)
+        case Some(cb) =>
+          IvfPqIndex.write(emptyVecs, cents, cb,
+            store(path, "semantic"), semanticSubspaces, semanticSubDim)
+        case None =>
+          IvfIndex.write(emptyVecs, cents, store(path, "semantic"))
+      }
     }
   }
 
@@ -122,6 +145,14 @@ object Admission {
     * driver-side existence check on the fourth store's marker dir. */
   private[graft] def hasSemantic(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"${store(path, "semantic")}/gens")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether the semantic stage is the COMPRESSED (PQ-coded) tier —
+    * the stored codebook is what distinguishes an [[IvfPqIndex]] from
+    * an [[IvfIndex]] at the same layout. */
+  private[graft] def hasSemanticPq(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${store(path, "semantic")}/codebook")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -156,7 +187,7 @@ object Admission {
   private[graft] def decide(
       spark: SparkSession, path: String, shard: DataFrame,
       threshold: Double, semanticThreshold: Double = 0.95,
-      semanticMaxList: Int = 4096): DataFrame = {
+      semanticMaxList: Int = 4096, semanticShortlist: Int = 8): DataFrame = {
     // the shard's full column set (doc_id, text[, embedding]) rides
     // through every stage — the admitted segment IS the decision log
     // and the index appends re-read it, so it must carry everything
@@ -195,11 +226,23 @@ object Admission {
     if (!hasSemantic(spark, path)) nearSurvivors
     else try {
       // semantic stage: same drop law over the same-inverted-list
-      // cosine pairs vs the indexed embeddings ∪ the surviving shard
-      val pairs = IvfIndex.probeSemantic(
-        spark, store(path, "semantic"),
-        nearSurvivors.select(col("doc_id").as("vec_id"), col("embedding")),
-        semanticThreshold, semanticMaxList)
+      // cosine pairs vs the indexed embeddings ∪ the surviving shard.
+      // Compressed tier: ADC shortlist over the PQ codes, exact
+      // verify only for shortlisted ids, raw floats read from the
+      // decision log (which at decide time holds exactly the pre-
+      // epoch admitted corpus = the indexed ids).
+      val shardVecs = nearSurvivors
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val pairs =
+        if (hasSemanticPq(spark, path))
+          IvfPqIndex.probeSemantic(
+            spark, store(path, "semantic"), shardVecs,
+            vectorSource = admittedAll(spark, path)
+              .select(col("doc_id").as("vec_id"), col("embedding")),
+            semanticThreshold, semanticShortlist, semanticMaxList)
+        else IvfIndex.probeSemantic(
+          spark, store(path, "semantic"), shardVecs,
+          semanticThreshold, semanticMaxList)
       try dropPaired(nearSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
     } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
@@ -213,23 +256,28 @@ object Admission {
   def admitEpoch(
       spark: SparkSession, path: String, epoch: Long, shard: DataFrame,
       threshold: Double = 0.5, semanticThreshold: Double = 0.95,
-      semanticMaxList: Int = 4096): DataFrame = {
+      semanticMaxList: Int = 4096, semanticShortlist: Int = 8): DataFrame = {
     val admittedPath = store(path, "admitted")
     // fail fast on a loop that was never [[init]]ed — appendEpoch
     // itself would happily commit into a half-existing store
     LsmSegments.current(spark, admittedPath)
     LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
       val admitted = decide(
-        spark, path, shard, threshold, semanticThreshold, semanticMaxList)
+        spark, path, shard, threshold, semanticThreshold,
+        semanticMaxList, semanticShortlist)
       try admitted.write.mode("overwrite").parquet(p)
       finally Storage.unpersistLocalCheckpoint(admitted)
     }
     val admitted = spark.read.parquet(s"$admittedPath/deltas/$epoch")
     ContentHashIndex.appendEpoch(spark, store(path, "exact"), epoch, admitted)
     MinHashIndex.appendEpoch(spark, store(path, "neardup"), epoch, admitted)
-    if (hasSemantic(spark, path))
-      IvfIndex.appendEpoch(spark, store(path, "semantic"), epoch,
-        admitted.select(col("doc_id").as("vec_id"), col("embedding")))
+    if (hasSemantic(spark, path)) {
+      val vecs = admitted.select(col("doc_id").as("vec_id"), col("embedding"))
+      if (hasSemanticPq(spark, path))
+        IvfPqIndex.appendEpoch(spark, store(path, "semantic"), epoch, vecs)
+      else
+        IvfIndex.appendEpoch(spark, store(path, "semantic"), epoch, vecs)
+    }
     admitted
   }
 
@@ -270,8 +318,13 @@ object Admission {
     MinHashIndex.compact(spark, store(path, "neardup"))
     MinHashIndex.gc(spark, store(path, "neardup"), retainGens)
     if (hasSemantic(spark, path)) {
-      IvfIndex.compact(spark, store(path, "semantic"))
-      IvfIndex.gc(spark, store(path, "semantic"), retainGens)
+      if (hasSemanticPq(spark, path)) {
+        IvfPqIndex.compact(spark, store(path, "semantic"))
+        IvfPqIndex.gc(spark, store(path, "semantic"), retainGens)
+      } else {
+        IvfIndex.compact(spark, store(path, "semantic"))
+        IvfIndex.gc(spark, store(path, "semantic"), retainGens)
+      }
     }
   }
 }

@@ -210,12 +210,16 @@ object IvfPqIndex {
     * touching the shard (cross via the ADC shortlist, within-shard
     * exact), `maxList` skew cap with explicit saturation. Recall
     * through the shortlist is explicitly bounded: a true pair whose
-    * ADC rank exceeds `shortlist` inside its list is missed — an
-    * exact duplicate can never be (its residual's nearest codeword
-    * IS its twin's code, so its ADC distance is the per-query
-    * minimum). Deterministic end to end (ADC doubles + the
-    * (adc_dist, vec_id) total order), so the DuckDB oracle replays
-    * shortlist and verify exactly.
+    * ADC rank exceeds `shortlist` inside its list is missed. An
+    * exact duplicate attains the per-query MINIMUM ADC distance (its
+    * residual's nearest codeword IS its twin's code), so it is
+    * missed only when more than `shortlist` candidates TIE at that
+    * minimum (same code — real at coarse codebooks over clustered
+    * corpora; size `shortlist` ≥ the expected same-code multiplicity,
+    * or screen exact copies in the exact/near-dup stages first, as
+    * the admission loop does by construction). Deterministic end to
+    * end (ADC doubles + the (adc_dist, vec_id) total order), so the
+    * DuckDB oracle replays shortlist and verify exactly.
     *
     * Scale shape: o(index) per probe — the shard's lists are
     * partition-pruned literals like [[IvfIndex.probeSemanticPlan]],

@@ -456,6 +456,36 @@ object VectorQueries {
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     }),
 
+    // ...and the COMPRESSED admission probe (IvfPqIndex.probeSemantic):
+    // the admitted embedding store held as PQ codes (16–32× smaller at
+    // 100 TB), ADC shortlisting candidates inside the shard's own
+    // inverted lists (nProbe = 1 == the assignment), exact cosine only
+    // for the shortlisted ids against the raw vector source (the
+    // decision log in the admission loop; the embeddings table here).
+    // Same topology as dedup_semantic_probe: base 2/3 + one committed
+    // delta, shard = every 5th vector re-keyed high — the re-keyed
+    // exact copies guarantee non-vacuity (an exact copy's ADC distance
+    // is the per-query minimum, so it always survives the shortlist).
+    "dedup_semantic_probe_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cb = Similarity.ivfPqSeedCodebook(
+        e.select(col("vec_id"), col("embedding")), seeds)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sem_pq_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfPqIndex.write(
+        e.where(col("vec_id") % 3 =!= 2).select(col("vec_id"), col("embedding")),
+        seeds, cb, path)
+      graft.operators.IvfPqIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2).select(col("vec_id"), col("embedding")))
+      graft.operators.IvfPqIndex.probeSemantic(s, path,
+        e.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        vectorSource = e.select(col("vec_id"), col("embedding")))
+    }),
+
     // ...and the binary tier: sign-bit packed signatures (pure
     // per-vector packing, like SQ8's quantize), hamming serving over
     // base ∪ deltas — bit-identical to knn_binary over the union.
@@ -1320,6 +1350,88 @@ object VectorQueries {
           FROM scored)"""
   }
 
+  /** dedup_semantic_probe_pq oracle: the seed IVFADC chain (assignment,
+    * residuals, codes — over the FULL corpus: base 2/3 ∪ delta 1/3)
+    * probed by the re-keyed shard at nProbe = 1 (each shard vector's
+    * LUT against its OWN assigned centroid), ADC rank ≤ 8 shortlist
+    * per shard vector, exact cosine only for shortlisted pairs, plus
+    * exact within-shard same-list pairs — the engine's compressed
+    * admission probe replayed bit-for-bit. */
+  private lazy val semanticProbePqOracle: String = {
+    def d2Sql(m: Int, a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, 17),
+           i -> (($a)[${m * 16} + i] - ($b)[${m * 16} + i]) *
+                (($a)[${m * 16} + i] - ($b)[${m * 16} + i])),
+           (acc, x) -> acc + x)"""
+    def residSql(v: String, c: String) =
+      s"""list_transform(range(1, 65),
+            i -> CAST(($v)[i] AS DOUBLE) - CAST(($c)[i] AS DOUBLE))"""
+    val encD2 = (0 until 4).map(m =>
+      s"${d2Sql(m, "res.r", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val qD2 = (0 until 4).map(m =>
+      s"${d2Sql(m, "qres.qr", "cb.cw")} AS d2_$m").mkString(",\n           ")
+    val codeCols = (0 until 4).map(m =>
+      s"first(k ORDER BY d2_$m ASC, k ASC) AS c$m").mkString(", ")
+    val lutCols = (0 until 4).map(m =>
+      s"list(d2_$m ORDER BY k ASC) AS lut_$m").mkString(", ")
+    val adc = (0 until 4).map(m => s"l.lut_$m[codes.c$m + 1]").mkString(" + ")
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, c.c_id, c.c_vec,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        res AS (
+          SELECT vec_id, c_id, ${residSql("embedding", "c_vec")} AS r
+          FROM a WHERE rn = 1),
+        cb AS (SELECT CAST(vec_id AS INT) AS k, r AS cw FROM res WHERE vec_id < 16),
+        enc AS (
+          SELECT res.vec_id, res.c_id, cb.k,
+           $encD2
+          FROM res CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, min(c_id) AS c_id, $codeCols FROM enc GROUP BY vec_id),
+        sa AS (
+          SELECT vec_id, embedding, c_id, c_vec FROM (
+            SELECT s.vec_id + 1000000 AS vec_id, s.embedding, c.c_id, c.c_vec,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${cosSql("s.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+            FROM embeddings s CROSS JOIN c WHERE s.vec_id % 5 = 0) WHERE rn = 1),
+        qres AS (
+          SELECT vec_id AS query_id, c_id, ${residSql("embedding", "c_vec")} AS qr
+          FROM sa),
+        qenc AS (
+          SELECT qres.query_id, qres.c_id, cb.k,
+           $qD2
+          FROM qres CROSS JOIN cb),
+        luts AS (
+          SELECT query_id, c_id, $lutCols FROM qenc GROUP BY query_id, c_id),
+        scored AS (
+          SELECT l.query_id, codes.vec_id, $adc AS adc_dist
+          FROM codes JOIN luts l ON codes.c_id = l.c_id),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM scored),
+        sl AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 8),
+        crossp AS (
+          SELECT least(i.vec_id, s.vec_id) AS a_id,
+                 greatest(i.vec_id, s.vec_id) AS b_id,
+                 ${cosSql("i.embedding", "s.embedding")} AS cos
+          FROM sl
+          JOIN embeddings i ON i.vec_id = sl.vec_id
+          JOIN sa s ON s.vec_id = sl.query_id),
+        withinp AS (
+          SELECT s1.vec_id AS a_id, s2.vec_id AS b_id,
+                 ${cosSql("s1.embedding", "s2.embedding")} AS cos
+          FROM sa s1 JOIN sa s2 ON s1.c_id = s2.c_id AND s1.vec_id < s2.vec_id)
+        SELECT a_id, b_id, cos
+        FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+        WHERE cos >= 0.95"""
+  }
+
   /** knn_binary trajectory (sign-disagreement hamming → top-k,
     * representation-independent), shared verbatim by `knn_binary`
     * (in-memory) and `knn_binary_delta` (persisted base∪delta
@@ -1719,6 +1831,11 @@ object VectorQueries {
           SELECT a_id, b_id, cos
           FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
           WHERE cos >= 0.95""",
+
+    // the compressed (PQ-coded) admission probe: ADC shortlist + exact
+    // verify of only the shortlisted pairs, replayed from first
+    // principles — see semanticProbePqOracle
+    "dedup_semantic_probe_pq" -> semanticProbePqOracle,
 
     "emb_norms" ->
       s"""SELECT vec_id, ${normSql("embedding")} AS l2_norm FROM embeddings""",

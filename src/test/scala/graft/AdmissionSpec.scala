@@ -232,6 +232,46 @@ class AdmissionSpec extends AnyFunSuite {
       semWant.values.flatten.toSet)
   }
 
+  test("compressed (PQ) semantic tier admits identically to the raw tier; its store holds codes, not floats") {
+    // recall through the ADC shortlist is 100% here by construction —
+    // the fixture's inverted lists hold ≤ 3 embeddings, far under the
+    // shortlist — so the compressed stage sees every same-list
+    // candidate, exact-verifies it from the decision log, and must
+    // reach the exact decisions of the raw tier
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft_adm_semraw_").toString
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft_adm_sempq_").toString
+    Admission.init(spark, raw, semanticCentroids = Some(semCentroids))
+    val cbSeed = Seq(
+      (0, Array(0.0, 0.0)), (1, Array(0.2, -0.2)),
+      (2, Array(-0.2, 0.2)), (3, Array(0.1, 0.1)))
+      .toDF("cw_k", "cw")
+    Admission.init(spark, pq, semanticCentroids = Some(semCentroids),
+      semanticCodebook = Some(cbSeed),
+      semanticSubspaces = 2, semanticSubDim = 1)
+    val (gotRaw, gotPq) = Seq(semShard0, semShard1).zipWithIndex.map {
+      case (sh, e) =>
+        (admittedIds(Admission.admitEpoch(spark, raw, e.toLong, sh)),
+          admittedIds(Admission.admitEpoch(spark, pq, e.toLong, sh)))
+    }.unzip
+    assert(gotPq == gotRaw, s"compressed tier diverged: $gotPq vs $gotRaw")
+    assert(gotPq.zipWithIndex.map { case (s, e) => e.toLong -> s }.toMap
+      == semWant)
+    // the compressed store really is compressed: code columns, no raw
+    // embedding column on disk
+    val segCols = graft.operators.IvfPqIndex
+      .readAll(spark, s"$pq/semantic").columns.toSet
+    assert(segCols.contains("c0") && segCols.contains("c1") &&
+      !segCols.contains("embedding"),
+      s"compressed semantic store schema unexpected: $segCols")
+    // maintenance folds the compressed store like any other
+    Admission.compact(spark, pq)
+    assert(LsmSegments.current(spark, s"$pq/semantic") == (1L, 1L))
+    assert(admittedIds(Admission.admittedAll(spark, pq)) ==
+      semWant.values.flatten.toSet)
+  }
+
   test("replay with the semantic append lost re-reads the decision and completes the fourth store") {
     // worst crash point for the EXTENDED loop: admitted + exact +
     // neardup committed for epoch 1, the semantic append LOST. The

@@ -131,6 +131,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(served(p, e) == want, "replayed epoch changed the trained index")
   }
 
+  test("compressed (PQ) semantic probe equals the uncompressed stage when the shortlist covers the lists") {
+    // recall through the ADC shortlist is 100% by construction here:
+    // 64 indexed vectors over 16 lists with shortlist = 64 means every
+    // same-list candidate is shortlisted, so the exact-verify stage
+    // sees exactly the uncompressed probe's candidate set and the two
+    // stages must emit the IDENTICAL pair set (cosines computed from
+    // the same raw floats on both sides)
+    import graft.operators.IvfIndex
+    val e = corpus().select($"vec_id", $"embedding")
+    val idx = e.where($"vec_id" < 64)
+    val seeds = seedsOf(e)
+    val cb = Similarity.ivfPqSeedCodebook(e, seeds)
+    val shard = e.where($"vec_id" % 7 === 0 && $"vec_id" < 64)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val p1 = java.nio.file.Files.createTempDirectory("graft_sem_raw").toString
+    IvfIndex.write(idx, seeds, p1)
+    val want = IvfIndex.probeSemantic(spark, p1, shard, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val p2 = java.nio.file.Files.createTempDirectory("graft_sem_pq").toString
+    IvfPqIndex.write(idx, seeds, cb, p2)
+    val got = IvfPqIndex.probeSemantic(spark, p2, shard,
+      vectorSource = e, threshold = 0.95, shortlist = 64)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(want.nonEmpty, "fixture must contain semantic pairs (exact copies)")
+    assert(got == want,
+      s"compressed probe diverged from the uncompressed stage: got $got want $want")
+  }
+
   test("a gappy trained codebook is re-keyed dense on write and serves like its dense equivalent") {
     // ADC scoring is positional (element_at over cw_k-sorted LUTs) —
     // a trained codebook with holes (an emptied cluster) must not
