@@ -474,26 +474,45 @@ object Similarity {
   def maxSimKnn(
       embeddings: DataFrame, tokensPerDoc: Int = 4, nQueries: Int = 4,
       k: Int = 5, salts: Int = 32): DataFrame = {
-    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, t) => acc + t)
-    val bags = embeddings
+    val bags = tokenBags(embeddings, tokensPerDoc)
+    val queries = bags.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    saltedTopK(maxSimScore(bags, queries),
+      score = "maxsim", ascending = false, k = k, salts = salts)
+  }
+
+  /** The (doc_id, toks: vec_id-ordered array of token vectors) bag
+    * layout [[maxSimKnn]] retrieves over — factored out so the
+    * persisted [[MaxSimIndex]] tier builds the identical bags at
+    * ingest time (one bounded-group shuffle per epoch) and the query
+    * side of any MaxSim consumer derives its bags the same way. */
+  private[graft] def tokenBags(
+      embeddings: DataFrame, tokensPerDoc: Int): DataFrame =
+    embeddings
       .select(floor(col("vec_id") / tokensPerDoc).cast("long").as("doc_id"),
         col("vec_id"), col("embedding"))
       .groupBy("doc_id")
       .agg(transform(
         array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
         e => e.getField("embedding")).as("toks"))
-    val queries = bags.where(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
-    val scored = bags
+
+  /** The MaxSim scoring plan over bag relations: query bags broadcast,
+    * corpus bags scanned once and never shuffled, the whole
+    * Σ_q max_d dot evaluated in-row by codegen'd HOFs. Shared by
+    * [[maxSimKnn]] and [[MaxSimIndex.serveAll]] — one definition, so
+    * the persisted tier is bit-identical by construction. */
+  private[graft] def maxSimScore(
+      bags: DataFrame, queries: DataFrame): DataFrame = {
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, t) => acc + t)
+    bags
       .join(broadcast(queries), col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("vec_id"),
         aggregate(col("qtoks"), lit(0.0), (acc, qt) =>
           acc + aggregate(col("toks"), lit(Double.NegativeInfinity),
             (m, dt) => greatest(m, dot(qt, dt)))).as("maxsim"))
-    saltedTopK(scored, score = "maxsim", ascending = false, k = k, salts = salts)
   }
 
   /** [[pqKnnRescore]]'s IVFADC sibling — THE billion-scale serving

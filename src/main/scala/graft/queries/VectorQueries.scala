@@ -517,6 +517,33 @@ object VectorQueries {
       Similarity.maxSimKnn(Tables.embeddings(s, d),
         tokensPerDoc = 4, nQueries = 4, k = 5)),
 
+    // ...and its persisted LSM tier — the last serving tier to get
+    // one: token bags built at INGEST time (document-atomic epochs,
+    // split at doc granularity), committed as delta segments,
+    // compact + gc, then served as a pure bag scan. Bagging is a pure
+    // per-document function and float32 token vectors round-trip
+    // parquet exactly, so the serve is bit-identical to knn_maxsim
+    // over the union — the shared oracle.
+    "knn_maxsim_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val docOf = floor(col("vec_id") / 4).cast("long")
+      val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.MaxSimIndex.write(
+        e.where(docOf % 3 =!= 2), path, tokensPerDoc = 4)
+      graft.operators.MaxSimIndex.appendEpoch(s, path, 0L,
+        e.where(docOf % 3 === 2 && docOf % 2 === 0))
+      graft.operators.MaxSimIndex.appendEpoch(s, path, 1L,
+        e.where(docOf % 3 === 2 && docOf % 2 =!= 0))
+      graft.operators.MaxSimIndex.compact(s, path)
+      graft.operators.MaxSimIndex.gc(s, path)
+      graft.operators.MaxSimIndex.serveAll(s, path,
+        graft.operators.Similarity.tokenBags(e, 4).where(col("doc_id") < 4)
+          .select(col("doc_id").as("query_id"), col("toks").as("qtoks")),
+        k = 5)
+    }),
+
     // two-stage retrieval (the production serving shape): ADC
     // shortlist of 50 per query, exact-cosine re-rank to top-5 — the
     // exact stage's cost is independent of corpus size.
@@ -1704,6 +1731,10 @@ object VectorQueries {
     "knn_ivfpq_rescore" -> ivfPqRescoreOracle,
     "knn_eval_ivfpq_rescore" -> evalOracle(ivfPqRescoreOracle),
     "knn_maxsim" -> maxSimOracle,
+    // the persisted bag tier serves bit-identically to the in-memory
+    // MaxSim over the same union (bagging is a pure per-doc function;
+    // float32 token vectors round-trip parquet exactly) — shared oracle
+    "knn_maxsim_delta" -> maxSimOracle,
 
     // two-stage retrieval: the SAME ADC ranking shortlists 50, the
     // exact cosine re-ranks them to the final 5

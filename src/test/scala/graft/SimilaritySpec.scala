@@ -716,6 +716,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served() == want, "PQ compaction/gc changed serving results")
   }
 
+  test("MaxSim delta segments: incremental bag ingest serves exactly; replay/torn/compact contracts hold") {
+    // the late-interaction tier: bagging is a pure per-document
+    // function (epochs split at doc granularity — the document-atomic
+    // ingest contract), so serveAll over any base/delta split must be
+    // hash-identical to maxSimKnn over the union, with the standard
+    // exactly-once battery.
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val docOf = floor($"vec_id" / 4).cast("long")
+    val queries = graft.operators.Similarity.tokenBags(e, 4)
+      .where($"doc_id" < 4)
+      .select($"doc_id".as("query_id"), $"toks".as("qtoks"))
+    val p = java.nio.file.Files.createTempDirectory("graft_maxsim_inc").toString
+    graft.operators.MaxSimIndex.write(e.where(docOf % 3 === 0), p, tokensPerDoc = 4)
+    graft.operators.MaxSimIndex.appendEpoch(spark, p, 0L, e.where(docOf % 3 === 1))
+    graft.operators.MaxSimIndex.appendEpoch(spark, p, 1L, e.where(docOf % 3 === 2))
+    def served() =
+      graft.operators.MaxSimIndex.serveAll(spark, p, queries, k = 5)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = Similarity.maxSimKnn(e, tokensPerDoc = 4, nQueries = 4, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served() == want && want.nonEmpty,
+      "incremental MaxSim index diverges from the in-memory operator")
+    // document-atomic contract: no doc_id appears in two live segments
+    val dup = graft.operators.MaxSimIndex.readAll(spark, p)
+      .groupBy($"doc_id").count().where($"count" > 1).count()
+    assert(dup == 0, "a document's bag appears in more than one live segment")
+    // replayed epoch: no-op
+    assert(!graft.operators.MaxSimIndex.appendEpoch(spark, p, 1L,
+      e.where(docOf % 3 === 2)))
+    assert(served() == want, "replayed epoch changed the MaxSim index")
+    // torn segment: data written, no marker -> invisible
+    graft.operators.Similarity.tokenBags(e.where($"vec_id" < 4), 4)
+      .write.mode("overwrite").parquet(s"$p/deltas/2")
+    assert(served() == want, "torn (uncommitted) MaxSim segment leaked into serving")
+    graft.operators.MaxSimIndex.compact(spark, p)
+    graft.operators.MaxSimIndex.gc(spark, p)
+    assert(served() == want, "MaxSim compaction/gc changed serving results")
+    assert(graft.operators.MaxSimIndex.appendEpoch(spark, p, 2L,
+      e.where($"vec_id" < 0)),
+      "the torn epoch must be committable by its replay after gc")
+    assert(served() == want, "an empty committed epoch broke MaxSim serving")
+  }
+
   test("sq8 dequantized dot stays within the per-dim half-step error bound") {
     // max-abs symmetric SQ8 rounds each coordinate by at most half a
     // quantization step (scale/2 = mx/254), so the de-quantized dot
