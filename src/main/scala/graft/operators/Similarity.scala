@@ -1008,6 +1008,67 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cos")
   }
 
+  /** The recall–cost FRONTIER a deployment actually tunes from: one
+    * row per candidate `nProbe` of the seed-IVF tier — (n_probe,
+    * recall@k vs brute truth, raw hit count, scanned candidate rows,
+    * scan fraction of the corpus). Recall rises with nProbe while
+    * scan fraction rises linearly; the elbow of this table IS the
+    * production configuration decision, produced here in ONE query.
+    *
+    * Every number is exact: hits and scanned rows are integer sums,
+    * the two fractions are single integer→double divisions — so the
+    * DuckDB oracle composes the existing seed-IVF and brute CTEs and
+    * replays the whole frontier bit-for-bit (scanned rows count every
+    * member of every probed list, self included — the rows a serving
+    * scan READS).
+    *
+    * Scale shape: the assignment and the truth are computed ONCE
+    * (materialized — they feed every config); each config adds only a
+    * probe-pruned candidate join and an output-sized eval; list
+    * counts are one map-side-combinable aggregate. Nothing about the
+    * sweep multiplies corpus passes by |probes| except the candidate
+    * joins themselves, which are exactly the scans being measured. */
+  def ivfFrontier(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val assigned = ivfAssign(e, centroids).localCheckpoint(true)
+    try {
+      val truth = bruteForceKnn(e, nQueries, k).localCheckpoint(true)
+      try {
+        val queries = e.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("p_cos").desc, col("c_id").asc)
+        val probeRanks = queries
+          .join(broadcast(centroids))
+          .select(col("query_id"), col("c_id"),
+            cosine(col("q"), col("c_vec")).as("p_cos"))
+          .withColumn("pr", row_number().over(wProbe))
+        val listCounts = assigned.groupBy("c_id").agg(count(lit(1)).as("cnt"))
+        val total = e.agg(count(lit(1)).as("n_total"))
+        probes.map { p =>
+          val hits = retrievalEval(
+            ivfServe(assigned, centroids, queries, k, p), truth, k)
+            .agg(sum(col("n_hits")).as("hits"), count(lit(1)).as("nq"))
+          val scanned = probeRanks.where(col("pr") <= p)
+            .join(broadcast(listCounts), Seq("c_id"))
+            .agg(sum(col("cnt")).as("scanned_rows"))
+          hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(total))
+            .select(
+              lit(p).as("n_probe"),
+              (col("hits").cast("double") / (col("nq") * k)).as(s"recall_at_$k"),
+              col("hits").cast("long").as("n_hits"),
+              col("scanned_rows").cast("long").as("scanned_rows"),
+              (col("scanned_rows").cast("double") /
+                (col("nq") * col("n_total"))).as("scan_frac"))
+        }.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally Storage.unpersistLocalCheckpoint(truth)
+    } finally Storage.unpersistLocalCheckpoint(assigned)
+  }
+
   /** IVF-PQ with residual encoding — the composed billion-scale ANN
     * layout (IVFADC, Jégou et al. 2011, the default FAISS shape): the
     * coarse quantizer assigns each vector to its nearest centroid

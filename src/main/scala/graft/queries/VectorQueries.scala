@@ -117,6 +117,15 @@ object VectorQueries {
         Similarity.bruteForceKnn(e, nQueries = 8, k = 5), k = 5)
     }),
 
+    // the recall–cost FRONTIER in one query: nProbe ∈ {1,2,4,8} of the
+    // seed-IVF tier, each row = (config, recall@5 vs brute truth, raw
+    // hits, scanned candidate rows, scan fraction) — the table a
+    // deployment picks its operating point from. Deterministic end to
+    // end (integer sums + single divisions), so the oracle composes
+    // the seed-IVF and brute CTEs and replays the frontier exactly.
+    "knn_eval_frontier" -> ((s, d) =>
+      Similarity.ivfFrontier(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // ...and the two-stage composition's recall — the number a
     // deployment actually gates on (rescoring can only fix ranking
     // INSIDE the shortlist; this measures what the compressed first
@@ -1459,6 +1468,63 @@ object VectorQueries {
         WHERE cos >= 0.95"""
   }
 
+  /** knn_eval_frontier oracle: one shared assignment + probe ranking,
+    * the brute truth as a nested-WITH subquery, candidates per config
+    * via the non-equi `rn <= n_probe` join, then exact integer hit /
+    * scanned-row sums and single divisions — the whole frontier
+    * replayed bit-for-bit. */
+  private lazy val frontierOracle: String =
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
+        cnts AS (SELECT c_id, count(*) AS cnt FROM assigned GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        tru AS (SELECT query_id, vec_id FROM ($bruteOracle)),
+        ps AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+        cand AS (
+          SELECT ps.n_probe, qa.query_id, s.vec_id,
+                 ${cosSql("qa.qv", "s.embedding")} AS cos
+          FROM ps JOIN qa ON qa.rn <= ps.n_probe
+          JOIN assigned s ON s.c_id = qa.c_id
+          WHERE s.vec_id <> qa.query_id),
+        ranked AS (
+          SELECT n_probe, query_id, vec_id,
+                 row_number() OVER (PARTITION BY n_probe, query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand),
+        res AS (SELECT n_probe, query_id, vec_id FROM ranked WHERE rank <= 5),
+        marked AS (
+          SELECT ps.n_probe, t.query_id,
+                 CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ps CROSS JOIN tru t
+          LEFT JOIN res r ON r.n_probe = ps.n_probe
+            AND r.query_id = t.query_id AND r.vec_id = t.vec_id),
+        hits AS (
+          SELECT n_probe, CAST(sum(hit) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+          FROM marked GROUP BY 1),
+        scanned AS (
+          SELECT ps.n_probe, CAST(sum(cnts.cnt) AS BIGINT) AS scanned_rows
+          FROM ps JOIN qa ON qa.rn <= ps.n_probe
+          JOIN cnts ON cnts.c_id = qa.c_id
+          GROUP BY 1)
+        SELECT h.n_probe,
+               CAST(h.n_hits AS DOUBLE) / (h.nq * 5) AS recall_at_5,
+               h.n_hits, s.scanned_rows,
+               CAST(s.scanned_rows AS DOUBLE) / (h.nq * t.n_total) AS scan_frac
+        FROM hits h JOIN scanned s USING (n_probe) CROSS JOIN tot t"""
+
   /** knn_binary trajectory (sign-disagreement hamming → top-k,
     * representation-independent), shared verbatim by `knn_binary`
     * (in-memory) and `knn_binary_delta` (persisted base∪delta
@@ -1696,6 +1762,7 @@ object VectorQueries {
     "knn_eval_sq8" -> evalOracle(sq8Oracle),
     "knn_eval_pq" -> evalOracle(pqSeedOracle),
     "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
+    "knn_eval_frontier" -> frontierOracle,
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
     "knn_eval_lsh" -> evalOracle(lshOracle),
     "knn_eval_lsh_mp" -> evalOracle(lshMultiProbeOracle),

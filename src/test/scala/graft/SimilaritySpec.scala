@@ -760,6 +760,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served() == want, "an empty committed epoch broke MaxSim serving")
   }
 
+  test("ivfFrontier: recall and scan fraction are monotone in nProbe; full probe reaches brute recall") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val rows = Similarity
+      .ivfFrontier(e, nQueries = 4, k = 5, probes = Seq(1, 4, 16))
+      .select($"n_probe", $"recall_at_5", $"scan_frac")
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1, 4, 16))
+    assert(rows.sliding(2).forall { case Seq(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 }, s"frontier not monotone: $rows")
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    // probing every one of the 16 lists IS brute force: recall = 1
+    assert(rows.last._2 == 1.0, s"full probe must reach brute recall: $rows")
+  }
+
   test("sq8 dequantized dot stays within the per-dim half-step error bound") {
     // max-abs symmetric SQ8 rounds each coordinate by at most half a
     // quantization step (scale/2 = mx/254), so the de-quantized dot
