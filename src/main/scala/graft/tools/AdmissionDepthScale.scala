@@ -27,7 +27,18 @@ import org.apache.spark.sql.SparkSession
   * applies (threshold-triggered compact with retainGens = 1). Per-epoch
   * wall times print as [probe-json] lines with early/late medians +
   * their ratio; results land in SCALE10X.md. Not part of the driver
-  * contract. */
+  * contract.
+  *
+  * SPARK_GRAFT_DEPTH_MODE selects the loop shape:
+  *  - `text` (default) — the 3-store loop (round-13 table);
+  *  - `semantic` — the 4-store loop: shards carry embeddings
+  *    (documents ⋈ embeddings on id), the fourth store is the raw
+  *    [[graft.operators.IvfIndex]] — the store that grows FASTEST at
+  *    100 TB (one float32 vector per admitted doc), so its depth
+  *    behavior is the one the round-13 table didn't cover;
+  *  - `semantic_pq` — the same loop with the COMPRESSED fourth store
+  *    ([[graft.operators.IvfPqIndex]], codes on disk, exact verify
+  *    from the decision log). */
 object AdmissionDepthScale {
 
   def main(args: Array[String]): Unit = {
@@ -35,6 +46,7 @@ object AdmissionDepthScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val epochs = sys.env.getOrElse("SPARK_GRAFT_DEPTH_EPOCHS", "24").toInt
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEPTH_COMPACT", "6").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DEPTH_MODE", "text")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +57,28 @@ object AdmissionDepthScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.Tables.documents(spark, base).select("doc_id", "text")
+    val docsAll = graft.Tables.documents(spark, base).select("doc_id", "text")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // semantic modes: shards carry the doc embedding (inner join —
+    // only ids with a fixture vector participate, still epochs×~80
+    // docs at sf0.1); fixed seed centroids like the admission spec
+    val docs =
+      if (mode == "text") docsAll
+      else docsAll.join(emb, docsAll("doc_id") === emb("vec_id"))
+        .select(docsAll("doc_id"), col("text"), col("embedding"))
+    val seeds = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    def initLoop(path: String): Unit = mode match {
+      case "text" => graft.operators.Admission.init(spark, path)
+      case "semantic" => graft.operators.Admission.init(spark, path,
+        semanticCentroids = Some(seeds))
+      case "semantic_pq" => graft.operators.Admission.init(spark, path,
+        semanticCentroids = Some(seeds),
+        semanticCodebook = Some(
+          graft.operators.Similarity.ivfPqSeedCodebook(emb, seeds)))
+      case other => sys.error(s"unknown SPARK_GRAFT_DEPTH_MODE: $other")
+    }
     // fixed-size disjoint shards: depth is the only variable. Shards
     // are materialized up front so source-read cost is out of the
     // timed region's variance (each is tiny).
@@ -59,12 +92,12 @@ object AdmissionDepthScale {
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load(): Double = osBean.getSystemLoadAverage
-    println(f"[probe] start load=${load()}%.2f base=$base epochs=$epochs compactEvery=$compactEvery")
+    println(f"[probe] start load=${load()}%.2f base=$base mode=$mode epochs=$epochs compactEvery=$compactEvery")
 
     def runLoop(label: String, ce: Int): List[Double] = {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_adm_depth_${label}_").toString
-      graft.operators.Admission.init(spark, path)
+      initLoop(path)
       (0 until epochs).toList.map { e =>
         val shard = spark.read.parquet(s"$shardDir/$e")
         val t0 = System.nanoTime()
@@ -87,8 +120,8 @@ object AdmissionDepthScale {
     }
 
     // contrast first (accreting deltas), then the claim under test
-    val accrete = runLoop("accrete", 0)
-    val compacted = runLoop("compacted", compactEvery)
+    val accrete = runLoop(s"${mode}_accrete", 0)
+    val compacted = runLoop(s"${mode}_compacted", compactEvery)
 
     def med(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
@@ -101,8 +134,8 @@ object AdmissionDepthScale {
         f""""early_median":$early%.2f,"late_median":$late%.2f,""" +
         f""""late_over_early":${late / early}%.2f}""")
     }
-    report("accrete", accrete)
-    report(s"compact$compactEvery", compacted)
+    report(s"${mode}_accrete", accrete)
+    report(s"${mode}_compact$compactEvery", compacted)
     println(f"[probe] end load=${load()}%.2f")
     spark.stop()
   }
