@@ -650,6 +650,25 @@ object StreamingOps {
         batch, k, nProbe, salts))(sink)
   }
 
+  /** [[ivfServeStream]]'s late-interaction sibling: micro-batches of
+    * query BAGS (query_id, qtoks — derive with
+    * [[graft.operators.Similarity.tokenBags]]) served against a
+    * durable [[graft.operators.MaxSimIndex]]; snapshot resolved once,
+    * in-row HOF MaxSim per batch. */
+  def maxSimServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      salts: Int = 32,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val snapshot = graft.operators.MaxSimIndex.readAll(queries.sparkSession, indexPath)
+    serveStream(queries, options, queryName, trigger)(batch =>
+      graft.operators.MaxSimIndex.serveSnapshot(snapshot, batch, k, salts))(sink)
+  }
+
   /** [[ivfServeStream]]'s binary-tier sibling: micro-batches of
     * PACKED queries (query_id, qsig: array<long> — pack with the
     * index's own sign-bit representation) served against a durable
@@ -891,6 +910,27 @@ object StreamingOps {
       () => {
         graft.operators.IvfPqIndex.compact(vectors.sparkSession, indexPath)
         graft.operators.IvfPqIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
+      })(onBatch)
+
+  /** [[ivfIngestStream]]'s late-interaction sibling: each micro-batch
+    * of token vectors is bagged per document against the index's FIXED
+    * tokensPerDoc grouping ([[graft.operators.MaxSimIndex.appendEpoch]])
+    * and committed as an idempotent delta segment. DOCUMENT-ATOMIC
+    * batches required (all tokens of a doc in one micro-batch — the
+    * [[graft.operators.MaxSimIndex]] class contract); same lineage
+    * guard. */
+  def maxSimIngestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0,
+      retainGens: Int = 1)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("maxSimIngestStream", vectors, indexPath, options,
+      graft.operators.MaxSimIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.MaxSimIndex.compact(vectors.sparkSession, indexPath)
+        graft.operators.MaxSimIndex.gc(vectors.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
   /** [[ivfIngestStream]]'s binary-tier sibling: each micro-batch is

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, countDistinct, explode, round}
+import org.apache.spark.sql.functions.{col, countDistinct, explode, floor, round}
 import java.sql.Timestamp
 import graft.streaming.StreamingOps
 
@@ -1506,6 +1506,61 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(servedStream == wantStream && servedStream.nonEmpty,
       "ivfPqServeStream diverged from batch serveAll")
+  }
+
+  test("streaming MaxSim ingest + serve equal the batch tier (document-atomic bag segments)") {
+    // maxSimIngestStream: each micro-batch's token vectors are bagged
+    // per document against the index's fixed tokensPerDoc grouping and
+    // land as committed delta segments — document-atomic batches (all
+    // tokens of a doc in one batch), so serveAll must equal an index
+    // built from everything at once. maxSimServeStream: query-bag
+    // micro-batches against the fixed snapshot must reproduce batch
+    // serveAll exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val docOf = floor($"vec_id" / 4).cast("long")
+    val inc = java.nio.file.Files.createTempDirectory("graft_maxsim_s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_maxsim_sf").toString
+    graft.operators.MaxSimIndex.write(e.where(docOf % 2 === 0), inc, tokensPerDoc = 4)
+    graft.operators.MaxSimIndex.write(e, full, tokensPerDoc = 4)
+    // two doc-atomic epochs: odd docs split by doc % 4
+    val h1 = e.where(docOf % 4 === 1).as[(Long, Seq[Float])].collect()
+    val h2 = e.where(docOf % 4 === 3).as[(Long, Seq[Float])].collect()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = StreamingOps.maxSimIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), inc) { (ep, ok) =>
+      applied.synchronized { applied += ((ep, ok)) }
+    }
+    try {
+      mem.addData(h1.toSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.synchronized(applied.toList).forall(_._2) &&
+      applied.size == 2, s"epochs: $applied")
+    val queries = graft.operators.Similarity.tokenBags(e, 4)
+      .where($"doc_id" < 4)
+      .select($"doc_id".as("query_id"), $"toks".as("qtoks"))
+    def servedAll(p: String) =
+      graft.operators.MaxSimIndex.serveAll(spark, p, queries, k = 5)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(servedAll(inc) == servedAll(full) && servedAll(inc).nonEmpty,
+      "streamed MaxSim ingest diverged from the all-at-once index")
+    // serve stream: two query-bag micro-batches == batch serveAll
+    val qRows = queries.as[(Long, Seq[Seq[Float]])].collect().sortBy(_._1).toSeq
+    val qmem = MemoryStream[(Long, Seq[Seq[Float]])]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    val sq = StreamingOps.maxSimServeStream(
+      qmem.toDF().toDF("query_id", "qtoks"), inc, k = 5) { b =>
+      out.synchronized { out ++= b.as[(Long, Long, Int, Double)].collect() }
+    }
+    try {
+      qmem.addData(qRows.take(2): _*); sq.processAllAvailable()
+      qmem.addData(qRows.drop(2): _*); sq.processAllAvailable()
+    } finally sq.stop()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == servedAll(inc),
+      "maxSimServeStream diverged from batch serveAll")
   }
 
   test("ingest loop auto-compacts past the epoch threshold; readers on the retained generation stay consistent") {
