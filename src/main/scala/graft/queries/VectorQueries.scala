@@ -841,7 +841,17 @@ object VectorQueries {
     // pixels are closed-form, so the oracle recomputes every hash bit
     // from the formula and replays the pair set exactly.
     "mm_neardup" -> ((s, d) =>
-      Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3)))
+      Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3)),
+
+    // ...and the image dedup taken to its decision: the perceptual
+    // pair graph clustered with the shared pointer-jumped connected
+    // components — every image in a near-dup cluster labeled by its
+    // minimum asset_id (the canonical survivor), the per-cluster
+    // keep/drop form an image ingest actually applies.
+    "mm_neardup_clusters" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"))))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -1467,6 +1477,49 @@ object VectorQueries {
         FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
         WHERE cos >= 0.95"""
   }
+
+  /** mm_neardup oracle: every aHash bit recomputed from the
+    * closed-form BMP pixel formula (exact integer luma sums,
+    * cross-multiplied cell-vs-image mean threshold), then all-pairs
+    * hamming — exhaustively equal to the engine's pigeonhole-blocked
+    * pair set at hamming ≤ 3. Shared by mm_neardup and the
+    * mm_neardup_clusters reachability fixpoint. */
+  private lazy val mmNearDupOracle: String =
+    """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(doc_id % 16 + 8 AS INT) AS width,
+                  CAST(doc_id % 12 + 8 AS INT) AS height
+           FROM documents),
+         px AS (
+           SELECT asset_id, width, height, tx.x AS x, ty.y AS y
+           FROM a, range(23) tx(x), range(19) ty(y)
+           WHERE tx.x < width AND ty.y < height),
+         g AS (
+           SELECT asset_id,
+                  CAST((y * 8) // height * 8 + (x * 8) // width AS INT) AS i,
+                  ((asset_id*31 + x*7 + y*13) % 256) * 299
+                + ((asset_id*17 + x*5 + y*11) % 256) * 587
+                + ((asset_id*29 + x*3 + y*19) % 256) * 114 AS gray
+           FROM px),
+         cells AS (SELECT asset_id, i, sum(gray) AS cs, count(*) AS cn FROM g GROUP BY 1, 2),
+         tot AS (SELECT asset_id, sum(gray) AS ts, count(*) AS tn FROM g GROUP BY 1),
+         bits AS (
+           SELECT c.asset_id, c.i,
+                  CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+           FROM cells c JOIN tot t USING (asset_id)),
+         sigs AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN i < 16 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN i >= 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM bits GROUP BY asset_id)
+         SELECT * FROM (
+           SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id)
+         WHERE hamming <= 3"""
 
   /** knn_eval_frontier oracle: one shared assignment + probe ranking,
     * the brute truth as a nested-WITH subquery, candidates per config
@@ -2130,42 +2183,22 @@ object VectorQueries {
     // 16-bit chunks, but hamming <= 3 forces agreement on >= 1 of 4
     // chunks (pigeonhole), so blocking is exhaustive and the pair
     // sets must match exactly (same argument as dedup_simhash).
-    "mm_neardup" ->
-      """WITH a AS (
-           SELECT doc_id AS asset_id,
-                  CAST(doc_id % 16 + 8 AS INT) AS width,
-                  CAST(doc_id % 12 + 8 AS INT) AS height
-           FROM documents),
-         px AS (
-           SELECT asset_id, width, height, tx.x AS x, ty.y AS y
-           FROM a, range(23) tx(x), range(19) ty(y)
-           WHERE tx.x < width AND ty.y < height),
-         g AS (
-           SELECT asset_id,
-                  CAST((y * 8) // height * 8 + (x * 8) // width AS INT) AS i,
-                  ((asset_id*31 + x*7 + y*13) % 256) * 299
-                + ((asset_id*17 + x*5 + y*11) % 256) * 587
-                + ((asset_id*29 + x*3 + y*19) % 256) * 114 AS gray
-           FROM px),
-         cells AS (SELECT asset_id, i, sum(gray) AS cs, count(*) AS cn FROM g GROUP BY 1, 2),
-         tot AS (SELECT asset_id, sum(gray) AS ts, count(*) AS tn FROM g GROUP BY 1),
-         bits AS (
-           SELECT c.asset_id, c.i,
-                  CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
-           FROM cells c JOIN tot t USING (asset_id)),
-         sigs AS (
-           SELECT asset_id,
-                  CAST(SUM(CASE WHEN i < 16 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c0,
-                  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c1,
-                  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c2,
-                  CAST(SUM(CASE WHEN i >= 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c3
-           FROM bits GROUP BY asset_id)
-         SELECT * FROM (
-           SELECT a.asset_id AS a_id, b.asset_id AS b_id,
-                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
-                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
-           FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id)
-         WHERE hamming <= 3""",
+    "mm_neardup" -> mmNearDupOracle,
+
+    // pair graph → min-label reachability fixpoint, the image
+    // analogue of dedup_clusters' oracle
+    "mm_neardup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($mmNearDupOracle),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS aid FROM edges),
+          reach AS (
+            SELECT aid, aid AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
+          SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY aid""",
 
     "emb_label_centroid_dist" ->
       """WITH dims AS (
