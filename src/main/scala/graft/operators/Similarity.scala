@@ -1069,6 +1069,58 @@ object Similarity {
     } finally Storage.unpersistLocalCheckpoint(assigned)
   }
 
+  /** [[ivfFrontier]]'s two-stage sibling — the OTHER knob a
+    * production deployment tunes: at fixed coarse cost (nProbe), how
+    * wide must the IVFADC shortlist be before exact rescoring stops
+    * buying recall? One row per candidate `shortlist` — (shortlist,
+    * recall@k of the rescored top-k vs brute truth, raw hits,
+    * rescored candidate rows = the exact stage's actual work). The
+    * ADC ranking and the truth are computed ONCE (materialized) and
+    * every config slices the same ranking — exactly how a real sweep
+    * is run. All numbers exact (integer sums + single divisions), so
+    * the oracle composes the IVFADC chain, the per-shortlist rescore,
+    * and the brute truth bit-for-bit. */
+  def ivfPqRescoreFrontier(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      shortlists: Seq[Int] = Seq(10, 25, 50), nCentroids: Int = 16,
+      nProbe: Int = 4, subspaces: Int = 4, subDim: Int = 16,
+      codebookSize: Int = 16, salts: Int = 32): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cand = ivfPqKnn(e, nQueries, shortlists.max, nCentroids,
+      nProbe, subspaces, subDim, codebookSize, salts)
+      .localCheckpoint(true)
+    try {
+      val truth = bruteForceKnn(e, nQueries, k).localCheckpoint(true)
+      try {
+        val queries = e.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        shortlists.map { s =>
+          val sl = cand.where(col("rank") <= s)
+            .select(col("query_id"), col("vec_id"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)
+          val topk = e
+            .join(broadcast(sl), "vec_id")
+            .join(broadcast(queries), "query_id")
+            .select(col("query_id"), col("vec_id"),
+              cosine(col("q"), col("embedding")).as("cos"))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= k)
+            .select("query_id", "vec_id", "rank")
+          val hits = retrievalEval(topk, truth, k)
+            .agg(sum(col("n_hits")).as("hits"), count(lit(1)).as("nq"))
+          val cost = sl.agg(count(lit(1)).as("rescored_rows"))
+          hits.crossJoin(broadcast(cost))
+            .select(
+              lit(s).as("shortlist"),
+              (col("hits").cast("double") / (col("nq") * k)).as(s"recall_at_$k"),
+              col("hits").cast("long").as("n_hits"),
+              col("rescored_rows").cast("long").as("rescored_rows"))
+        }.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally Storage.unpersistLocalCheckpoint(truth)
+    } finally Storage.unpersistLocalCheckpoint(cand)
+  }
+
   /** IVF-PQ with residual encoding — the composed billion-scale ANN
     * layout (IVFADC, Jégou et al. 2011, the default FAISS shape): the
     * coarse quantizer assigns each vector to its nearest centroid

@@ -126,6 +126,15 @@ object VectorQueries {
     "knn_eval_frontier" -> ((s, d) =>
       Similarity.ivfFrontier(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // ...and the two-stage knob: at fixed coarse cost, shortlist ∈
+    // {10,25,50} of the IVFADC-rescore tier — recall of the exactly
+    // re-ranked top-5 vs the exact-stage work actually done. One ADC
+    // ranking computed once, every config slices it.
+    "knn_eval_frontier_rescore" -> ((s, d) =>
+      Similarity.ivfPqRescoreFrontier(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nQueries = 8, k = 5)),
+
     // ...and the two-stage composition's recall — the number a
     // deployment actually gates on (rescoring can only fix ranking
     // INSIDE the shortlist; this measures what the compressed first
@@ -1478,6 +1487,47 @@ object VectorQueries {
         WHERE cos >= 0.95"""
   }
 
+  /** knn_eval_frontier_rescore oracle: the shared IVFADC chain's full
+    * ranking, sliced per shortlist by a non-equi join, exactly
+    * rescored and re-ranked per config, marked against the nested
+    * brute truth — integer sums + single divisions only. */
+  private lazy val rescoreFrontierOracle: String =
+    s"""WITH $ivfPqAdcChain,
+        tru AS (SELECT query_id, vec_id FROM ($bruteOracle)),
+        ss AS (SELECT unnest([10, 25, 50]) AS shortlist),
+        sl AS (
+          SELECT ss.shortlist, r.query_id, r.vec_id
+          FROM ss JOIN ranked r ON r.rank <= ss.shortlist),
+        resc AS (
+          SELECT sl.shortlist, sl.query_id, sl.vec_id,
+                 ${cosSql("q.embedding", "e.embedding")} AS cos
+          FROM sl
+          JOIN embeddings q ON q.vec_id = sl.query_id
+          JOIN embeddings e ON e.vec_id = sl.vec_id),
+        rr AS (
+          SELECT shortlist, query_id, vec_id,
+                 row_number() OVER (PARTITION BY shortlist, query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM resc),
+        rtop AS (SELECT shortlist, query_id, vec_id FROM rr WHERE rank <= 5),
+        marked AS (
+          SELECT ss.shortlist, t.query_id,
+                 CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ss CROSS JOIN tru t
+          LEFT JOIN rtop r ON r.shortlist = ss.shortlist
+            AND r.query_id = t.query_id AND r.vec_id = t.vec_id),
+        hits AS (
+          SELECT shortlist, CAST(sum(hit) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+          FROM marked GROUP BY 1),
+        cost AS (
+          SELECT shortlist, CAST(count(*) AS BIGINT) AS rescored_rows
+          FROM sl GROUP BY 1)
+        SELECT h.shortlist,
+               CAST(h.n_hits AS DOUBLE) / (h.nq * 5) AS recall_at_5,
+               h.n_hits, c.rescored_rows
+        FROM hits h JOIN cost c USING (shortlist)"""
+
   /** mm_neardup oracle: every aHash bit recomputed from the
     * closed-form BMP pixel formula (exact integer luma sums,
     * cross-multiplied cell-vs-image mean threshold), then all-pairs
@@ -1816,6 +1866,7 @@ object VectorQueries {
     "knn_eval_pq" -> evalOracle(pqSeedOracle),
     "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
     "knn_eval_frontier" -> frontierOracle,
+    "knn_eval_frontier_rescore" -> rescoreFrontierOracle,
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
     "knn_eval_lsh" -> evalOracle(lshOracle),
     "knn_eval_lsh_mp" -> evalOracle(lshMultiProbeOracle),
