@@ -860,7 +860,52 @@ object VectorQueries {
     "mm_neardup_clusters" -> ((s, d) =>
       graft.operators.Dedup.connectedComponents(
         Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3))
-        .select(col("doc_id").as("asset_id"), col("cluster_id"))))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"))),
+
+    // ...the durable form: aHash signatures persisted on the shared
+    // LSM protocol (HammingIndex — signature-agnostic: the same index
+    // type serves text SimHash), base 2/3 + one committed delta +
+    // compact/gc, then the batch pair law over the snapshot —
+    // bit-identical to mm_neardup (4-int signatures round-trip
+    // parquet exactly), the shared oracle.
+    "mm_neardup_delta" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mmham_delta_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path)
+      graft.operators.HammingIndex.servePairs(s, path, maxHamming = 3)
+    }),
+
+    // ...and the image ADMISSION probe: a re-keyed shard of signatures
+    // (every 5th image — planted exact perceptual copies, hamming 0)
+    // probed against the persisted index — only the chunk buckets the
+    // shard collides with move, and the pigeonhole blocking is
+    // exhaustive at hamming ≤ 3, so the probe equals the all-pairs
+    // restriction to shard-touching pairs — exactly oracled.
+    "mm_neardup_probe" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mmham_probe_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.probePairs(s, path,
+        sigs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("c0"), col("c1"), col("c2"), col("c3")))
+    }))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -1528,14 +1573,12 @@ object VectorQueries {
                h.n_hits, c.rescored_rows
         FROM hits h JOIN cost c USING (shortlist)"""
 
-  /** mm_neardup oracle: every aHash bit recomputed from the
-    * closed-form BMP pixel formula (exact integer luma sums,
-    * cross-multiplied cell-vs-image mean threshold), then all-pairs
-    * hamming — exhaustively equal to the engine's pigeonhole-blocked
-    * pair set at hamming ≤ 3. Shared by mm_neardup and the
-    * mm_neardup_clusters reachability fixpoint. */
-  private lazy val mmNearDupOracle: String =
-    """WITH a AS (
+  /** The aHash signature CTE chain — every hash bit recomputed from
+    * the closed-form BMP pixel formula (exact integer luma sums,
+    * cross-multiplied cell-vs-image mean threshold) — shared by the
+    * mm_neardup family (batch pairs, clusters, delta serve, probe). */
+  private lazy val mmSigCtes: String =
+    """a AS (
            SELECT doc_id AS asset_id,
                   CAST(doc_id % 16 + 8 AS INT) AS width,
                   CAST(doc_id % 12 + 8 AS INT) AS height
@@ -1563,13 +1606,45 @@ object VectorQueries {
                   CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c1,
                   CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c2,
                   CAST(SUM(CASE WHEN i >= 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c3
-           FROM bits GROUP BY asset_id)
+           FROM bits GROUP BY asset_id)"""
+
+  /** mm_neardup / mm_neardup_delta oracle: all-pairs hamming over the
+    * aHash signatures — exhaustively equal to the engine's
+    * pigeonhole-blocked pair set at hamming ≤ 3; the persisted
+    * HammingIndex serve is bit-identical over any base∪delta split
+    * (4-int signatures round-trip parquet exactly), so both queries
+    * share this oracle verbatim. */
+  private lazy val mmNearDupOracle: String =
+    s"""WITH $mmSigCtes
          SELECT * FROM (
            SELECT a.asset_id AS a_id, b.asset_id AS b_id,
                   CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
                        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
            FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id)
          WHERE hamming <= 3"""
+
+  /** mm_neardup_probe oracle: a re-keyed shard of signatures probed
+    * against the indexed corpus ∪ itself — the all-pairs restriction
+    * to shard-touching pairs (the pigeonhole blocking is exhaustive at
+    * hamming ≤ 3, so the engine's chunk-bucket probe equals it). */
+  private lazy val mmProbeOracle: String =
+    s"""WITH $mmSigCtes,
+        ssig AS (
+          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          FROM sigs WHERE asset_id % 5 = 0),
+        crossp AS (
+          SELECT i.asset_id AS a_id, s.asset_id AS b_id,
+                 CAST(bit_count(xor(i.c0, s.c0)) + bit_count(xor(i.c1, s.c1)) +
+                      bit_count(xor(i.c2, s.c2)) + bit_count(xor(i.c3, s.c3)) AS INTEGER) AS hamming
+          FROM sigs i CROSS JOIN ssig s),
+        withinp AS (
+          SELECT s1.asset_id AS a_id, s2.asset_id AS b_id,
+                 CAST(bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1)) +
+                      bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3)) AS INTEGER) AS hamming
+          FROM ssig s1 JOIN ssig s2 ON s1.asset_id < s2.asset_id)
+        SELECT a_id, b_id, hamming
+        FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+        WHERE hamming <= 3"""
 
   /** knn_eval_frontier oracle: one shared assignment + probe ranking,
     * the brute truth as a nested-WITH subquery, candidates per config
@@ -2235,6 +2310,10 @@ object VectorQueries {
     // chunks (pigeonhole), so blocking is exhaustive and the pair
     // sets must match exactly (same argument as dedup_simhash).
     "mm_neardup" -> mmNearDupOracle,
+    // the persisted HammingIndex serve is bit-identical over any
+    // base∪delta split — shared oracle
+    "mm_neardup_delta" -> mmNearDupOracle,
+    "mm_neardup_probe" -> mmProbeOracle,
 
     // pair graph → min-label reachability fixpoint, the image
     // analogue of dedup_clusters' oracle
