@@ -233,6 +233,26 @@ object TextQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairsMd5(Tables.documents(s, d))),
 
+    // ...and its durable form through the SIGNATURE-AGNOSTIC
+    // HammingIndex (the same index type mm_neardup_delta persists
+    // image aHashes in): SimHash signatures persisted as base 2/3 +
+    // one committed delta + compact/gc, then the batch pair law over
+    // the snapshot — bit-identical to dedup_simhash (4-int signatures
+    // round-trip parquet exactly), the shared oracle.
+    "dedup_simhash_delta" -> ((s, d) => {
+      val sigs = Dedup.simhashSignaturesMd5(Tables.documents(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft_simham_delta_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path)
+      graft.operators.HammingIndex.servePairs(s, path, maxHamming = 3)
+    }),
+
     // pairwise dedup → per-cluster canonical assignment: connected
     // components over the exact n-gram-Jaccard pair graph, cluster_id
     // = min doc_id of the component. Oracled via recursive CTE.
@@ -1264,6 +1284,36 @@ object TextQueries {
                coalesce(array_to_string(tokens, ' '), '') AS token_str
         FROM documents LEFT JOIN enc USING (doc_id)"""
 
+  /** Shared by dedup_simhash and dedup_simhash_delta (the persisted
+    * HammingIndex serve is bit-identical over any base∪delta split). */
+  private lazy val simhashOracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0),
+         th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         votes AS (
+           SELECT doc_id, j,
+                  SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
+                                 >> (j % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
+           GROUP BY doc_id, j),
+         sigs AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN v > 0 AND j < 16 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 16 AND j < 32 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 32 AND j < 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN v > 0 AND j >= 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM votes GROUP BY doc_id)
+         SELECT * FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3"""
+
   def oracles: Map[String, String] = Map(
     "text_mixture_sample" ->
       """WITH sizes AS (
@@ -1402,33 +1452,8 @@ object TextQueries {
     // The Spark side blocks on chunks, but hamming <= 3 forces
     // agreement on >= 1 of 4 chunks (pigeonhole), so blocking is
     // exhaustive and the pair sets must match exactly.
-    "dedup_simhash" ->
-      """WITH toks AS (
-           SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-             FROM documents)
-           WHERE length(tok) > 0),
-         th AS (SELECT doc_id, md5(tok) AS h FROM toks),
-         votes AS (
-           SELECT doc_id, j,
-                  SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
-                                 >> (j % 4)) & 1 = 1
-                      THEN 1 ELSE -1 END) AS v
-           FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
-           GROUP BY doc_id, j),
-         sigs AS (
-           SELECT doc_id,
-                  CAST(SUM(CASE WHEN v > 0 AND j < 16 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c0,
-                  CAST(SUM(CASE WHEN v > 0 AND j >= 16 AND j < 32 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c1,
-                  CAST(SUM(CASE WHEN v > 0 AND j >= 32 AND j < 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c2,
-                  CAST(SUM(CASE WHEN v > 0 AND j >= 48 THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS c3
-           FROM votes GROUP BY doc_id)
-         SELECT * FROM (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
-                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
-           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
-         WHERE hamming <= 3""",
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_simhash_delta" -> simhashOracleSql,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($ngramOracle),

@@ -743,6 +743,50 @@ object StreamingOps {
         spark, indexPath, batch, threshold))(sink)
   }
 
+  /** The PERCEPTUAL-HASH sibling of [[minhashProbeStream]] — image
+    * admission screening: each micro-batch of chunked Hamming
+    * signatures (doc_id, c0..c3 — compute with the index's own fixed
+    * signature function, e.g.
+    * [[graft.multimodal.Multimodal.imageAHash]]) is probed against a
+    * persisted [[graft.operators.HammingIndex]]; every pair within the
+    * hamming budget touching the batch is handed to `sink`
+    * (pigeonhole-exhaustive blocking, only colliding chunk buckets
+    * move). Read-only, snapshot-per-batch, per-batch results eagerly
+    * materialized and released after the sink. */
+  def hammingProbeStream(
+      signatures: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 3,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = signatures.sparkSession
+    serveStream(signatures, options, queryName, trigger,
+      release = graft.operators.Storage.unpersistLocalCheckpoint)(batch =>
+      graft.operators.HammingIndex.probePairs(
+        spark, indexPath, batch, maxHamming))(sink)
+  }
+
+  /** [[ivfIngestStream]]'s Hamming-signature sibling: each micro-batch
+    * of chunked signatures is committed as an idempotent delta segment
+    * of a [[graft.operators.HammingIndex]] (same fixed signature
+    * function for the life of the index — the caller's contract). Same
+    * lineage guard. */
+  def hammingIngestStream(
+      signatures: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0,
+      retainGens: Int = 1)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("hammingIngestStream", signatures, indexPath, options,
+      graft.operators.HammingIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.HammingIndex.compact(signatures.sparkSession, indexPath)
+        graft.operators.HammingIndex.gc(signatures.sparkSession, indexPath, retainGens = retainGens)
+      })(onBatch)
+
   /** The EMBEDDING sibling of [[minhashProbeStream]]: each micro-batch
     * of vectors (vec_id, embedding) is screened against a persisted
     * IVF index ([[graft.operators.IvfIndex.probeSemantic]] — SemDeDup

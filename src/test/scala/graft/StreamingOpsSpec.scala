@@ -1705,6 +1705,63 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("hamming ingest + probe streams equal the batch tier (image signatures)") {
+    // hammingIngestStream: signature micro-batches land as committed
+    // delta segments — servePairs must equal an index built from
+    // everything at once. hammingProbeStream: each batch's pairs equal
+    // the batch probePairs on that shard.
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = graft.multimodal.Multimodal.imageAHash(
+      spark, graft.multimodal.Multimodal.imageAssets(
+        spark, spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")))
+      .toDF().withColumnRenamed("asset_id", "doc_id").localCheckpoint(true)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ham_s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ham_sf").toString
+    graft.operators.HammingIndex.write(sigs.where($"doc_id" % 2 === 0), inc)
+    graft.operators.HammingIndex.write(sigs, full)
+    val rest = sigs.where($"doc_id" % 2 === 1)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Int, Int, Int, Int)]
+    val q = StreamingOps.hammingIngestStream(
+      mem.toDF().toDF("doc_id", "c0", "c1", "c2", "c3"), inc)()
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served(p: String) =
+      graft.operators.HammingIndex.servePairs(spark, p)
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served(inc) == served(full) && served(inc).nonEmpty,
+      "streamed Hamming ingest diverged from the all-at-once index")
+    // probe stream: re-keyed signature copies, per-batch == batch probe
+    val shard = sigs.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"c0", $"c1", $"c2", $"c3")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val (s1, s2) = shard.splitAt(shard.length / 2)
+    val pmem = MemoryStream[(Long, Int, Int, Int, Int)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val pq = StreamingOps.hammingProbeStream(
+      pmem.toDF().toDF("doc_id", "c0", "c1", "c2", "c3"), inc) { out =>
+      seen.synchronized { seen ++= out.as[(Long, Long, Int)].collect() }
+    }
+    def batchPairs(sh: Seq[(Long, Int, Int, Int, Int)]) = {
+      val r = graft.operators.HammingIndex.probePairs(
+        spark, inc, sh.toDF("doc_id", "c0", "c1", "c2", "c3"))
+      try r.as[(Long, Long, Int)].collect().toSet
+      finally graft.operators.Storage.unpersistLocalCheckpoint(r)
+    }
+    try {
+      pmem.addData(s1: _*); pq.processAllAvailable()
+      val want1 = batchPairs(s1)
+      assert(seen.toSet == want1 && want1.nonEmpty,
+        "shard-1 hamming screening diverged")
+      pmem.addData(s2: _*); pq.processAllAvailable()
+      assert(seen.toSet == want1 ++ batchPairs(s2),
+        "shard-2 hamming screening diverged")
+    } finally pq.stop()
+  }
+
   test("semantic screening stream: each micro-batch equals the batch probeSemantic on that shard") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
