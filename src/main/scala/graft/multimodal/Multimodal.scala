@@ -45,6 +45,13 @@ case class ImageFeatures(
   * signatures — the chunks double as the pigeonhole blocking keys. */
 case class ImagePHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
 
+/** A 64-bit perceptual audio fingerprint (frame-energy delta signs
+  * over 64 fixed frames), carried as 4×16-bit chunk ints — the same
+  * signature carriage as [[ImagePHash]] and the text SimHash, so the
+  * shared pigeonhole blocking and the signature-agnostic
+  * [[graft.operators.HammingIndex]] serve it unchanged. */
+case class AudioPHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
+
 /** A fixture audio asset: WAV-encoded (PCM16LE mono) payload plus its
   * declared sample geometry. */
 case class AudioAsset(
@@ -218,6 +225,19 @@ object Multimodal {
     }
   }
 
+  /** Exact comparison of the non-negative products a·b vs c·d in
+    * 128-bit (high word via `Math.multiplyHigh`, low word unsigned) —
+    * the cross-multiplied mean threshold of [[imageAHash]] stays
+    * exact for ANY image size, with no silent-overflow cliff at large
+    * pixel counts (luma sums reach ~255000·n, so a Long product
+    * overflows past ~6 megapixels — real-photo territory). */
+  private def cmpProd128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** 64-bit perceptual hash (block-mean aHash) from REAL decoded
     * pixels: each pixel's integer luma (r·299 + g·587 + b·114 — the
     * scaled BT.601 weights, exact in Long) is block-mapped onto an
@@ -225,12 +245,14 @@ object Multimodal {
     * w,h ≥ 8 fills all 64 cells), and bit (gy·8 + gx) is set iff the
     * cell's mean luma exceeds the whole image's mean luma, compared
     * in EXACT integer cross-multiplied form
-    * (cell_sum·n_pixels > total_sum·cell_n — no float ordering
-    * anywhere, so the DuckDB oracle recomputes every bit from the
-    * closed-form pixel formula). Emitted as 4×16-bit chunk ints
-    * (c0 = bits 0–15), the same signature carriage as
-    * [[graft.operators.Dedup.simhashPairsMd5]] — no uint64 traps, and
-    * the chunks are the Hamming-pigeonhole blocking keys.
+    * (cell_sum·n_pixels > total_sum·cell_n, evaluated in 128-bit via
+    * [[cmpProd128]] so there is NO overflow cliff at large images —
+    * no float ordering anywhere, so the DuckDB oracle recomputes
+    * every bit from the closed-form pixel formula). Emitted as
+    * 4×16-bit chunk ints (c0 = bits 0–15), the same signature
+    * carriage as [[graft.operators.Dedup.simhashPairsMd5]] — no
+    * uint64 traps, and the chunks are the Hamming-pigeonhole blocking
+    * keys.
     *
     * Scale shape: one decode pass in the per-partition codec seam
     * (decode parallelism == scan parallelism), 4 ints out per asset —
@@ -272,8 +294,10 @@ object Multimodal {
         val chunks = new Array[Int](4)
         var i = 0
         while (i < 64) {
-          // exact-integer cell_mean > image_mean (products ≤ ~5e10 ≪ 2⁶³)
-          if (cellSum(i) * totN > totSum * cellN(i))
+          // exact-integer cell_mean > image_mean, compared in 128-bit
+          // so oversized real-world images hash correctly (a Long
+          // product of these sums overflows past ~6 megapixels)
+          if (cmpProd128(cellSum(i), totN, totSum, cellN(i)) > 0)
             chunks(i / 16) |= 1 << (i % 16)
           i += 1
         }
@@ -372,6 +396,62 @@ object Multimodal {
         }
         AudioFeatures(a.asset_id, n.toLong, fmt.getSampleRate.toInt,
           sum.toDouble / n, energy, firstS, lastS, peak)
+      }
+    }
+  }
+
+  /** 64-bit perceptual audio fingerprint from REAL decoded WAV bytes —
+    * the THIRD signature family through the shared chunked-Hamming
+    * carriage (after text SimHash and image aHash): samples decode via
+    * the same `javax.sound.sampled` path as [[decodeAudioFeatures]],
+    * each sample's exact integer energy s² accumulates into one of 64
+    * fixed frames (frame = ⌊i·64/n⌋ — dimension-robust like
+    * [[imageAHash]]'s grid: any n ≥ 64 fills all frames), and bit f is
+    * set iff the NEXT frame's energy strictly exceeds frame f's
+    * (E₍f₊₁ mod 64₎ > E_f — the energy-delta-sign form, with the wrap
+    * delta as bit 63 so all 64 bits carry signal). Delta signs are
+    * invariant to exact volume scaling and to polarity inversion
+    * (energy is sign-blind), which is what makes the fingerprint a
+    * PERCEPTUAL near-dup key rather than a byte hash. Exact integer
+    * comparisons throughout (E_f ≤ n·2³⁰ ≪ 2⁶³ for any clip under
+    * ~8·10⁹ samples), so the DuckDB oracle recomputes every bit from
+    * the closed-form WAV sample formula. Emitted as 4×16-bit chunks —
+    * the pigeonhole blocking keys of
+    * [[graft.operators.Dedup.hammingChunkPairs]] and the carriage of
+    * the signature-agnostic [[graft.operators.HammingIndex]].
+    *
+    * Scale shape: one decode pass in the per-partition codec seam
+    * (decode parallelism == scan parallelism), 4 ints out per clip —
+    * the signature stage never shuffles. */
+  def audioFingerprint(
+      spark: SparkSession, assets: Dataset[AudioAsset]): Dataset[AudioPHash] = {
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected decoded format $fmt for ${a.asset_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        require(n >= 64,
+          s"audioFingerprint needs n >= 64 samples to fill the 64 " +
+            s"frames, got $n for asset ${a.asset_id}")
+        val e = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          e((i.toLong * 64 / n).toInt) += s.toLong * s
+          i += 1
+        }
+        val chunks = new Array[Int](4)
+        var f = 0
+        while (f < 64) {
+          if (e((f + 1) % 64) > e(f)) chunks(f / 16) |= 1 << (f % 16)
+          f += 1
+        }
+        AudioPHash(a.asset_id, chunks(0), chunks(1), chunks(2), chunks(3))
       }
     }
   }

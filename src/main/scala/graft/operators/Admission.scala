@@ -111,6 +111,14 @@ object Admission {
       semanticCentroids: Option[DataFrame] = None,
       semanticCodebook: Option[DataFrame] = None,
       semanticSubspaces: Int = 4, semanticSubDim: Int = 16): Unit = {
+    // a codebook without centroids cannot select any semantic tier —
+    // fail at init rather than silently running a loop with no
+    // semantic stage (the misconfiguration would change the admission
+    // policy without any signal)
+    require(semanticCentroids.nonEmpty || semanticCodebook.isEmpty,
+      "Admission.init: semanticCodebook given without semanticCentroids " +
+        "— the compressed semantic tier needs both (centroids pick the " +
+        "inverted list, the codebook encodes residuals)")
     val empty = spark.range(0)
       .select(col("id").as("doc_id"), lit("").as("text"))
     // with the semantic stage on, every admitted segment carries the

@@ -282,11 +282,37 @@ object Dedup {
     * the shared tail of the md5 SimHash paths and the multimodal
     * perceptual-hash dedup ([[graft.multimodal.Multimodal.imageNearDupPairs]]):
     * any 64-bit signature carried as 4×16-bit chunks gets the same
-    * exhaustive pigeonhole blocking. */
+    * exhaustive pigeonhole blocking (`maxHamming` ≤ 3 asserted — 4
+    * chunks make the blocking exhaustive only up to 3 flipped bits;
+    * a larger budget would silently return a PARTIAL pair set, so it
+    * fails loudly instead).
+    *
+    * `maxBucket` is the SKEW CAP ([[minhashLsh]]'s `MAX_BUCKET`
+    * contract): a (chunk, chunk_val) bucket holding more than
+    * `maxBucket` signatures saturates and contributes NO pairs —
+    * dropped whole, never a partial pair set — because one hot bucket
+    * (solid-color / near-white images collapse to a handful of aHash
+    * chunk values in real crawls) is otherwise a single-task O(n²)
+    * `collect_list` blow-up at corpus scale. The default is UNCAPPED
+    * (exhaustive — the oracle contract; verified SFs are pinned below
+    * any cap a deployment would set); byte-identical megaclusters
+    * belong to an exact-hash stage run first, and a deployment sizes
+    * `maxBucket` as its residual-skew circuit breaker. Deterministic
+    * either way — saturation is a pure function of the signature
+    * relation, which is what keeps the capped law SQL-oracle-able
+    * (see the `mm_neardup_capped` query). */
   private[graft] def hammingChunkPairs(
-      sigs: DataFrame, maxHamming: Int): DataFrame = chunkPairs(sigs, maxHamming)
+      sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    chunkPairs(sigs, maxHamming, maxBucket)
 
-  private def chunkPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def chunkPairs(
+      sigs: DataFrame, maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"chunkPairs: hamming budget $maxHamming breaks the 4-chunk " +
+        "pigeonhole (exhaustive blocking needs maxHamming + 1 <= chunks)")
+    require(maxBucket >= 2,
+      s"chunkPairs: maxBucket $maxBucket can admit no pairs at all")
     val chunked = sigs.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
@@ -295,7 +321,7 @@ object Dedup {
       .groupBy("chunk", "chunk_val")
       .agg(collect_list(struct(
         col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("ids"))
-      .where(size(col("ids")) >= 2)
+      .where(size(col("ids")).between(2, maxBucket))
     val sorted = array_sort(col("ids"))
     val pairs = flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + 2, size(sorted)),

@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   * over 4 chunks forces ≥ 1 exact chunk match) makes the blocking
   * EXHAUSTIVE, not probabilistic — the probe equals the all-pairs
   * restriction to shard-touching pairs, which is what makes it exactly
-  * oracle-able. Like [[Dedup.simhashPairs]], bucket fan-out is NOT
-  * capped (the contract is exhaustive; byte-identical megaclusters
-  * belong to an exact-hash stage run first — e.g.
-  * [[ContentHashIndex]] over the payload bytes).
+  * oracle-able. Bucket fan-out defaults to UNCAPPED (the exhaustive
+  * oracle contract; byte-identical megaclusters belong to an
+  * exact-hash stage run first — e.g. [[ContentHashIndex]] over the
+  * payload bytes), and every pair entry point takes the shared
+  * `maxBucket` SKEW CAP for residual hot buckets (solid-color /
+  * near-white crawl images collapse to a handful of aHash chunk
+  * values): a bucket past the cap saturates and contributes NO pairs
+  * — dropped whole, never a partial pair set — so one hot
+  * (chunk, chunk_val) key is a monitored drop
+  * ([[saturatedBuckets]]), not a single-task O(n²) blow-up.
   *
   * Signatures are 4 ints and round-trip parquet exactly, so
   * [[servePairs]] over any base∪delta split is hash-identical to
@@ -65,10 +71,35 @@ object HammingIndex {
   }
 
   /** All near-dup pairs over the indexed corpus — the batch
-    * chunk-blocked Hamming pair law replayed over base ∪ deltas. */
+    * chunk-blocked Hamming pair law replayed over base ∪ deltas.
+    * `maxHamming` ≤ 3 is asserted inside the shared pair law (the
+    * same pigeonhole guard as [[probePairs]] — a larger budget would
+    * silently return a partial pair set). `maxBucket` is the shared
+    * skew cap ([[Dedup.hammingChunkPairs]]'s contract: a hot
+    * (chunk, chunk_val) bucket past the cap saturates and contributes
+    * no pairs — dropped whole, never partial; default uncapped =
+    * the exhaustive oracle contract). */
   def servePairs(
-      spark: SparkSession, path: String, maxHamming: Int = 3): DataFrame =
-    Dedup.hammingChunkPairs(readAll(spark, path), maxHamming)
+      spark: SparkSession, path: String, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingChunkPairs(readAll(spark, path), maxHamming, maxBucket)
+
+  /** Skew diagnostic: the (chunk, chunk_val, n_members) buckets of
+    * the indexed corpus that would SATURATE under `maxBucket` — what
+    * a deployment monitors to size its cap (and to learn that an
+    * exact-hash pre-stage is missing: byte-identical megaclusters
+    * are the usual cause). One aggregation over the signature rows,
+    * output bounded by the number of hot buckets. */
+  def saturatedBuckets(
+      spark: SparkSession, path: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"saturatedBuckets: cap $maxBucket below the pair minimum")
+    readAll(spark, path)
+      .select(posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .toDF("chunk", "chunk_val")
+      .groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+  }
 
   /** (doc_id, c0..c3, chunk, chunk_val) — the signature unpacked into
     * its 4 blocking rows, full signature carried for the in-bucket
@@ -87,12 +118,14 @@ object HammingIndex {
     * [[Storage.unpersistLocalCheckpoint]]. */
   def probePairs(
       spark: SparkSession, path: String, newSignatures: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
       s"probePairs: hamming budget $maxHamming breaks the 4-chunk " +
         "pigeonhole (exhaustive blocking needs maxHamming + 1 <= chunks)")
+    require(maxBucket >= 2,
+      s"probePairs: maxBucket $maxBucket can admit no pairs at all")
     val newSigs = sigCols(newSignatures).localCheckpoint(eager = true)
-    try probePairsPlan(spark, path, newSigs, maxHamming)
+    try probePairsPlan(spark, path, newSigs, maxHamming, maxBucket)
       .localCheckpoint(eager = true)
     finally Storage.unpersistLocalCheckpoint(newSigs)
   }
@@ -103,20 +136,25 @@ object HammingIndex {
     * (bucket keys / banding union); pass a checkpointed frame. */
   private[graft] def probePairsPlan(
       spark: SparkSession, path: String, newSigs: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     val newBanded = banded(newSigs).withColumn("is_new", lit(true))
     val keys = newBanded.select("chunk", "chunk_val").distinct()
     val touched = banded(readAll(spark, path))
       .join(broadcast(keys), Seq("chunk", "chunk_val"), "left_semi")
       .withColumn("is_new", lit(false))
     // members sort/pair by their FIRST struct field (doc_id), so the
-    // a < b orientation matches the batch expansion exactly
+    // a < b orientation matches the batch expansion exactly.
+    // The skew cap counts index∪shard members — for any bucket a new
+    // signature touches, the semi-join admits EVERY index member of
+    // that bucket, so the count (and hence saturation) is identical
+    // to the batch law's over the union, preserving the
+    // probe == restriction-of-servePairs identity under any cap.
     touched.unionByName(newBanded)
       .groupBy("chunk", "chunk_val")
       .agg(collect_list(struct(
         col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         col("is_new"))).as("members"))
-      .where(size(col("members")) >= 2)
+      .where(size(col("members")).between(2, maxBucket))
       .select(explode(Dedup.pairCombinations(col("members"))).as("p"))
       .where(col("p").getItem(0).getField("is_new") ||
         col("p").getItem(1).getField("is_new"))

@@ -288,6 +288,28 @@ object IvfPqIndex {
         greatest(col("vec_id"), col("s_id")).as("b_id"),
         cosine(col("i_v"), col("s_v")).as("cos"))
       .where(col("cos") >= threshold)
+    // a shortlisted INDEXED id missing from vectorSource would vanish
+    // through the inner join above — an index/decision-log mismatch
+    // that must surface as an error, not as missed admission drops.
+    // The check is o(shortlist): one column-pruned pass over the
+    // source's id column restricted to the (broadcast) shortlisted
+    // ids, then an anti-join whose BUILD side is that output-sized
+    // restriction, folded to a one-row scalar guard (the repo's
+    // broadcast one-row crossJoin pattern).
+    val shortIds = short.select(col("vec_id")).distinct()
+    val presentIds = vectorSource.select(col("vec_id"))
+      .join(broadcast(shortIds), Seq("vec_id"), "left_semi")
+      .distinct()
+    val guard = shortIds
+      .join(broadcast(presentIds), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+      .select(when(col("n_missing") === 0, lit(true))
+        .otherwise(raise_error(concat(
+          lit("probeSemantic: vectorSource is missing "),
+          col("n_missing").cast("string"),
+          lit(" shortlisted indexed id(s) — the decision log is " +
+            "incomplete relative to the code segments"))))
+        .as("vector_source_complete"))
     // within-shard pairs are exact (the shard's raw vectors are in
     // hand) — identical law to the uncompressed stage
     val withinPairs = shardOk
@@ -300,6 +322,8 @@ object IvfPqIndex {
         cosine(col("a_v"), col("b_v")).as("cos"))
       .where(col("cos") >= threshold)
     crossPairs.unionByName(withinPairs)
+      .crossJoin(guard.where(col("vector_source_complete")))
+      .drop("vector_source_complete")
   }
 
   /** Fold committed deltas into a new base generation (marker written

@@ -905,6 +905,56 @@ object VectorQueries {
         sigs.where(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             col("c0"), col("c1"), col("c2"), col("c3")))
+    }),
+
+    // ...and the SKEW-CAPPED pair law — the production form for real
+    // crawl corpora, where solid-color/near-white images collapse to
+    // a handful of aHash chunk values and one hot (chunk, chunk_val)
+    // bucket would otherwise be a single-task O(n²) collect_list
+    // blow-up: a bucket past maxBucket saturates and contributes NO
+    // pairs (dropped whole, never a partial set — minhashLsh's
+    // MAX_BUCKET contract). Saturation is a pure function of the
+    // signature relation, so the oracle models it exactly: a
+    // hamming ≤ 3 pair qualifies iff SOME matching chunk's bucket is
+    // within the cap. maxBucket = 32 saturates real buckets at both
+    // verified SFs (sf0.01: 456 → 389 pairs; sf0.1: 61,748 → 11,335)
+    // — the capped stage is exercised, not vacuously equal to the
+    // exhaustive law.
+    "mm_neardup_capped" -> ((s, d) =>
+      graft.operators.Dedup.hammingChunkPairs(
+        Multimodal.imageAHash(s, Multimodal.imageAssets(s, Tables.documents(s, d)))
+          .toDF().withColumnRenamed("asset_id", "doc_id"),
+        maxHamming = 3, maxBucket = 32)
+        .select(col("a_id"), col("b_id"), col("hamming"))),
+
+    // audio near-dup — the THIRD signature family through the shared
+    // signature-agnostic HammingIndex (text SimHash, image aHash,
+    // now frame-energy-delta-sign audio fingerprints): real WAV
+    // decode → 64 fixed frames of exact integer energy → delta-sign
+    // bits → 4×16-bit chunks, persisted as base 2/3 + one committed
+    // delta + compact/gc, then the o(index) admission probe with a
+    // re-keyed shard (every 5th clip — planted perceptual copies,
+    // hamming 0; the arithmetic fixtures also carry natural near-dup
+    // structure, so the pair law is exercised beyond the plants).
+    // Every fingerprint bit is recomputed by the oracle from the
+    // closed-form WAV sample formula.
+    "mm_audio_neardup" -> ((s, d) => {
+      val sigs = Multimodal.audioFingerprint(
+        s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_audham_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path)
+      graft.operators.HammingIndex.probePairs(s, path,
+        sigs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("c0"), col("c1"), col("c2"), col("c3")))
     }))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
@@ -1646,6 +1696,90 @@ object VectorQueries {
         FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
         WHERE hamming <= 3"""
 
+  /** mm_neardup_capped oracle: the skew-capped pair law modeled from
+    * first principles — per-(chunk, value) bucket counts over the
+    * signatures, and a hamming ≤ 3 pair qualifies iff SOME matching
+    * chunk's bucket holds ≤ maxBucket members (a saturated bucket
+    * contributes no pairs; a pair survives through any unsaturated
+    * matching chunk — exactly the engine's dropped-whole contract). */
+  private lazy val mmCappedOracle: String =
+    s"""WITH $mmSigCtes,
+        bc AS (
+          SELECT chunk, v, count(*) AS n FROM (
+            SELECT 0 AS chunk, c0 AS v FROM sigs
+            UNION ALL SELECT 1, c1 FROM sigs
+            UNION ALL SELECT 2, c2 FROM sigs
+            UNION ALL SELECT 3, c3 FROM sigs) GROUP BY 1, 2),
+        hp AS (
+          SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                 a.c0 AS ac0, a.c1 AS ac1, a.c2 AS ac2, a.c3 AS ac3,
+                 b.c0 AS bc0, b.c1 AS bc1, b.c2 AS bc2, b.c3 AS bc3,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+          FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3)
+        SELECT a_id, b_id, hamming FROM hp x
+        WHERE EXISTS (
+          SELECT 1 FROM bc
+          WHERE ((bc.chunk = 0 AND x.ac0 = x.bc0 AND bc.v = x.ac0)
+              OR (bc.chunk = 1 AND x.ac1 = x.bc1 AND bc.v = x.ac1)
+              OR (bc.chunk = 2 AND x.ac2 = x.bc2 AND bc.v = x.ac2)
+              OR (bc.chunk = 3 AND x.ac3 = x.bc3 AND bc.v = x.ac3))
+            AND bc.n <= 32)"""
+
+  /** The audio-fingerprint signature CTE chain — every bit recomputed
+    * from the closed-form WAV sample formula (exact integer frame
+    * energies over 64 fixed frames, strict delta-sign threshold with
+    * the wrap delta as bit 63) — the audio analogue of [[mmSigCtes]]. */
+  private lazy val audioSigCtes: String =
+    """aa AS (
+           SELECT doc_id AS asset_id, CAST(doc_id % 400 + 100 AS INT) AS n
+           FROM documents),
+         sm AS (
+           SELECT asset_id, n, t.i AS i,
+                  ((asset_id*37 + t.i*101) % 65536) - 32768 AS s
+           FROM aa, range(499) t(i) WHERE t.i < n),
+         fe AS (
+           SELECT asset_id, CAST((i * 64) // n AS INT) AS f,
+                  sum(s * s) AS e
+           FROM sm GROUP BY 1, 2),
+         ab AS (
+           SELECT a.asset_id, a.f AS f,
+                  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+           FROM fe a JOIN fe b
+             ON a.asset_id = b.asset_id AND b.f = (a.f + 1) % 64),
+         asigs AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN f < 16 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN f >= 16 AND f < 32 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN f >= 32 AND f < 48 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN f >= 48 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM ab GROUP BY asset_id)"""
+
+  /** mm_audio_neardup oracle: the re-keyed shard probed against the
+    * indexed fingerprints ∪ itself — the all-pairs restriction to
+    * shard-touching pairs, exactly [[mmProbeOracle]]'s law over the
+    * audio signature chain. */
+  private lazy val mmAudioOracle: String =
+    s"""WITH $audioSigCtes,
+        ssig AS (
+          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          FROM asigs WHERE asset_id % 5 = 0),
+        crossp AS (
+          SELECT i.asset_id AS a_id, s.asset_id AS b_id,
+                 CAST(bit_count(xor(i.c0, s.c0)) + bit_count(xor(i.c1, s.c1)) +
+                      bit_count(xor(i.c2, s.c2)) + bit_count(xor(i.c3, s.c3)) AS INTEGER) AS hamming
+          FROM asigs i CROSS JOIN ssig s),
+        withinp AS (
+          SELECT s1.asset_id AS a_id, s2.asset_id AS b_id,
+                 CAST(bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1)) +
+                      bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3)) AS INTEGER) AS hamming
+          FROM ssig s1 JOIN ssig s2 ON s1.asset_id < s2.asset_id)
+        SELECT a_id, b_id, hamming
+        FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+        WHERE hamming <= 3"""
+
   /** knn_eval_frontier oracle: one shared assignment + probe ranking,
     * the brute truth as a nested-WITH subquery, candidates per config
     * via the non-equi `rn <= n_probe` join, then exact integer hit /
@@ -2314,6 +2448,8 @@ object VectorQueries {
     // base∪delta split — shared oracle
     "mm_neardup_delta" -> mmNearDupOracle,
     "mm_neardup_probe" -> mmProbeOracle,
+    "mm_neardup_capped" -> mmCappedOracle,
+    "mm_audio_neardup" -> mmAudioOracle,
 
     // pair graph → min-label reachability fixpoint, the image
     // analogue of dedup_clusters' oracle

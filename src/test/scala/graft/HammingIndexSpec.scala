@@ -74,5 +74,76 @@ class HammingIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       HammingIndex.probePairs(spark, p, shard, maxHamming = 4))
     assert(e.getMessage.contains("pigeonhole"))
+    // ...from BOTH entry points (servePairs shares the guard through
+    // the batch pair law)
+    val e2 = intercept[IllegalArgumentException](
+      HammingIndex.servePairs(spark, p, maxHamming = 4).collect())
+    assert(e2.getMessage.contains("pigeonhole"))
+  }
+
+  test("maxBucket skew cap: saturated buckets drop whole (never partial), first-principles capped law, probe == capped restriction, diagnostic reports hot buckets") {
+    val sg = sigs()
+    // plant a HOT bucket: 6 signature-identical assets (the
+    // solid-color-crawl shape) — all four of their chunk buckets
+    // exceed the cap, so under the cap every pair through them must
+    // vanish WHOLE
+    val donor = sg.orderBy("doc_id").limit(1)
+    val plants = (0 until 6).map(i =>
+      donor.select(lit(9000L + i).as("doc_id"),
+        $"c0", $"c1", $"c2", $"c3")).reduce(_.unionByName(_))
+    // re-keyed copies of every 7th image land in UNSATURATED buckets,
+    // so the capped probe below still has surviving pairs to check
+    val rekeyed = sg.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"c0", $"c1", $"c2", $"c3")
+    val all = sg.unionByName(plants).unionByName(rekeyed).localCheckpoint(true)
+    val cap = 5
+    // first-principles capped law over the collected signatures:
+    // a hamming<=3 pair qualifies iff SOME matching chunk's bucket is
+    // within the cap
+    val rows = all.select("doc_id", "c0", "c1", "c2", "c3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    def cs(r: (Long, Int, Int, Int, Int)) = Array(r._2, r._3, r._4, r._5)
+    val counts = rows.flatMap(r => cs(r).zipWithIndex.map(_.swap))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      h = (0 until 4).map(c =>
+        Integer.bitCount(cs(a)(c) ^ cs(b)(c))).sum if h <= 3
+      if (0 until 4).exists(c =>
+        cs(a)(c) == cs(b)(c) && counts((c, cs(a)(c))) <= cap)
+    } yield (a._1, b._1, h)).sortBy(r => (r._1, r._2)).toSeq
+    val capped = pairSet(Dedup.hammingChunkPairs(all, 3, maxBucket = cap))
+    assert(capped == want, "capped batch law diverges from first principles")
+    val uncapped = pairSet(Dedup.hammingChunkPairs(all, 3))
+    assert(uncapped.exists(r => r._1 >= 9000L),
+      "plants generated no uncapped pairs — the cap test is vacuous")
+    assert(!capped.exists(r => r._1 >= 9000L || r._2 >= 9000L),
+      "pairs through the saturated plant bucket survived the cap")
+    assert(capped.nonEmpty && capped.size < uncapped.size,
+      "the cap either killed everything or bit nothing")
+    // probe under the cap == the capped batch law over index ∪ shard,
+    // restricted to shard-touching pairs (the restriction identity
+    // must hold under ANY cap — saturation counts are union counts)
+    val p = java.nio.file.Files.createTempDirectory("graft_ham_cap").toString
+    HammingIndex.write(sg, p)
+    val shard = plants.unionByName(rekeyed).localCheckpoint(true)
+    val gotProbe = pairSet(
+      HammingIndex.probePairs(spark, p, shard, maxHamming = 3, maxBucket = cap))
+    val wantProbe = want.filter(r => r._1 >= 1000L || r._2 >= 1000L)
+    assert(gotProbe == wantProbe && gotProbe.nonEmpty,
+      "capped probe diverges from the capped batch restriction")
+    assert(!gotProbe.exists(r => r._1 >= 9000L || r._2 >= 9000L),
+      "probe pairs through the saturated plant bucket survived the cap")
+    // the monitoring view names the hot buckets (plants + donor = 7
+    // members in each of the donor signature's four chunk buckets)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_ham_sat").toString
+    HammingIndex.write(all, p2)
+    val sat = HammingIndex.saturatedBuckets(spark, p2, cap)
+      .as[(Int, Int, Long)].collect()
+    assert(sat.nonEmpty && sat.forall(_._3 > cap),
+      "saturation diagnostic missed the planted hot bucket")
+    val donorC0 = rows.find(_._1 >= 9000L).get._2
+    assert(sat.exists(b => b._1 == 0 && b._2 == donorC0 && b._3 >= 7),
+      "the donor-signature c0 bucket is missing from the diagnostic")
   }
 }

@@ -157,6 +157,18 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must contain semantic pairs (exact copies)")
     assert(got == want,
       s"compressed probe diverged from the uncompressed stage: got $got want $want")
+    // an INCOMPLETE vector source (decision log missing a shortlisted
+    // indexed id) must fail loudly, not silently drop qualifying pairs
+    val holed = e.where($"vec_id" =!= want.head._1)
+    val ex = intercept[Exception] {
+      IvfPqIndex.probeSemantic(spark, p2, shard,
+        vectorSource = holed, threshold = 0.95, shortlist = 64).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("vectorSource is missing"),
+      s"expected the loud mismatch error, got: $msgs")
   }
 
   test("a gappy trained codebook is re-keyed dense on write and serves like its dense equivalent") {

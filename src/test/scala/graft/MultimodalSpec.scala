@@ -162,6 +162,91 @@ class MultimodalSpec extends AnyFunSuite {
       s"planted near-dup pair set wrong: $pairs")
   }
 
+  /** PCM16LE mono WAV bytes for explicit sample values — the spec's
+    * own fixture encoder (same JDK writer as [[Multimodal.audioAssets]]). */
+  private def wavOf(samples: Seq[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFingerprint: bits match a by-hand frame-energy walk over the closed-form samples") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .filter($"doc_id".isin(3L, 8L, 21L))
+    val got = Multimodal.audioFingerprint(
+      spark, Multimodal.audioAssets(spark, docs)).collect()
+      .map(p => p.asset_id -> (p.c0, p.c1, p.c2, p.c3)).toMap
+    assert(got.size == 3)
+    got.keys.foreach { id =>
+      val n = (id % 400 + 100).toInt
+      val ss = (0 until n).map(i => ((id * 37 + i * 101) % 65536 - 32768).toInt)
+      val e = new Array[Long](64)
+      ss.zipWithIndex.foreach { case (s, i) => e(i * 64 / n) += s.toLong * s }
+      val cs = new Array[Int](4)
+      for (f <- 0 until 64 if e((f + 1) % 64) > e(f)) cs(f / 16) |= 1 << (f % 16)
+      assert(got(id) == ((cs(0), cs(1), cs(2), cs(3))), s"asset $id")
+    }
+  }
+
+  test("audioFingerprint is perceptual: volume-scale and polarity-inversion invariant, identical copies at hamming 0, reshuffled energy excluded") {
+    import graft.multimodal.AudioAsset
+    // a 128-sample clip with a distinctive frame-energy profile
+    // (amplitudes small enough that an exact 2x volume lift stays in
+    // PCM16 range), plus: an identical copy, a doubled-volume copy
+    // (energies scale exactly 4x -> every delta sign unchanged), a
+    // polarity-inverted copy (energy is sign-blind), and a REVERSED
+    // clip (the energy profile flips, so delta signs scramble)
+    val base = (0 until 128).map(i => (math.sin(i * 0.7) * 8000 * ((i % 32) + 1) / 32).toInt)
+    val planted = Seq(
+      AudioAsset(0L, 128, 8000, wavOf(base)),
+      AudioAsset(1L, 128, 8000, wavOf(base)),
+      AudioAsset(2L, 128, 8000, wavOf(base.map(_ * 2))),
+      AudioAsset(3L, 128, 8000, wavOf(base.map(-_))),
+      AudioAsset(4L, 128, 8000, wavOf(base.reverse)))
+    val sigs = Multimodal.audioFingerprint(spark, planted.toDS()).collect()
+      .map(p => p.asset_id -> (p.c0, p.c1, p.c2, p.c3)).toMap
+    assert(sigs(0L) == sigs(1L), "identical clip must hash identically")
+    assert(sigs(0L) == sigs(2L), "exact volume doubling must not change delta signs")
+    assert(sigs(0L) == sigs(3L), "polarity inversion must not change energies")
+    assert(sigs(0L) != sigs(4L), "reversed clip must not collide")
+    // and the pair law sees exactly the perceptual-copy cluster
+    val pairs = graft.operators.Dedup.hammingChunkPairs(
+      Multimodal.audioFingerprint(spark, planted.toDS()).toDF()
+        .withColumnRenamed("asset_id", "doc_id"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.filter(_._3 == 0).map(p => (p._1, p._2)) ==
+      Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)),
+      s"planted perceptual-copy pairs wrong: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "reversed clip paired with an original")
+  }
+
+  test("audio signatures serve through the shared HammingIndex: serve == batch over base∪delta") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val sigs = Multimodal.audioFingerprint(
+      spark, Multimodal.audioAssets(spark, docs)).toDF()
+      .withColumnRenamed("asset_id", "doc_id").localCheckpoint(true)
+    val p = java.nio.file.Files.createTempDirectory("graft_aud_ham").toString
+    graft.operators.HammingIndex.write(sigs.where($"doc_id" % 2 === 0), p)
+    graft.operators.HammingIndex.appendEpoch(spark, p, 0L,
+      sigs.where($"doc_id" % 2 === 1))
+    val served = graft.operators.HammingIndex.servePairs(spark, p, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.operators.Dedup.hammingChunkPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served == batch,
+      "audio fingerprints diverge between the durable index and the batch law")
+  }
+
   test("mm_neardup over the corpus: pair law (hamming <= 3, a < b) and signature determinism hold") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val pairs = Multimodal.imageNearDupPairs(spark, docs, maxHamming = 3)
