@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * upstream of this loop unchanged — they need no index.)
   *
   * Three marker-last [[LsmSegments]] stores under one root `path` —
-  * four when the loop is initialized with a SEMANTIC stage:
+  * plus one per optional stage (SEMANTIC embeddings, PERCEPTUAL
+  * signatures), up to five:
   *  - `path/admitted` — the admitted corpus (doc_id, text[, embedding
   *    when the semantic stage is on]), one delta segment per epoch.
   *    This doubles as the loop's WRITE-AHEAD DECISION LOG: the
@@ -32,7 +33,18 @@ import org.apache.spark.sql.functions._
   *    with [[IvfIndex.probeSemantic]] (SemDeDup at ingest — near-dup
   *    *meanings* with zero token overlap, the gap both text stages
   *    share). Its coarse centroids are FIXED at init like the
-  *    MinHash LSH parameters.
+  *    MinHash LSH parameters;
+  *  - `path/perceptual` (optional, [[init]]'s `perceptual = true`) —
+  *    the persisted [[HammingIndex]] of admitted PERCEPTUAL
+  *    SIGNATURES (4×16-bit chunk ints — image aHash, audio
+  *    energy-delta fingerprints, or any signature that fits the
+  *    carriage; ONE fixed signature function for the life of the
+  *    loop, per the HammingIndex contract), probed with
+  *    [[HammingIndex.probePairs]] — the multimodal-crawl stage that
+  *    drops perceptual re-crawls (re-encoded/resized/re-keyed assets)
+  *    the text stages cannot see. Shards must then carry c0..c3
+  *    columns alongside (doc_id, text), computed UPSTREAM by the
+  *    loop's fixed signature function.
   *
   * ADMISSION POLICY (deterministic; the oracle replays it in SQL):
   * per shard, in arrival (epoch) order —
@@ -46,7 +58,23 @@ import org.apache.spark.sql.functions._
   *     Exact-dropped docs cannot shelter a near-dup: any pair through
   *     a dropped exact copy also exists through its indexed/surviving
   *     twin (identical text ⇒ identical shingle set);
-  *  3. semantic stage (when on): among near-dup survivors, the same
+  *  3. perceptual stage (when on): among near-dup survivors, the
+  *     same smaller-id-wins drop law over
+  *     [[HammingIndex.probePairs]]'s hamming ≤ 3 pairs (vs the
+  *     indexed signatures ∪ the surviving shard docs; 3 is the only
+  *     budget the 4-chunk pigeonhole serves exhaustively, so it is
+  *     fixed). The probe's SKEW CAP (`perceptualMaxBucket`, plumbed
+  *     through [[admitEpoch]]/[[decide]]) is part of the policy: a
+  *     (chunk, chunk_val) bucket holding more than
+  *     `perceptualMaxBucket` members (index ∪ shard) saturates and
+  *     contributes no pairs — deterministic (a pure function of
+  *     index state + shard), but the SQL oracle models the
+  *     UN-saturated regime, so verified SFs are pinned below
+  *     saturation (at sf0.1 the hottest aHash chunk bucket holds 614
+  *     signatures, an order under the 4096 default; run an
+  *     exact-hash stage first — this loop does — so byte-identical
+  *     megaclusters never reach the perceptual buckets);
+  *  4. semantic stage (when on): among the survivors so far, the same
   *     smaller-id-wins drop law over [[IvfIndex.probeSemantic]]'s
   *     same-inverted-list cos ≥ `semanticThreshold` pairs (vs the
   *     indexed embeddings ∪ the surviving shard docs). Stage order is
@@ -63,7 +91,7 @@ import org.apache.spark.sql.functions._
   *     ~hundreds of admitted embeddings, two orders under the 4096
   *     default; a deployment sizing `nCentroids` for its corpus keeps
   *     expected list size ≪ the cap for exactly this reason);
-  *  4. survivors are admitted and appended into every store under
+  *  5. survivors are admitted and appended into every store under
   *     the shard's epoch id.
   *
   * Crash safety (the order IS the proof): the decision commits to
@@ -104,13 +132,22 @@ object Admission {
     * vector source — the floats exist ONCE, in the corpus the
     * deployment keeps anyway. `semanticSubspaces`×`semanticSubDim`
     * must equal the embedding dimension; like the codebook itself,
-    * the grid is fixed at init for the life of the loop. */
+    * the grid is fixed at init for the life of the loop.
+    *
+    * `perceptual = true` turns the PERCEPTUAL stage on: the extra
+    * store is a [[HammingIndex]] of admitted signatures, and shards
+    * must then carry c0..c3 INT columns (4×16-bit signature chunks
+    * from ONE fixed signature function — e.g.
+    * [[graft.multimodal.Multimodal.imageAHash]] or
+    * [[graft.multimodal.Multimodal.audioFingerprint]] — chosen for
+    * the life of the loop). */
   def init(
       spark: SparkSession, path: String, shingleN: Int = 3,
       numHashes: Int = 16, bands: Int = 8,
       semanticCentroids: Option[DataFrame] = None,
       semanticCodebook: Option[DataFrame] = None,
-      semanticSubspaces: Int = 4, semanticSubDim: Int = 16): Unit = {
+      semanticSubspaces: Int = 4, semanticSubDim: Int = 16,
+      perceptual: Boolean = false): Unit = {
     // a codebook without centroids cannot select any semantic tier —
     // fail at init rather than silently running a loop with no
     // semantic stage (the misconfiguration would change the admission
@@ -121,17 +158,27 @@ object Admission {
         "inverted list, the codebook encodes residuals)")
     val empty = spark.range(0)
       .select(col("id").as("doc_id"), lit("").as("text"))
-    // with the semantic stage on, every admitted segment carries the
-    // doc embedding (the decision log feeds the semantic append on
-    // replay) — the empty base must carry the column too, or the
+    // with an optional stage on, every admitted segment carries that
+    // stage's columns (the decision log feeds the index appends on
+    // replay) — the empty base must carry them too, or the
     // base ∪ deltas union of [[admittedAll]] can't line up
-    val emptyAdmitted =
+    val withEmb =
       if (semanticCentroids.isEmpty) empty
       else empty.withColumn("embedding", lit(null).cast("array<float>"))
+    val emptyAdmitted =
+      if (!perceptual) withEmb
+      else (0 until 4).foldLeft(withEmb)((df, c) =>
+        df.withColumn(s"c$c", lit(null).cast("int")))
     LsmSegments.initBase(spark, store(path, "admitted"))(p =>
       emptyAdmitted.write.mode("overwrite").parquet(p))
     ContentHashIndex.write(empty, store(path, "exact"))
     MinHashIndex.write(empty, store(path, "neardup"), shingleN, numHashes, bands)
+    if (perceptual)
+      HammingIndex.write(
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(0).cast("int").as("c0"), lit(0).cast("int").as("c1"),
+          lit(0).cast("int").as("c2"), lit(0).cast("int").as("c3")),
+        store(path, "perceptual"))
     semanticCentroids.foreach { cents =>
       val emptyVecs = cents
         .select(col("c_id").as("vec_id"), col("c_vec").as("embedding"))
@@ -161,6 +208,13 @@ object Admission {
     * an [[IvfIndex]] at the same layout. */
   private[graft] def hasSemanticPq(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"${store(path, "semantic")}/codebook")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether this loop was initialized with the perceptual stage —
+    * same driver-side marker-dir existence check as [[hasSemantic]]. */
+  private[graft] def hasPerceptual(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${store(path, "perceptual")}/gens")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -195,7 +249,8 @@ object Admission {
   private[graft] def decide(
       spark: SparkSession, path: String, shard: DataFrame,
       threshold: Double, semanticThreshold: Double = 0.95,
-      semanticMaxList: Int = 4096, semanticShortlist: Int = 8): DataFrame = {
+      semanticMaxList: Int = 4096, semanticShortlist: Int = 8,
+      perceptualMaxBucket: Int = 4096): DataFrame = {
     // the shard's full column set (doc_id, text[, embedding]) rides
     // through every stage — the admitted segment IS the decision log
     // and the index appends re-read it, so it must carry everything
@@ -231,7 +286,21 @@ object Admission {
       try dropPaired(exactSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
     } finally Storage.unpersistLocalCheckpoint(exactSurvivors)
-    if (!hasSemantic(spark, path)) nearSurvivors
+    // perceptual stage (when on): the same drop law over the hamming
+    // ≤ 3 pairs touching the shard — the signature probe is o(index)
+    // and runs BEFORE the (embedding-heavy) semantic stage
+    val percSurvivors =
+      if (!hasPerceptual(spark, path)) nearSurvivors
+      else try {
+        val pairs = HammingIndex.probePairs(
+          spark, store(path, "perceptual"),
+          nearSurvivors.select(col("doc_id"),
+            col("c0"), col("c1"), col("c2"), col("c3")),
+          maxHamming = 3, maxBucket = perceptualMaxBucket)
+        try dropPaired(nearSurvivors, pairs)
+        finally Storage.unpersistLocalCheckpoint(pairs)
+      } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
+    if (!hasSemantic(spark, path)) percSurvivors
     else try {
       // semantic stage: same drop law over the same-inverted-list
       // cosine pairs vs the indexed embeddings ∪ the surviving shard.
@@ -239,7 +308,7 @@ object Admission {
       // verify only for shortlisted ids, raw floats read from the
       // decision log (which at decide time holds exactly the pre-
       // epoch admitted corpus = the indexed ids).
-      val shardVecs = nearSurvivors
+      val shardVecs = percSurvivors
         .select(col("doc_id").as("vec_id"), col("embedding"))
       val pairs =
         if (hasSemanticPq(spark, path))
@@ -251,9 +320,9 @@ object Admission {
         else IvfIndex.probeSemantic(
           spark, store(path, "semantic"), shardVecs,
           semanticThreshold, semanticMaxList)
-      try dropPaired(nearSurvivors, pairs)
+      try dropPaired(percSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
-    } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
+    } finally Storage.unpersistLocalCheckpoint(percSurvivors)
   }
 
   /** Admit one epoch: decide (or, on replay, re-read the committed
@@ -264,7 +333,8 @@ object Admission {
   def admitEpoch(
       spark: SparkSession, path: String, epoch: Long, shard: DataFrame,
       threshold: Double = 0.5, semanticThreshold: Double = 0.95,
-      semanticMaxList: Int = 4096, semanticShortlist: Int = 8): DataFrame = {
+      semanticMaxList: Int = 4096, semanticShortlist: Int = 8,
+      perceptualMaxBucket: Int = 4096): DataFrame = {
     val admittedPath = store(path, "admitted")
     // fail fast on a loop that was never [[init]]ed — appendEpoch
     // itself would happily commit into a half-existing store
@@ -272,13 +342,17 @@ object Admission {
     LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
       val admitted = decide(
         spark, path, shard, threshold, semanticThreshold,
-        semanticMaxList, semanticShortlist)
+        semanticMaxList, semanticShortlist, perceptualMaxBucket)
       try admitted.write.mode("overwrite").parquet(p)
       finally Storage.unpersistLocalCheckpoint(admitted)
     }
     val admitted = spark.read.parquet(s"$admittedPath/deltas/$epoch")
     ContentHashIndex.appendEpoch(spark, store(path, "exact"), epoch, admitted)
     MinHashIndex.appendEpoch(spark, store(path, "neardup"), epoch, admitted)
+    if (hasPerceptual(spark, path))
+      HammingIndex.appendEpoch(spark, store(path, "perceptual"), epoch,
+        admitted.select(col("doc_id"),
+          col("c0"), col("c1"), col("c2"), col("c3")))
     if (hasSemantic(spark, path)) {
       val vecs = admitted.select(col("doc_id").as("vec_id"), col("embedding"))
       if (hasSemanticPq(spark, path))
@@ -325,6 +399,10 @@ object Admission {
     ContentHashIndex.gc(spark, store(path, "exact"), retainGens)
     MinHashIndex.compact(spark, store(path, "neardup"))
     MinHashIndex.gc(spark, store(path, "neardup"), retainGens)
+    if (hasPerceptual(spark, path)) {
+      HammingIndex.compact(spark, store(path, "perceptual"))
+      HammingIndex.gc(spark, store(path, "perceptual"), retainGens)
+    }
     if (hasSemantic(spark, path)) {
       if (hasSemanticPq(spark, path)) {
         IvfPqIndex.compact(spark, store(path, "semantic"))

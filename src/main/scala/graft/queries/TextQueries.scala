@@ -226,6 +226,56 @@ object TextQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // the MULTIMODAL admission loop: a fourth (perceptual) store —
+    // the signature-agnostic HammingIndex — joins the exact + MinHash
+    // stores, and each epoch's near-dup survivors are additionally
+    // screened by HammingIndex.probePairs under the same smaller-id
+    // dominance law (image-crawl ingest: perceptual re-crawls of
+    // already-admitted assets dropped o(index), signatures appended
+    // back, the WAL decision log carrying c0..c3 so crash-replay
+    // completes the append without re-deciding). Shards carry each
+    // doc's image aHash (closed-form BMP pixels → every signature bit
+    // SQL-recomputable); the planted re-crawls are REWORDED text with
+    // the ORIGINAL's signature — only the perceptual stage can drop
+    // them — and the fixture corpus's natural aHash near-dups
+    // exercise the stage well beyond the plants. The oracle replays
+    // the whole three-epoch fold (exact keep-first, brute Jaccard,
+    // hamming ≤ 3 dominance) in SQL.
+    "dedup_admission_multimodal" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val sigs = graft.multimodal.Multimodal.imageAHash(
+        s, graft.multimodal.Multimodal.imageAssets(s, Tables.documents(s, d)))
+        .toDF().withColumnRenamed("asset_id", "doc_id")
+      val base = docs.join(sigs, "doc_id")
+        .select(col("doc_id"), col("text"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_adm_mm_")
+      dedupIndexDirs.add(dir)
+      val path = dir.toAbsolutePath.toString
+      graft.operators.Admission.init(s, path, perceptual = true)
+      val sigCols = Seq(col("c0"), col("c1"), col("c2"), col("c3"))
+      def shard(e: Int): DataFrame = {
+        val own = base.where(col("doc_id") % 3 === e)
+        // same-shard exact dups keep stage 1 non-vacuous
+        val withDupes = own.unionByName(
+          base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id") +:
+              col("text") +: sigCols: _*))
+        // perceptual re-crawls of the PREVIOUS shard: reworded text,
+        // original signature
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(1000000L * e)).as("doc_id") +:
+              concat(lit("perceptual recrawl of asset "), col("doc_id"),
+                lit(" reworded entirely")).as("text") +: sigCols: _*))
+      }
+      (0 to 2).map { e =>
+        graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e))
+          .select(col("doc_id"), lit(e.toLong).as("epoch"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // md5-bit variant so the whole pipeline (tokenize → bit votes →
     // sign vector → pigeonhole blocking → hamming join) is DuckDB-
     // hash-verified; the single-pass xxhash64 kernel path
@@ -1081,6 +1131,100 @@ object TextQueries {
         SELECT CAST(doc_id AS BIGINT), CAST(2 AS BIGINT) FROM m2"""
   }
 
+  /** dedup_admission_multimodal's oracle: the same three-epoch fold
+    * as [[admissionOracle]] plus the perceptual stage — every doc
+    * carries its aHash signature chunks (recomputed from the
+    * closed-form BMP pixel formula via
+    * [[VectorQueries.mmSigCtes]]; plants inherit their original's
+    * signature), and a near-dup survivor x is dropped when a
+    * hamming ≤ 3 partner exists among smaller-id stage inputs
+    * (dominance — a rejected survivor still dominates) or among ALL
+    * previously admitted docs (arrival order wins regardless of id).
+    * Pure integer bit arithmetic — bit-exact across engines. */
+  private lazy val admissionMultimodalOracle: String = {
+    def J(x: String, y: String) =
+      s"""CAST(len(list_intersect($x.sh, $y.sh)) AS DOUBLE) /
+          (len($x.sh) + len($y.sh) - len(list_intersect($x.sh, $y.sh)))"""
+    def ham(x: String, y: String) =
+      s"""(bit_count(xor($x.c0, $y.c0)) + bit_count(xor($x.c1, $y.c1))
+         + bit_count(xor($x.c2, $y.c2)) + bit_count(xor($x.c3, $y.c3)))"""
+    def exact(sN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $sN x
+          WHERE x.doc_id = (SELECT min(y.doc_id) FROM $sN y
+                            WHERE y.text = x.text)""" +
+        adm.map(a =>
+          s" AND NOT EXISTS (SELECT 1 FROM $a z WHERE z.text = x.text)")
+          .getOrElse("")
+    def near(eN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $eN x
+          WHERE NOT EXISTS (SELECT 1 FROM $eN y
+                            WHERE y.doc_id < x.doc_id
+                              AND ${J("x", "y")} >= 0.5)""" +
+        adm.map(a =>
+          s""" AND NOT EXISTS (SELECT 1 FROM $a z
+                               WHERE ${J("x", "z")} >= 0.5)""")
+          .getOrElse("")
+    def perc(nN: String, adm: Option[String]) =
+      s"""SELECT x.* FROM $nN x
+          WHERE NOT EXISTS (SELECT 1 FROM $nN y
+                            WHERE y.doc_id < x.doc_id
+                              AND ${ham("x", "y")} <= 3)""" +
+        adm.map(a =>
+          s""" AND NOT EXISTS (SELECT 1 FROM $a z
+                               WHERE ${ham("x", "z")} <= 3)""")
+          .getOrElse("")
+    def plant(mod3: Int, off: Long) =
+      s"""SELECT p.doc_id + $off AS doc_id, p.text, ${shingleSetSql(3)} AS sh,
+            p.c0, p.c1, p.c2, p.c3
+          FROM (
+            SELECT b.doc_id,
+                   'perceptual recrawl of asset ' || CAST(b.doc_id AS VARCHAR)
+                     || ' reworded entirely' AS text,
+                   b.c0, b.c1, b.c2, b.c3
+            FROM ba b
+            WHERE b.doc_id % 3 = $mod3 AND b.doc_id % 4 = 0) p"""
+    s"""WITH ${VectorQueries.mmSigCtes},
+        ba AS MATERIALIZED (
+          SELECT d.doc_id, d.text, ${shingleSetSql(3)} AS sh,
+                 g.c0, g.c1, g.c2, g.c3
+          FROM documents d JOIN sigs g ON d.doc_id = g.asset_id),
+        s0 AS (
+          SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+        s1 AS (
+          SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+          UNION ALL
+          ${plant(0, 1000000L)}),
+        s2 AS (
+          SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
+          UNION ALL
+          ${plant(1, 2000000L)}),
+        e0 AS MATERIALIZED (${exact("s0", None)}),
+        n0 AS MATERIALIZED (${near("e0", None)}),
+        p0 AS MATERIALIZED (${perc("n0", None)}),
+        e1 AS MATERIALIZED (${exact("s1", Some("p0"))}),
+        n1 AS MATERIALIZED (${near("e1", Some("p0"))}),
+        p1 AS MATERIALIZED (${perc("n1", Some("p0"))}),
+        adm1 AS MATERIALIZED (
+          SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+        e2 AS MATERIALIZED (${exact("s2", Some("adm1"))}),
+        n2 AS MATERIALIZED (${near("e2", Some("adm1"))}),
+        p2 AS MATERIALIZED (${perc("n2", Some("adm1"))})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS epoch FROM p0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM p1
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), CAST(2 AS BIGINT) FROM p2"""
+  }
+
   private val tokensSql = "string_split_regex(lower(text), '\\s+')"
   // n-gram shingle list, distinct — mirrors TextFunctions.shingleSet(_, n)
   private def shingleSetSql(n: Int) =
@@ -1445,6 +1589,7 @@ object TextQueries {
 
     "dedup_admission_loop" -> admissionOracle,
     "dedup_admission_semantic" -> admissionSemanticOracle,
+    "dedup_admission_multimodal" -> admissionMultimodalOracle,
 
     // brute-force first-principles SimHash: per-token bits from md5
     // nibbles (byte-identical across engines), frequency-weighted bit

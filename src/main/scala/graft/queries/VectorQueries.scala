@@ -1627,7 +1627,7 @@ object VectorQueries {
     * the closed-form BMP pixel formula (exact integer luma sums,
     * cross-multiplied cell-vs-image mean threshold) — shared by the
     * mm_neardup family (batch pairs, clusters, delta serve, probe). */
-  private lazy val mmSigCtes: String =
+  private[queries] lazy val mmSigCtes: String =
     """a AS (
            SELECT doc_id AS asset_id,
                   CAST(doc_id % 16 + 8 AS INT) AS width,

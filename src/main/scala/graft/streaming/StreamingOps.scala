@@ -1053,7 +1053,11 @@ object StreamingOps {
   /** The full ADMISSION LOOP as a durable stream — the production
     * composition of the dedup-index surface: each micro-batch of
     * documents (doc_id, text) is probed against the loop's persisted
-    * content-hash and MinHash indexes, the survivors admitted under
+    * content-hash and MinHash indexes — plus the perceptual
+    * [[graft.operators.HammingIndex]] when the loop was initialized
+    * with `perceptual = true` (batches then carry c0..c3 signature
+    * columns) and the semantic store when initialized with centroids
+    * (batches then carry `embedding`) — the survivors admitted under
     * [[graft.operators.Admission]]'s deterministic policy, and the
     * admitted docs appended back into EVERY index store — so later batches
     * dedup against everything admitted so far, across restarts.

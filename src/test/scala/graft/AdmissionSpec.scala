@@ -329,6 +329,128 @@ class AdmissionSpec extends AnyFunSuite {
       semWant.values.flatten.toSet)
   }
 
+  // ---- multimodal (perceptual Hamming) admission ----
+  // shards carry (doc_id, text, c0..c3): texts are unique long token
+  // runs (the exact and MinHash stages pass everything through), so
+  // only the perceptual stage can drop — the image-crawl analogue of
+  // the semantic battery's "near-dup meanings with zero token overlap"
+  private def mmText(id: Long) =
+    (1 to 40).map(j => s"px${id}_$j").mkString(" ")
+  private def mmDocs(rows: (Long, Int, Int, Int, Int)*) =
+    rows.map(r => (r._1, mmText(r._1), r._2, r._3, r._4, r._5))
+      .toDF("doc_id", "text", "c0", "c1", "c2", "c3")
+  // shard 0: 2 drops via in-shard dominance, 1 far keeper
+  private val mmShard0 = mmDocs(
+    (1L, 0x0001, 0, 0, 0),
+    (2L, 0x0003, 0, 0, 0),        // 1 bit from doc 1 → drop (in-shard)
+    (3L, 0x0F0F, 0x00FF, 0, 0))   // far from everything → keep
+  // shard 1: exact sig copy of admitted 1 (drop), fresh far keeper,
+  // in-shard 1-bit near-dup of it (drop), and a sig near the REJECTED
+  // doc 2's — its admitted twin 1 still catches it (drop)
+  private val mmShard1 = mmDocs(
+    (10L, 0x0001, 0, 0, 0),       // == indexed 1 → drop
+    (11L, 0x3C00, 0, 0x0077, 0),  // far → keep
+    (12L, 0x3C01, 0, 0x0077, 0),  // 1 bit from 11 (in-shard) → drop
+    (13L, 0x0002, 0, 0, 0))       // 2 bits from indexed 1 → drop
+  // shard 2: rejected-twin catch across epochs, far keeper, exact sig
+  // copy of the epoch-1 admission (the index remembers every epoch)
+  private val mmShard2 = mmDocs(
+    (20L, 0x0003, 0, 0, 0),       // 1 bit from indexed 1 → drop
+    (21L, 0x8888, 0x4444, 0, 0x0001), // far → keep
+    (22L, 0x3C00, 0, 0x0077, 0))  // == indexed 11 → drop
+  private val mmWant =
+    Map(0L -> Set(1L, 3L), 1L -> Set(11L), 2L -> Set(21L))
+
+  test("perceptual stage drops Hamming near-dups the text stages cannot see; the fifth store tracks the admitted signatures") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_mm_spec_").toString
+    Admission.init(spark, path, perceptual = true)
+    val got = Seq(mmShard0, mmShard1, mmShard2).zipWithIndex.map {
+      case (sh, e) =>
+        e.toLong -> admittedIds(Admission.admitEpoch(spark, path, e.toLong, sh))
+    }.toMap
+    assert(got == mmWant, s"perceptual admission diverged: $got")
+    // the perceptual store holds exactly the admitted signatures
+    val indexed = graft.operators.HammingIndex
+      .readAll(spark, s"$path/perceptual")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == mmWant.values.flatten.toSet,
+      s"perceptual index out of sync: $indexed")
+    // the decision log carries the signature columns — the replay
+    // path re-reads them for the perceptual append
+    val admCols = Admission.admittedAll(spark, path).columns.toSet
+    assert(Set("c0", "c1", "c2", "c3").subsetOf(admCols), admCols.toString)
+    // the admitted corpus is perceptually dedup-free by construction
+    assert(graft.operators.HammingIndex
+      .servePairs(spark, s"$path/perceptual").isEmpty)
+    // maintenance folds the perceptual store with the other three
+    Admission.compact(spark, path)
+    assert(LsmSegments.current(spark, s"$path/perceptual") == (1L, 2L),
+      "perceptual store did not fold")
+    assert(admittedIds(Admission.admittedAll(spark, path)) ==
+      mmWant.values.flatten.toSet)
+  }
+
+  test("replay with the perceptual append lost re-reads the decision and completes the fifth store") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_mm_replay_").toString
+    Admission.init(spark, path, perceptual = true)
+    Admission.admitEpoch(spark, path, 0L, mmShard0)
+    val decided = Admission.decide(spark, path, mmShard1, 0.5)
+    try {
+      LsmSegments.appendEpoch(spark, s"$path/admitted", 1L)(p =>
+        decided.write.mode("overwrite").parquet(p))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(decided)
+    val committed1 = spark.read.parquet(s"$path/admitted/deltas/1")
+    ContentHashIndex.appendEpoch(spark, s"$path/exact", 1L, committed1)
+    MinHashIndex.appendEpoch(spark, s"$path/neardup", 1L, committed1)
+    assert(LsmSegments.committedEpochs(spark, s"$path/perceptual") == Seq(0L),
+      "test harness: the perceptual append must be missing")
+    val replayed = admittedIds(Admission.admitEpoch(spark, path, 1L, mmShard1))
+    assert(replayed == mmWant(1L),
+      s"replay changed the committed decision: $replayed")
+    assert(LsmSegments.committedEpochs(spark, s"$path/perceptual") ==
+      Seq(0L, 1L), "replay did not complete the missing perceptual append")
+    assert(admittedIds(Admission.admitEpoch(spark, path, 2L, mmShard2)) ==
+      mmWant(2L))
+  }
+
+  test("streamed multimodal loop killed and resumed equals the batch fold; compactEvery folds all four stores") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_adm_mm_stream_").toString
+    val (src, ckpt, loop) = (s"$base/src", s"$base/chk", s"$base/loop")
+    Admission.init(spark, loop, perceptual = true)
+    val perEpoch =
+      scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    def start() = StreamingOps.admissionIngestStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, c0 INT, c1 INT, c2 INT, c3 INT")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      loop, options = Map("checkpointLocation" -> ckpt),
+      compactEvery = 2) { (ep, admitted) =>
+      perEpoch(ep) = admittedIds(admitted)
+    }
+    mmShard0.coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()   // KILL
+    assert(perEpoch.get(0L).contains(mmWant(0L)), s"$perEpoch")
+    mmShard1.coalesce(1).write.mode("append").parquet(src)
+    mmShard2.coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()                                  // RESUME
+    try q2.processAllAvailable() finally q2.stop()
+    assert(perEpoch.toMap == mmWant, s"$perEpoch")
+    assert(admittedIds(Admission.admittedAll(spark, loop)) ==
+      mmWant.values.flatten.toSet)
+    // compactEvery = 2 fired mid-stream: the perceptual store folded
+    // past generation 0 along with the rest
+    assert(LsmSegments.current(spark, s"$loop/perceptual")._1 >= 1L,
+      "in-loop maintenance never folded the perceptual store")
+    assert(graft.operators.HammingIndex
+      .readAll(spark, s"$loop/perceptual")
+      .select("doc_id").as[Long].collect().toSet ==
+      mmWant.values.flatten.toSet)
+  }
+
   test("an un-initialized loop fails loudly instead of admitting into thin air") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_adm_uninit_").toString
@@ -336,5 +458,15 @@ class AdmissionSpec extends AnyFunSuite {
       Admission.admitEpoch(spark, path, 0L, shard0)
     }
     assert(e.getMessage.contains("never initialized"), e.getMessage)
+  }
+
+  test("a codebook without centroids fails at init instead of silently dropping the semantic stage") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_badinit_").toString
+    val cb = Seq((0, Array(0.0, 0.0))).toDF("cw_k", "cw")
+    val e = intercept[IllegalArgumentException] {
+      Admission.init(spark, path, semanticCodebook = Some(cb))
+    }
+    assert(e.getMessage.contains("semanticCodebook"), e.getMessage)
   }
 }
