@@ -38,7 +38,11 @@ import org.apache.spark.sql.SparkSession
   *    behavior is the one the round-13 table didn't cover;
   *  - `semantic_pq` — the same loop with the COMPRESSED fourth store
   *    ([[graft.operators.IvfPqIndex]], codes on disk, exact verify
-  *    from the decision log). */
+  *    from the decision log);
+  *  - `multimodal` — the 4-store loop with the PERCEPTUAL store
+  *    ([[graft.operators.HammingIndex]]): shards carry image aHash
+  *    signatures and the new stage's per-epoch probe/append cost is
+  *    what the depth series measures. */
 object AdmissionDepthScale {
 
   def main(args: Array[String]): Unit = {
@@ -63,14 +67,31 @@ object AdmissionDepthScale {
     // semantic modes: shards carry the doc embedding (inner join —
     // only ids with a fixture vector participate, still epochs×~80
     // docs at sf0.1); fixed seed centroids like the admission spec
-    val docs =
-      if (mode == "text") docsAll
-      else docsAll.join(emb, docsAll("doc_id") === emb("vec_id"))
-        .select(docsAll("doc_id"), col("text"), col("embedding"))
+    val docs = mode match {
+      case "text" => docsAll
+      case "multimodal" =>
+        // shards carry each doc's image aHash signature (computed
+        // once up front — the loop times the ADMISSION path, the
+        // per-shard signature pass is the ingest pipeline's decode
+        // stage and is probed separately by the mm 10x case)
+        docsAll.join(
+          graft.multimodal.Multimodal.imageAHash(
+            spark, graft.multimodal.Multimodal.imageAssets(
+              spark, graft.Tables.documents(spark, base)))
+            .toDF().withColumnRenamed("asset_id", "doc_id"),
+          "doc_id")
+          .select(col("doc_id"), col("text"),
+            col("c0"), col("c1"), col("c2"), col("c3"))
+      case _ =>
+        docsAll.join(emb, docsAll("doc_id") === emb("vec_id"))
+          .select(docsAll("doc_id"), col("text"), col("embedding"))
+    }
     val seeds = emb.where(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     def initLoop(path: String): Unit = mode match {
       case "text" => graft.operators.Admission.init(spark, path)
+      case "multimodal" => graft.operators.Admission.init(spark, path,
+        perceptual = true)
       case "semantic" => graft.operators.Admission.init(spark, path,
         semanticCentroids = Some(seeds))
       case "semantic_pq" => graft.operators.Admission.init(spark, path,

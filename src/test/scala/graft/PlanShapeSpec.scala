@@ -249,6 +249,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally graft.operators.Storage.unpersistLocalCheckpoint(newFp)
   }
 
+  test("hamming probe prunes to colliding chunk buckets via a broadcast semi-join") {
+    // HammingIndex.probePairs' o(index) claim: the index's banding
+    // rows meet the shard's broadcast (chunk, chunk_val) keys in a
+    // broadcast LEFT SEMI join BEFORE the bucket shuffle, so only
+    // colliding buckets move — per-probe cost is o(index) even as the
+    // index grows. Pinned on the factored plan builder (probePairs
+    // itself returns an eagerly checkpointed result). The pin holds
+    // under the maxBucket skew cap too — the cap is a post-aggregation
+    // filter, not a plan-shape change.
+    val sigs = graft.operators.Dedup.simhashSignaturesMd5(
+      graft.Tables.documents(spark, TestSpark.sfDir))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ham_planshape_")
+    val path = dir.toAbsolutePath.toString
+    graft.operators.HammingIndex.write(
+      sigs.where(col("doc_id") % 3 =!= 2), path)
+    val shard = sigs.where(col("doc_id") % 3 === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .localCheckpoint(true)
+    try {
+      val qe = graft.operators.HammingIndex
+        .probePairsPlan(spark, path, shard, 3, maxBucket = 64)
+        .queryExecution
+      qe.toRdd.count()
+      val semis = walkPlan(qe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semis.nonEmpty,
+        s"expected a broadcast semi-join pruning the index banding:\n" +
+          qe.executedPlan.toString.take(1500))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(shard)
+  }
+
   test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
     // dl + per-term tfs come from ONE explode+aggregation; the stats
     // branch is the identical subtree, so its shuffle must be reused,
