@@ -955,7 +955,22 @@ object VectorQueries {
         sigs.where(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             col("c0"), col("c1"), col("c2"), col("c3")))
-    }))
+    }),
+
+    // ...and the audio dedup taken to its decision, like the image
+    // family: the natural fingerprint pair graph (the arithmetic WAV
+    // fixtures carry real near-dup structure — 1,117 pairs at sf0.01)
+    // clustered with the shared pointer-jumped connected components,
+    // every clip labeled by its minimum asset_id — the per-cluster
+    // keep/drop form an audio ingest applies.
+    "mm_audio_clusters" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingChunkPairs(
+          Multimodal.audioFingerprint(
+            s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
+            .withColumnRenamed("asset_id", "doc_id"),
+          maxHamming = 3))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"))))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -1757,6 +1772,18 @@ object VectorQueries {
                   CAST(SUM(CASE WHEN f >= 48 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c3
            FROM ab GROUP BY asset_id)"""
 
+  /** mm_audio_clusters oracle: the natural all-pairs fingerprint
+    * graph (no plants) — the recursive-CTE min-label closure then
+    * mirrors [[Dedup.connectedComponents]] exactly. */
+  private lazy val mmAudioPairsOracle: String =
+    s"""WITH $audioSigCtes
+         SELECT * FROM (
+           SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM asigs a JOIN asigs b ON a.asset_id < b.asset_id)
+         WHERE hamming <= 3"""
+
   /** mm_audio_neardup oracle: the re-keyed shard probed against the
     * indexed fingerprints ∪ itself — the all-pairs restriction to
     * shard-touching pairs, exactly [[mmProbeOracle]]'s law over the
@@ -2450,6 +2477,18 @@ object VectorQueries {
     "mm_neardup_probe" -> mmProbeOracle,
     "mm_neardup_capped" -> mmCappedOracle,
     "mm_audio_neardup" -> mmAudioOracle,
+    "mm_audio_clusters" ->
+      s"""WITH RECURSIVE pr AS ($mmAudioPairsOracle),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS aid FROM edges),
+          reach AS (
+            SELECT aid, aid AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
+          SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY aid""",
 
     // pair graph → min-label reachability fixpoint, the image
     // analogue of dedup_clusters' oracle

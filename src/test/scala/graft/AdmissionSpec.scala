@@ -451,6 +451,55 @@ class AdmissionSpec extends AnyFunSuite {
       mmWant.values.flatten.toSet)
   }
 
+  test("five-store loop: perceptual and semantic stages compose, each drop attributable to exactly one stage") {
+    // shards carry text + embedding + signature; texts are unique
+    // long runs (text stages pass everything), and each planted drop
+    // is caught by exactly ONE of the optional stages: doc 10's
+    // signature matches admitted 1 while its embedding is far
+    // (cos 0.8 < 0.95) — only the perceptual stage can drop it; doc
+    // 11's embedding is a near-copy of admitted 1 while its signature
+    // is far — only the semantic stage can.
+    val far2 = (0x0F0F, 0x00FF, 0, 0)
+    val s1 = (0x0001, 0, 0, 0)
+    val far11 = (0x3C00, 0, 0x0077, 0)
+    val far12 = (0x8888, 0x4444, 0, 1)
+    def fdocs(rows: (Long, String, Array[Float], (Int, Int, Int, Int))*) =
+      rows.map(r => (r._1, r._2, r._3, r._4._1, r._4._2, r._4._3, r._4._4))
+        .toDF("doc_id", "text", "embedding", "c0", "c1", "c2", "c3")
+    val fShard0 = fdocs(
+      (1L, run("fa"), vA, s1), (2L, run("fb"), vB, far2))
+    val fShard1 = fdocs(
+      (10L, run("fc"), vAfar, s1),    // perceptual drop ONLY
+      (11L, run("fd"), vA2, far11),   // semantic drop ONLY
+      (12L, run("fe"), u1, far12))    // far in both → keep
+    val fWant = Map(0L -> Set(1L, 2L), 1L -> Set(12L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_five_").toString
+    Admission.init(spark, path,
+      semanticCentroids = Some(semCentroids), perceptual = true)
+    val got = Seq(fShard0, fShard1).zipWithIndex.map { case (sh, e) =>
+      e.toLong -> admittedIds(Admission.admitEpoch(spark, path, e.toLong, sh))
+    }.toMap
+    assert(got == fWant, s"five-store admission diverged: $got")
+    // both optional stores track exactly the admitted corpus, and the
+    // decision log carries BOTH stages' columns
+    assert(graft.operators.HammingIndex.readAll(spark, s"$path/perceptual")
+      .select("doc_id").as[Long].collect().toSet ==
+      fWant.values.flatten.toSet)
+    assert(graft.operators.IvfIndex.readAll(spark, s"$path/semantic")
+      ._1.select("vec_id").as[Long].collect().toSet ==
+      fWant.values.flatten.toSet)
+    val admCols = Admission.admittedAll(spark, path).columns.toSet
+    assert(Set("embedding", "c0", "c1", "c2", "c3").subsetOf(admCols))
+    // maintenance folds all five stores
+    Admission.compact(spark, path)
+    for (st <- Seq("admitted", "exact", "neardup", "perceptual", "semantic"))
+      assert(LsmSegments.current(spark, s"$path/$st")._1 == 1L,
+        s"store $st did not fold")
+    assert(admittedIds(Admission.admittedAll(spark, path)) ==
+      fWant.values.flatten.toSet)
+  }
+
   test("an un-initialized loop fails loudly instead of admitting into thin air") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_adm_uninit_").toString
