@@ -757,6 +757,10 @@ object StreamingOps {
       signatures: DataFrame,
       indexPath: String,
       maxHamming: Int = 3,
+      // the shared skew cap ([[graft.operators.HammingIndex.probePairs]]'s
+      // contract: a hot bucket past the cap saturates and contributes
+      // no pairs — dropped whole, never partial); default uncapped
+      maxBucket: Int = Int.MaxValue,
       options: Map[String, String] = Map.empty,
       queryName: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
@@ -765,7 +769,7 @@ object StreamingOps {
     serveStream(signatures, options, queryName, trigger,
       release = graft.operators.Storage.unpersistLocalCheckpoint)(batch =>
       graft.operators.HammingIndex.probePairs(
-        spark, indexPath, batch, maxHamming))(sink)
+        spark, indexPath, batch, maxHamming, maxBucket))(sink)
   }
 
   /** [[ivfIngestStream]]'s Hamming-signature sibling: each micro-batch
