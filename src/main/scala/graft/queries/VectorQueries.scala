@@ -957,6 +957,23 @@ object VectorQueries {
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
+    // the skew-cap MONITORING view, itself oracled: the
+    // (chunk, chunk_val) buckets of a persisted aHash index that
+    // would saturate under maxBucket = 32 — what a deployment watches
+    // to size its cap (and to detect a missing exact-hash pre-stage).
+    // One aggregation over the signature rows, output = the hot
+    // buckets only.
+    "mm_hot_buckets" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_hotbk_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(sigs, path)
+      graft.operators.HammingIndex.saturatedBuckets(s, path, maxBucket = 32)
+    }),
+
     // ...and the audio dedup taken to its decision, like the image
     // family: the natural fingerprint pair graph (the arithmetic WAV
     // fixtures carry real near-dup structure — 1,117 pairs at sf0.01)
@@ -2477,6 +2494,16 @@ object VectorQueries {
     "mm_neardup_probe" -> mmProbeOracle,
     "mm_neardup_capped" -> mmCappedOracle,
     "mm_audio_neardup" -> mmAudioOracle,
+    "mm_hot_buckets" ->
+      s"""WITH $mmSigCtes
+          SELECT chunk, v AS chunk_val, CAST(n AS BIGINT) AS n_members
+          FROM (
+            SELECT chunk, v, count(*) AS n FROM (
+              SELECT 0 AS chunk, c0 AS v FROM sigs
+              UNION ALL SELECT 1, c1 FROM sigs
+              UNION ALL SELECT 2, c2 FROM sigs
+              UNION ALL SELECT 3, c3 FROM sigs) GROUP BY 1, 2)
+          WHERE n > 32""",
     "mm_audio_clusters" ->
       s"""WITH RECURSIVE pr AS ($mmAudioPairsOracle),
           edges AS (
