@@ -52,6 +52,19 @@ case class ImagePHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
   * [[graft.operators.HammingIndex]] serve it unchanged. */
 case class AudioPHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
 
+/** A fixture video asset: `n_frames` BMP-encoded frames concatenated
+  * into one opaque payload (every frame the same `width`×`height`, so
+  * frame boundaries are payload.length / n_frames — the fixed-size
+  * frame-table form a real container's index provides). */
+case class VideoAsset(
+    asset_id: Long, n_frames: Int, width: Int, height: Int,
+    payload: Array[Byte])
+
+/** A 64-bit perceptual video fingerprint (temporal-majority of
+  * per-frame aHash bits), carried as 4×16-bit chunk ints — the fourth
+  * signature family through the shared carriage. */
+case class VideoPHash(asset_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
+
 /** A fixture audio asset: WAV-encoded (PCM16LE mono) payload plus its
   * declared sample geometry. */
 case class AudioAsset(
@@ -257,6 +270,59 @@ object Multimodal {
     * Scale shape: one decode pass in the per-partition codec seam
     * (decode parallelism == scan parallelism), 4 ints out per asset —
     * the signature stage never shuffles. */
+  /** The 64 block-mean aHash bits of one decoded image — the shared
+    * kernel of [[imageAHash]] and the per-frame stage of
+    * [[videoFingerprint]]. Returned as a Long bitset (bit i = cell i's
+    * exact-integer mean-luma threshold). */
+  private def aHashBits(img: java.awt.image.BufferedImage, id: Long): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8,
+      s"aHash needs w,h >= 8 to fill the 8x8 grid, got ${w}x$h (asset $id)")
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var totSum = 0L
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val p = img.getRGB(x, y)
+        val gray = ((p >> 16) & 0xff) * 299L +
+          ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+        val i = gy * 8 + gx
+        cellSum(i) += gray
+        cellN(i) += 1
+        totSum += gray
+        x += 1
+      }
+      y += 1
+    }
+    val totN = w.toLong * h
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      // exact-integer cell_mean > image_mean, compared in 128-bit
+      // so oversized real-world images hash correctly (a Long
+      // product of these sums overflows past ~6 megapixels)
+      if (cmpProd128(cellSum(i), totN, totSum, cellN(i)) > 0)
+        bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  private def bitsToChunks(bits: Long): Array[Int] = {
+    val chunks = new Array[Int](4)
+    var c = 0
+    while (c < 4) {
+      chunks(c) = ((bits >>> (c * 16)) & 0xffffL).toInt
+      c += 1
+    }
+    chunks
+  }
+
   def imageAHash(
       spark: SparkSession, assets: Dataset[ImageAsset]): Dataset[ImagePHash] = {
     import spark.implicits._
@@ -266,41 +332,7 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.payload))
         require(img != null, s"undecodable payload for asset ${a.asset_id}")
-        val w = img.getWidth
-        val h = img.getHeight
-        require(w >= 8 && h >= 8,
-          s"imageAHash needs w,h >= 8 to fill the 8x8 grid, got ${w}x$h")
-        val cellSum = new Array[Long](64)
-        val cellN = new Array[Long](64)
-        var totSum = 0L
-        var y = 0
-        while (y < h) {
-          val gy = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val gx = x * 8 / w
-            val p = img.getRGB(x, y)
-            val gray = ((p >> 16) & 0xff) * 299L +
-              ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
-            val i = gy * 8 + gx
-            cellSum(i) += gray
-            cellN(i) += 1
-            totSum += gray
-            x += 1
-          }
-          y += 1
-        }
-        val totN = w.toLong * h
-        val chunks = new Array[Int](4)
-        var i = 0
-        while (i < 64) {
-          // exact-integer cell_mean > image_mean, compared in 128-bit
-          // so oversized real-world images hash correctly (a Long
-          // product of these sums overflows past ~6 megapixels)
-          if (cmpProd128(cellSum(i), totN, totSum, cellN(i)) > 0)
-            chunks(i / 16) |= 1 << (i % 16)
-          i += 1
-        }
+        val chunks = bitsToChunks(aHashBits(img, a.asset_id))
         ImagePHash(a.asset_id, chunks(0), chunks(1), chunks(2), chunks(3))
       }
     }
@@ -322,6 +354,125 @@ object Multimodal {
         .withColumnRenamed("asset_id", "doc_id"),
       maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+
+  /** Deterministic multi-frame video fixtures, one clip per document:
+    * n_frames = id%6 + 4 frames of the SAME dimensions as the image
+    * fixtures (w = id%16+8, h = id%12+8), each frame a real BMP whose
+    * pixels extend the image formula with the frame index f:
+    *
+    *   r = (id·31 + f·41 + x·7 + y·13) mod 256
+    *   g = (id·17 + f·23 + x·5 + y·11) mod 256
+    *   b = (id·29 + f·47 + x·3 + y·19) mod 256
+    *
+    * The payload is the concatenation of the frame BMPs — equal-size
+    * frames, so frame k occupies bytes [k·L, (k+1)·L) with
+    * L = length / n_frames (the fixed-size frame-table form a real
+    * container index provides). Encode runs in the same per-partition
+    * codec seam as [[imageAssets]]; encode→decode is bit-exact (BMP),
+    * so the DuckDB oracle recomputes any per-frame statistic from the
+    * closed form. */
+  def videoAssets(spark: SparkSession, documents: DataFrame): Dataset[VideoAsset] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (col("doc_id") % 6 + 4).cast("int").as("n_frames"),
+        (col("doc_id") % 16 + 8).cast("int").as("width"),
+        (col("doc_id") % 12 + 8).cast("int").as("height"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, nf, w, h) =>
+          val out = new java.io.ByteArrayOutputStream()
+          var frameLen = -1
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+                val g = ((id * 17 + f * 23 + x * 5 + y * 11) % 256).toInt
+                val b = ((id * 29 + f * 47 + x * 3 + y * 19) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val frame = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(img, "bmp", frame),
+              "JDK ImageIO has no BMP writer")
+            val bytes = frame.toByteArray
+            // equal-size frames are the slicing contract — BMP encode
+            // is deterministic for fixed dimensions, but verify loudly
+            if (frameLen < 0) frameLen = bytes.length
+            require(bytes.length == frameLen,
+              s"frame $f of asset $id encoded ${bytes.length} bytes, expected $frameLen")
+            out.write(bytes)
+            f += 1
+          }
+          VideoAsset(id, nf, w, h, out.toByteArray)
+        }
+      }
+  }
+
+  /** 64-bit perceptual video fingerprint from REAL per-frame decode:
+    * the payload slices into its equal-size frames (the container's
+    * frame table), each frame decodes through the SAME JDK ImageIO
+    * path as [[imageAHash]] and contributes its 64 exact-integer
+    * aHash bits, and video bit b is the strict TEMPORAL MAJORITY
+    * (set iff more than half the frames set it — ties → 0). Majority
+    * voting is frame-ORDER-blind and tolerant of a minority of
+    * corrupted/re-encoded frames — the perceptual contract a video
+    * re-crawl needs — and every bit is exact integer arithmetic, so
+    * the DuckDB oracle recomputes the whole fingerprint from the
+    * closed-form frame-pixel formula. Emitted as the shared 4×16-bit
+    * chunk carriage: the FOURTH signature family (text SimHash, image
+    * aHash, audio energy-delta, video temporal-majority) through
+    * [[graft.operators.Dedup.hammingChunkPairs]] and the
+    * signature-agnostic [[graft.operators.HammingIndex]].
+    *
+    * Scale shape: one decode pass per frame in the per-partition
+    * codec seam (decode parallelism == scan parallelism), 4 ints out
+    * per clip — no shuffle in the signature stage. */
+  def videoFingerprint(
+      spark: SparkSession, assets: Dataset[VideoAsset]): Dataset[VideoPHash] = {
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { a =>
+        require(a.n_frames > 0 && a.payload.length % a.n_frames == 0,
+          s"payload of asset ${a.asset_id} does not slice into " +
+            s"${a.n_frames} equal frames")
+        val frameLen = a.payload.length / a.n_frames
+        val votes = new Array[Int](64)
+        var f = 0
+        while (f < a.n_frames) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              a.payload, f * frameLen, frameLen))
+          require(img != null,
+            s"undecodable frame $f of asset ${a.asset_id}")
+          val bits = aHashBits(img, a.asset_id)
+          var i = 0
+          while (i < 64) {
+            if (((bits >>> i) & 1L) == 1L) votes(i) += 1
+            i += 1
+          }
+          f += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (votes(i) * 2 > a.n_frames) bits |= 1L << i
+          i += 1
+        }
+        val chunks = bitsToChunks(bits)
+        VideoPHash(a.asset_id, chunks(0), chunks(1), chunks(2), chunks(3))
+      }
+    }
+  }
 
   /** Deterministic WAV fixture audio, one clip per document:
     * n_samples = id%400 + 100 at 8 kHz, and every PCM16 sample is the

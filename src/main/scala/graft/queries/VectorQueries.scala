@@ -974,6 +974,34 @@ object VectorQueries {
       graft.operators.HammingIndex.saturatedBuckets(s, path, maxBucket = 32)
     }),
 
+    // video near-dup — the FOURTH signature family through the shared
+    // signature-agnostic HammingIndex: multi-frame BMP clips sliced on
+    // the container frame table, each frame decoded through the real
+    // JDK ImageIO path, per-frame exact aHash bits folded by strict
+    // TEMPORAL MAJORITY (frame-order-blind, minority-corruption
+    // tolerant) into one 64-bit fingerprint, persisted base 2/3 + one
+    // committed delta + compact/gc, then the o(index) admission probe
+    // with re-keyed shard plants (hamming 0). Every bit recomputed by
+    // the oracle from the closed-form frame-pixel formula.
+    "mm_video_neardup" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprint(
+        s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_vidham_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path)
+      graft.operators.HammingIndex.probePairs(s, path,
+        sigs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("c0"), col("c1"), col("c2"), col("c3")))
+    }),
+
     // ...and the audio dedup taken to its decision, like the image
     // family: the natural fingerprint pair graph (the arithmetic WAV
     // fixtures carry real near-dup structure — 1,117 pairs at sf0.01)
@@ -1789,6 +1817,68 @@ object VectorQueries {
                   CAST(SUM(CASE WHEN f >= 48 THEN (bit << (f % 16)) ELSE 0 END) AS INTEGER) AS c3
            FROM ab GROUP BY asset_id)"""
 
+  /** The video-fingerprint signature CTE chain — per-frame aHash bits
+    * recomputed from the closed-form frame-pixel formula (exact
+    * integer luma sums per (frame, cell), cross-multiplied
+    * cell-vs-frame mean threshold), folded by strict temporal
+    * majority (2·votes > n_frames) into the 4×16-bit chunks. */
+  private lazy val videoSigCtes: String =
+    """va AS (
+           SELECT doc_id AS asset_id, CAST(doc_id % 6 + 4 AS INT) AS nf,
+                  CAST(doc_id % 16 + 8 AS INT) AS width,
+                  CAST(doc_id % 12 + 8 AS INT) AS height
+           FROM documents),
+         vpx AS (
+           SELECT asset_id, nf, width, height, tf.f AS f, tx.x AS x, ty.y AS y
+           FROM va, range(9) tf(f), range(23) tx(x), range(19) ty(y)
+           WHERE tf.f < nf AND tx.x < width AND ty.y < height),
+         vg AS (
+           SELECT asset_id, nf, f,
+                  CAST((y * 8) // height * 8 + (x * 8) // width AS INT) AS i,
+                  ((asset_id*31 + f*41 + x*7 + y*13) % 256) * 299
+                + ((asset_id*17 + f*23 + x*5 + y*11) % 256) * 587
+                + ((asset_id*29 + f*47 + x*3 + y*19) % 256) * 114 AS gray
+           FROM vpx),
+         vcells AS (SELECT asset_id, nf, f, i, sum(gray) AS cs, count(*) AS cn FROM vg GROUP BY 1, 2, 3, 4),
+         vtot AS (SELECT asset_id, f, sum(gray) AS ts, count(*) AS tn FROM vg GROUP BY 1, 2),
+         vbits AS (
+           SELECT c.asset_id, c.nf, c.f, c.i,
+                  CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+           FROM vcells c JOIN vtot t ON c.asset_id = t.asset_id AND c.f = t.f),
+         vmaj AS (
+           SELECT asset_id, i,
+                  CASE WHEN 2 * sum(bit) > any_value(nf) THEN 1 ELSE 0 END AS bit
+           FROM vbits GROUP BY asset_id, i),
+         vsigs AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN i < 16 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c0,
+                  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c1,
+                  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c2,
+                  CAST(SUM(CASE WHEN i >= 48 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS c3
+           FROM vmaj GROUP BY asset_id)"""
+
+  /** mm_video_neardup oracle: the re-keyed shard probed against the
+    * indexed video fingerprints ∪ itself — [[mmProbeOracle]]'s
+    * all-pairs-restriction law over the video signature chain. */
+  private lazy val mmVideoOracle: String =
+    s"""WITH $videoSigCtes,
+        ssig AS (
+          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          FROM vsigs WHERE asset_id % 5 = 0),
+        crossp AS (
+          SELECT i.asset_id AS a_id, s.asset_id AS b_id,
+                 CAST(bit_count(xor(i.c0, s.c0)) + bit_count(xor(i.c1, s.c1)) +
+                      bit_count(xor(i.c2, s.c2)) + bit_count(xor(i.c3, s.c3)) AS INTEGER) AS hamming
+          FROM vsigs i CROSS JOIN ssig s),
+        withinp AS (
+          SELECT s1.asset_id AS a_id, s2.asset_id AS b_id,
+                 CAST(bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1)) +
+                      bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3)) AS INTEGER) AS hamming
+          FROM ssig s1 JOIN ssig s2 ON s1.asset_id < s2.asset_id)
+        SELECT a_id, b_id, hamming
+        FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+        WHERE hamming <= 3"""
+
   /** mm_audio_clusters oracle: the natural all-pairs fingerprint
     * graph (no plants) — the recursive-CTE min-label closure then
     * mirrors [[Dedup.connectedComponents]] exactly. */
@@ -2494,6 +2584,7 @@ object VectorQueries {
     "mm_neardup_probe" -> mmProbeOracle,
     "mm_neardup_capped" -> mmCappedOracle,
     "mm_audio_neardup" -> mmAudioOracle,
+    "mm_video_neardup" -> mmVideoOracle,
     "mm_hot_buckets" ->
       s"""WITH $mmSigCtes
           SELECT chunk, v AS chunk_val, CAST(n AS BIGINT) AS n_members

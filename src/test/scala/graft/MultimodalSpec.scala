@@ -247,6 +247,84 @@ class MultimodalSpec extends AnyFunSuite {
       "audio fingerprints diverge between the durable index and the batch law")
   }
 
+  test("videoAssets emits equal-size real BMP frames; per-frame decode reproduces the frame-pixel formula") {
+    val clips = Multimodal.videoAssets(spark,
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"))
+      .filter($"asset_id".isin(2L, 9L)).collect()
+    assert(clips.nonEmpty)
+    clips.foreach { a =>
+      val nf = (a.asset_id % 6 + 4).toInt
+      assert(a.n_frames == nf && a.payload.length % nf == 0)
+      val frameLen = a.payload.length / nf
+      for (f <- 0 until nf) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload, f * frameLen, frameLen))
+        assert(img.getWidth == a.width && img.getHeight == a.height, s"frame $f")
+        // spot-check pixels of every frame against the closed form
+        for ((x, y) <- Seq((0, 0), (a.width - 1, a.height - 1), (3, 2))) {
+          val p = img.getRGB(x, y)
+          assert(((p >> 16) & 0xff) ==
+            ((a.asset_id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt, s"r f=$f ($x,$y)")
+          assert((p & 0xff) ==
+            ((a.asset_id * 29 + f * 47 + x * 3 + y * 19) % 256).toInt, s"b f=$f ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("videoFingerprint: temporal-majority bits match a by-hand per-frame walk; frame order is immaterial; identical copies pair at hamming 0") {
+    import graft.multimodal.VideoAsset
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .filter($"doc_id".isin(2L, 9L, 13L))
+    val got = Multimodal.videoFingerprint(
+      spark, Multimodal.videoAssets(spark, docs)).collect()
+      .map(p => p.asset_id -> (p.c0, p.c1, p.c2, p.c3)).toMap
+    assert(got.size == 3)
+    got.keys.foreach { id =>
+      val nf = (id % 6 + 4).toInt
+      val (w, h) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+      val votes = new Array[Int](64)
+      for (f <- 0 until nf) {
+        val cs = new Array[Long](64); val cn = new Array[Long](64)
+        var ts = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val gray = ((id * 31 + f * 41 + x * 7 + y * 13) % 256) * 299L +
+            ((id * 17 + f * 23 + x * 5 + y * 11) % 256) * 587L +
+            ((id * 29 + f * 47 + x * 3 + y * 19) % 256) * 114L
+          val i = (y * 8 / h) * 8 + (x * 8 / w)
+          cs(i) += gray; cn(i) += 1; ts += gray
+        }
+        val tn = w.toLong * h
+        for (i <- 0 until 64 if cs(i) * tn > ts * cn(i)) votes(i) += 1
+      }
+      val want = new Array[Int](4)
+      for (i <- 0 until 64 if votes(i) * 2 > nf)
+        want(i / 16) |= 1 << (i % 16)
+      assert(got(id) == ((want(0), want(1), want(2), want(3))), s"asset $id")
+    }
+    // frame-order invariance + identical-copy pairing: rebuild one
+    // clip with its frames REVERSED (same multiset of frames) plus a
+    // byte-identical copy; majority voting must not see the order
+    val orig = Multimodal.videoAssets(spark, docs)
+      .filter($"asset_id" === 9L).collect().head
+    val frameLen = orig.payload.length / orig.n_frames
+    val reversed = (orig.n_frames - 1 to 0 by -1).flatMap(f =>
+      orig.payload.slice(f * frameLen, (f + 1) * frameLen)).toArray
+    val planted = Seq(
+      orig.copy(asset_id = 0L),
+      VideoAsset(1L, orig.n_frames, orig.width, orig.height, reversed),
+      orig.copy(asset_id = 2L))
+    val sigs = Multimodal.videoFingerprint(spark, planted.toDS()).collect()
+      .map(p => p.asset_id -> (p.c0, p.c1, p.c2, p.c3)).toMap
+    assert(sigs(0L) == sigs(1L), "frame order changed the fingerprint")
+    assert(sigs(0L) == sigs(2L), "identical copy must hash identically")
+    val pairs = graft.operators.Dedup.hammingChunkPairs(
+      Multimodal.videoFingerprint(spark, planted.toDS()).toDF()
+        .withColumnRenamed("asset_id", "doc_id"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((0L, 1L, 0), (0L, 2L, 0), (1L, 2L, 0)), pairs.toString)
+  }
+
   test("mm_neardup over the corpus: pair law (hamming <= 3, a < b) and signature determinism hold") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val pairs = Multimodal.imageNearDupPairs(spark, docs, maxHamming = 3)
