@@ -1002,6 +1002,20 @@ object VectorQueries {
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
+    // ...and the video dedup taken to its decision: the natural
+    // temporal-majority fingerprint pair graph clustered with the
+    // shared pointer-jumped connected components — the keep/drop form
+    // for the fourth modality, completing pairs→clusters for every
+    // signature family.
+    "mm_video_clusters" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingChunkPairs(
+          Multimodal.videoFingerprint(
+            s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
+            .withColumnRenamed("asset_id", "doc_id"),
+          maxHamming = 3))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"))),
+
     // ...and the audio dedup taken to its decision, like the image
     // family: the natural fingerprint pair graph (the arithmetic WAV
     // fixtures carry real near-dup structure — 1,117 pairs at sf0.01)
@@ -1879,6 +1893,17 @@ object VectorQueries {
         FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
         WHERE hamming <= 3"""
 
+  /** mm_video_clusters oracle: natural all-pairs video fingerprint
+    * graph (no plants), then the recursive min-label closure. */
+  private lazy val mmVideoPairsOracle: String =
+    s"""WITH $videoSigCtes
+         SELECT * FROM (
+           SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+           FROM vsigs a JOIN vsigs b ON a.asset_id < b.asset_id)
+         WHERE hamming <= 3"""
+
   /** mm_audio_clusters oracle: the natural all-pairs fingerprint
     * graph (no plants) — the recursive-CTE min-label closure then
     * mirrors [[Dedup.connectedComponents]] exactly. */
@@ -2585,6 +2610,18 @@ object VectorQueries {
     "mm_neardup_capped" -> mmCappedOracle,
     "mm_audio_neardup" -> mmAudioOracle,
     "mm_video_neardup" -> mmVideoOracle,
+    "mm_video_clusters" ->
+      s"""WITH RECURSIVE pr AS ($mmVideoPairsOracle),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS aid FROM edges),
+          reach AS (
+            SELECT aid, aid AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
+          SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY aid""",
     "mm_hot_buckets" ->
       s"""WITH $mmSigCtes
           SELECT chunk, v AS chunk_val, CAST(n AS BIGINT) AS n_members
