@@ -1002,6 +1002,22 @@ object VectorQueries {
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
+    // ...and the CAPPED video pair law — for the densest signature
+    // space in the engine (temporal majority smooths per-frame noise,
+    // so distinct fingerprints are fewer and buckets bigger: the
+    // uncapped 10× run hits the expansion wall outright, SCALE10X),
+    // the skew cap is the production-realistic form. Same dropped-
+    // whole contract and first-principles oracle as mm_neardup_capped
+    // (cap 32 saturates real buckets at both SFs: sf0.01 397 → 259
+    // pairs, sf0.1 52,018 → 13,429).
+    "mm_video_capped" -> ((s, d) =>
+      graft.operators.Dedup.hammingChunkPairs(
+        Multimodal.videoFingerprint(
+          s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
+          .withColumnRenamed("asset_id", "doc_id"),
+        maxHamming = 3, maxBucket = 32)
+        .select(col("a_id"), col("b_id"), col("hamming"))),
+
     // ...and the video dedup taken to its decision: the natural
     // temporal-majority fingerprint pair graph clustered with the
     // shared pointer-jumped connected components — the keep/drop form
@@ -1904,6 +1920,36 @@ object VectorQueries {
            FROM vsigs a JOIN vsigs b ON a.asset_id < b.asset_id)
          WHERE hamming <= 3"""
 
+  /** mm_video_capped oracle: [[mmCappedOracle]]'s first-principles
+    * capped law over the video signature chain — per-(chunk, value)
+    * bucket counts, a hamming ≤ 3 pair qualifies iff SOME matching
+    * chunk's bucket holds ≤ 32 members. */
+  private lazy val mmVideoCappedOracle: String =
+    s"""WITH $videoSigCtes,
+        bc AS (
+          SELECT chunk, v, count(*) AS n FROM (
+            SELECT 0 AS chunk, c0 AS v FROM vsigs
+            UNION ALL SELECT 1, c1 FROM vsigs
+            UNION ALL SELECT 2, c2 FROM vsigs
+            UNION ALL SELECT 3, c3 FROM vsigs) GROUP BY 1, 2),
+        hp AS (
+          SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                 a.c0 AS ac0, a.c1 AS ac1, a.c2 AS ac2, a.c3 AS ac3,
+                 b.c0 AS bc0, b.c1 AS bc1, b.c2 AS bc2, b.c3 AS bc3,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+          FROM vsigs a JOIN vsigs b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3)
+        SELECT a_id, b_id, hamming FROM hp x
+        WHERE EXISTS (
+          SELECT 1 FROM bc
+          WHERE ((bc.chunk = 0 AND x.ac0 = x.bc0 AND bc.v = x.ac0)
+              OR (bc.chunk = 1 AND x.ac1 = x.bc1 AND bc.v = x.ac1)
+              OR (bc.chunk = 2 AND x.ac2 = x.bc2 AND bc.v = x.ac2)
+              OR (bc.chunk = 3 AND x.ac3 = x.bc3 AND bc.v = x.ac3))
+            AND bc.n <= 32)"""
+
   /** mm_audio_clusters oracle: the natural all-pairs fingerprint
     * graph (no plants) — the recursive-CTE min-label closure then
     * mirrors [[Dedup.connectedComponents]] exactly. */
@@ -2610,6 +2656,7 @@ object VectorQueries {
     "mm_neardup_capped" -> mmCappedOracle,
     "mm_audio_neardup" -> mmAudioOracle,
     "mm_video_neardup" -> mmVideoOracle,
+    "mm_video_capped" -> mmVideoCappedOracle,
     "mm_video_clusters" ->
       s"""WITH RECURSIVE pr AS ($mmVideoPairsOracle),
           edges AS (
