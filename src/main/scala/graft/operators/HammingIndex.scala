@@ -70,6 +70,29 @@ object HammingIndex {
     }
   }
 
+  /** [[readAll]] AS OF a committed delta epoch — the signature rows a
+    * reader saw right after that epoch's commit ([[LsmSegments
+    * .segmentsAsOf]]'s snapshot; −1 = the fresh base). The horizon is
+    * whatever `gc(retainGens = n)` kept: older as-of points fail
+    * loudly rather than misreport history. */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val (basePath, deltaPaths) = LsmSegments.segmentsAsOf(spark, path, epoch)
+    deltaPaths.foldLeft(spark.read.parquet(basePath)) {
+      (acc, p) => acc.unionByName(spark.read.parquet(p))
+    }
+  }
+
+  /** [[servePairs]] AS OF a committed delta epoch: the batch pair law
+    * over the historical snapshot — "what did the dedup decision set
+    * look like when epoch N landed?", the audit/backfill question a
+    * production ingest answers from its retained generations without
+    * replaying any ingest. Same budgets and contracts as
+    * [[servePairs]]. */
+  def servePairsAsOf(
+      spark: SparkSession, path: String, epoch: Long, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingChunkPairs(readAsOf(spark, path, epoch), maxHamming, maxBucket)
+
   /** All near-dup pairs over the indexed corpus — the batch
     * chunk-blocked Hamming pair law replayed over base ∪ deltas.
     * `maxHamming` ≤ 3 is asserted inside the shared pair law (the
@@ -83,6 +106,24 @@ object HammingIndex {
       spark: SparkSession, path: String, maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame =
     Dedup.hammingChunkPairs(readAll(spark, path), maxHamming, maxBucket)
+
+  /** Observability: ONE row per LIVE segment — (segment, n_rows),
+    * `segment` ∈ {"base", "delta_<epoch>"} — the view an operator
+    * sizes compaction from (how many unfolded deltas a serve unions,
+    * how big each). Read-only: per segment one map-side-combinable
+    * global count over the already-resolved snapshot, no shuffle of
+    * anything wider than a count; output is O(#segments). */
+  def segmentStats(spark: SparkSession, path: String): DataFrame = {
+    val (basePath, deltaPaths) = LsmSegments.liveSegments(spark, path)
+    (("base", basePath) +: deltaPaths.map(p =>
+        (s"delta_${p.substring(p.lastIndexOf('/') + 1)}", p)))
+      .map { case (tag, p) =>
+        spark.read.parquet(p)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(tag).as("segment"), col("n_rows"))
+      }
+      .reduce(_ unionByName _)
+  }
 
   /** Skew diagnostic: the (chunk, chunk_val, n_members) buckets of
     * the indexed corpus that would SATURATE under `maxBucket` — what

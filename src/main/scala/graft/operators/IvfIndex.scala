@@ -132,6 +132,34 @@ object IvfIndex {
     Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
   }
 
+  /** TIME TRAVEL: the assignment + centroids AS OF a committed delta
+    * epoch ([[LsmSegments.segmentsAsOf]]; −1 = the fresh base) — the
+    * index exactly as it served right after that epoch's commit.
+    * Centroids are FIXED for the life of the index (the class
+    * contract), so only the assignment rows travel. The horizon is
+    * what `gc(retainGens = n)` kept; older epochs fail loudly. */
+  def readAsOf(
+      spark: SparkSession, path: String, epoch: Long): (DataFrame, DataFrame) = {
+    val (basePath, deltaPaths) = LsmSegments.segmentsAsOf(spark, path, epoch)
+    val all = deltaPaths.foldLeft(loadSegment(spark, basePath)) {
+      (acc, p) => acc.unionByName(loadSegment(spark, p))
+    }
+    (all, spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** [[serveAll]] AS OF a committed delta epoch: historical top-k —
+    * "what would this query have retrieved when epoch N landed?", the
+    * reproducibility question a training-data pipeline answers when it
+    * re-derives which neighbors shaped an old decision (an admission
+    * drop, a mined hard negative) without replaying any ingest. Same
+    * probe/ranking as [[serveAll]], over the retained snapshot. */
+  def serveAsOf(
+      spark: SparkSession, path: String, epoch: Long, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = readAsOf(spark, path, epoch)
+    Similarity.ivfServe(assigned, centroids, queries, k, nProbe)
+  }
+
   /** Semantic admission probe — SemDeDup at INGEST time, the
     * embedding analogue of [[MinHashIndex.probePairs]]: for a new
     * shard of vectors (vec_id, embedding — ids disjoint from the

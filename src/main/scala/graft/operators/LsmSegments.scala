@@ -188,6 +188,47 @@ private[graft] object LsmSegments {
     (s"$path/base/$gen", deltas)
   }
 
+  /** TIME TRAVEL: the consistent snapshot AS OF delta epoch `epoch` —
+    * the index exactly as a reader saw it right after that epoch's
+    * commit. Resolution mirrors [[liveSegments]] over the RETAINED
+    * marker set: the newest retained generation whose fold point is
+    * ≤ `epoch`, plus the committed deltas in (foldPoint, epoch].
+    * `epoch = -1` is the fresh-index snapshot (base generation only).
+    *
+    * The horizon is exactly what [[gc]]'s `retainGens` kept: every
+    * retained generation's snapshot — and every as-of point BETWEEN
+    * retained fold points — stays serveable, because gc retains all
+    * delta data newer than the OLDEST retained generation's fold
+    * point. An `epoch` older than that horizon fails LOUDLY (the
+    * folded deltas are gone; silently serving the nearest newer
+    * snapshot would misreport history). Asking for an epoch newer
+    * than the last commit just serves the live snapshot — same as a
+    * lakehouse `AS OF` with a future timestamp.
+    *
+    * 100 TB shape: identical to [[liveSegments]] — one driver-side
+    * directory listing resolves (gen, deltas); no data is scanned
+    * here, and the snapshot's segment reads prune exactly like the
+    * live ones. */
+  def segmentsAsOf(
+      spark: SparkSession, path: String, epoch: Long): (String, Seq[String]) = {
+    val gens = genMarkers(spark, path)
+    require(gens.nonEmpty,
+      s"LsmSegments: no committed base generation under $path/gens — " +
+        "the index was never initialized (or its init was torn before " +
+        "the generation marker)")
+    val eligible = gens.filter(_._2 <= epoch)
+    require(eligible.nonEmpty,
+      s"LsmSegments: as-of epoch $epoch is older than the time-travel " +
+        s"horizon — every retained generation of $path has folded past " +
+        s"it (fold points: ${gens.map(_._2).sorted.mkString(", ")}). " +
+        "Retain more history with gc(retainGens = n).")
+    val (gen, upto) = eligible.maxBy(_._1)
+    val deltas = committedEpochs(spark, path)
+      .filter(e => e > upto && e <= epoch)
+      .map(e => s"$path/deltas/$e")
+    (s"$path/base/$gen", deltas)
+  }
+
   /** Fold committed deltas into a NEW base generation: read the live
     * snapshot via `load`, `write` it to `base/<gen+1>`, then commit
     * the generation marker. The old generation and the folded delta

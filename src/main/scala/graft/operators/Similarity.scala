@@ -92,6 +92,36 @@ object Similarity {
     saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
   }
 
+  /** FILTERED exact kNN — retrieval under a per-query METADATA
+    * predicate (the RAG / vector-store "metadata filter" shape: "top-k
+    * most similar documents WHERE category = X"). Each query retrieves
+    * only among corpus rows sharing its own `label`; scoring, ties and
+    * top-k are [[bruteForceKnn]]'s exactly. This is the PRE-FILTER
+    * form — the predicate restricts the candidate set before any
+    * scoring, so recall over the qualifying subset is 1 by
+    * construction; it is the ground truth the filtered ANN tier
+    * ([[filteredIvfKnn]]) is measured against.
+    *
+    * 100 TB shape: identical to [[bruteForceKnn]] — the query batch
+    * broadcasts, the corpus scan is never shuffled, and the label
+    * equality rides IN the broadcast-join condition so non-qualifying
+    * rows are dropped during the scan, before any scoring output
+    * materializes. Per-query top-k is salted. */
+  def filteredBruteKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val scored = embeddings
+      .join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    saltedTopK(scored, score = "cos", ascending = false, k = k, salts = salts)
+  }
+
   /** Scalar-quantization (SQ8) kNN with asymmetric scoring — the
     * simplest production ANN compression tier between full-precision
     * brute force and PQ: the corpus rides as int8 codes plus ONE
@@ -965,6 +995,155 @@ object Similarity {
     ivfServe(ivfAssign(embeddings, centroids), centroids, queries, k, nProbe)
   }
 
+  /** FILTERED IVF kNN — the ANN tier under the same per-query label
+    * predicate as [[filteredBruteKnn]]: probe-list selection is
+    * unchanged (centroids carry no metadata), but the inverted-list
+    * rows carry the `label` column ALONGSIDE the vector, so the
+    * predicate applies DURING the probed-list scan — in-scan
+    * filtering, the layout production filtered-ANN engines use
+    * (metadata lives in the list entry; no side join against a
+    * metadata table, no post-hoc filtering of an already-truncated
+    * top-k). Scoring among qualifying candidates is exact cosine with
+    * the family's deterministic tie-break, so the whole
+    * assign→probe→filter→rank trajectory carries a full DuckDB oracle.
+    *
+    * The recall trade-off this tier makes is the REAL one a filtered
+    * deployment tunes: a probed list may hold few (or zero) rows of
+    * the query's label, so filtered recall decays faster with
+    * selectivity than unfiltered recall decays with nProbe —
+    * `knn_eval_filtered` measures exactly that against
+    * [[filteredBruteKnn]] truth. At `nProbe = nCentroids` every list
+    * is scanned and the tier degenerates to the exact pre-filter form
+    * (a law SimilaritySpec pins).
+    *
+    * 100 TB shape: [[ivfServe]]'s exactly — probes broadcast, only
+    * probed lists are read (partition-pruned when the assignment is
+    * the persisted c_id-partitioned layout), the corpus is never
+    * shuffled, and the label filter is a scan-level predicate on
+    * columns already in hand. */
+  def filteredIvfKnn(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = embeddings.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // ivfAssign with the metadata column riding in the list entry
+    val assigned = embeddings
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("label"), col("c_id"),
+        cosine(col("embedding"), col("c_vec")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"),
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).cast("double"))).as("c_id"))
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = queries
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("q"), col("qlabel"), col("c_id"),
+        cosine(col("q"), col("c_vec")).as("p_cos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select("query_id", "q", "qlabel", "c_id")
+    val scored = assigned
+      .join(broadcast(probes), "c_id")
+      .where(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cos")
+  }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking — the standard redundancy-control stage a
+    * retrieval deployment runs AFTER its ANN shortlist: greedily pick
+    * k results maximizing `lam·rel(q,d) − mu·max_{s∈picked} sim(d,s)`,
+    * so near-duplicate hits don't crowd the result page (or the RAG
+    * context window). The first pick scores `lam·rel` (max over the
+    * empty picked set = 0); ties break (score desc, vec_id asc)
+    * everywhere.
+    *
+    * `lam` and `mu` are BOTH caller-supplied — neither side of the
+    * correctness gate computes `1 − λ` in floating point, so the
+    * engine's `0.7/0.3` and the oracle's parse to identical doubles
+    * and the whole greedy trajectory replays bit-for-bit in DuckDB
+    * (unrolled, the lloyd-CTE pattern).
+    *
+    * 100 TB shape: the corpus is touched ONCE, by the shortlist stage
+    * ([[bruteForceKnn]] here; any ANN tier composes the same way —
+    * the greedy only reads shortlist rows). Everything after is
+    * output-sized: |queries| × `shortlist` rows, each greedy round a
+    * broadcast join + map-side-combinable max + one window over ≤
+    * `shortlist` rows per query. Rounds are checkpointed like the
+    * graph loops, so the plan stays shallow at any k. */
+  def mmrRerank(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      shortlist: Int = 20, lam: Double = 0.7, mu: Double = 0.3): DataFrame =
+    mmrRerankWith(
+      bruteForceKnn(embeddings, nQueries, shortlist)
+        .select(col("query_id"), col("vec_id"), col("cos").as("rel")),
+      embeddings, k, lam, mu)
+
+  /** [[mmrRerank]] over an EXPLICIT shortlist (query_id, vec_id, rel)
+    * — the composition seam: any tier's top-M ranking (IVF, IVFADC,
+    * SQ8, a persisted serve) feeds the same greedy, which is how a
+    * production retrieval stack actually runs MMR (ANN shortlist
+    * first, diversity second — the corpus is touched only by the
+    * tier). `rel` is the tier's own relevance score. */
+  def mmrRerankWith(
+      shortlist: DataFrame, embeddings: DataFrame, k: Int = 5,
+      lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val cand = shortlist
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+      .localCheckpoint(eager = true)
+    try {
+      val w1 = Window.partitionBy("query_id")
+        .orderBy(col("mmr_score").desc, col("vec_id").asc)
+      var selected = cand
+        .select(col("query_id"), col("vec_id"),
+          (lit(lam) * col("rel")).as("mmr_score"))
+        .withColumn("rn", row_number().over(w1))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(1).as("mmr_rank"),
+          col("mmr_score"))
+        .localCheckpoint(eager = true)
+      for (i <- 2 to k) {
+        val selEmb = selected
+          .join(cand, Seq("query_id", "vec_id"))
+          .select(col("query_id"), col("embedding").as("s_emb"))
+        val remaining = cand.join(
+          selected.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        val pick = remaining
+          .join(broadcast(selEmb), "query_id")
+          .select(col("query_id"), col("vec_id"), col("rel"),
+            cosine(col("embedding"), col("s_emb")).as("sim"))
+          .groupBy("query_id", "vec_id")
+          .agg(first(col("rel")).as("rel"), max(col("sim")).as("max_sim"))
+          .select(col("query_id"), col("vec_id"),
+            (lit(lam) * col("rel") - lit(mu) * col("max_sim")).as("mmr_score"))
+          .withColumn("rn", row_number().over(w1))
+          .where(col("rn") === 1)
+          .select(col("query_id"), col("vec_id"), lit(i).as("mmr_rank"),
+            col("mmr_score"))
+        val next = selected.unionByName(pick).localCheckpoint(eager = true)
+        Storage.unpersistLocalCheckpoint(selected)
+        selected = next
+      }
+      // already checkpointed by the last round; release with
+      // Storage.unpersistLocalCheckpoint when done
+      selected
+    } finally Storage.unpersistLocalCheckpoint(cand)
+  }
+
   /** The index-BUILD half of IVF: nearest centroid per vector (ties
     * break to the lowest c_id). Returns (vec_id, embedding, c_id) —
     * the inverted-list assignment, persistable as a durable index
@@ -1511,6 +1690,49 @@ object Similarity {
           struct(col("cos"), -col("vec_id"))).as("keep"))
       .select(col("c_id"), col("keep.vec_id").as("keep_vec_id"),
         col("n_members"), round(col("keep.cos"), 6).as("keep_cos"))
+      .localCheckpoint(true)
+    Storage.unpersistLocalCheckpoint(centroids)
+    out
+  }
+
+  /** Self-supervised dataset PRUNING (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): train k-means prototypes over the
+    * embedding corpus, then per cluster keep the HARDEST ⌈n/2⌉
+    * members — the ones farthest from their own prototype (lowest
+    * assignment cosine), which carry the most training signal; the
+    * easy near-prototype redundant examples drop. Keep rule is exact
+    * integer arithmetic (2·rank ≤ n+1, ties (cos asc, vec_id asc)),
+    * training is the engine's deterministic fixed-point Lloyd
+    * ([[kmeans]]), so the whole train→assign→rank→keep trajectory
+    * replays bit-for-bit in DuckDB.
+    *
+    * 100 TB shape: the k centroids broadcast to assign (the corpus is
+    * never shuffled for assignment — [[kmeans]]' own property); the
+    * ONE shuffle is the per-cluster rank window keyed by c_id.
+    * Cluster sizes are ~corpus/k by construction of the trainer; a
+    * megacluster regime (k chosen far too small) makes that window a
+    * straggler, and the fix is the same monitored-skew playbook as
+    * the probe caps — size k so clusters bound, watch the
+    * [[semanticDedup]] n_members view. */
+  def pruneHard(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val centroids = kmeans(embeddings, k, iters, dims = dims)
+    val assigned = embeddings
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("c_id"),
+        cosine(col("embedding"), col("c_vec")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("c_id"), col("c_cos")),
+        struct(col("c_cos"), (-col("c_id")).cast("double"))).as("a"))
+      .select(col("vec_id"), col("a.c_id").as("c_id"), col("a.c_cos").as("cos"))
+    val w = Window.partitionBy("c_id").orderBy(col("cos").asc, col("vec_id").asc)
+    val out = assigned
+      .withColumn("hard_rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_id")))
+      .where(col("hard_rank") * 2 <= col("n") + 1)
+      .select(col("c_id"), col("vec_id"), col("hard_rank"), col("cos"))
       .localCheckpoint(true)
     Storage.unpersistLocalCheckpoint(centroids)
     out

@@ -303,6 +303,47 @@ object TextQueries {
       graft.operators.HammingIndex.servePairs(s, path, maxHamming = 3)
     }),
 
+    // TIME TRAVEL over the durable dedup index: the pair law AS OF an
+    // earlier committed epoch, served from the RETAINED generation
+    // after a compact + gc(retainGens = 1) — the audit/backfill
+    // question ("what did the dedup decision set look like when epoch
+    // 0 landed?") answered from history without replaying any ingest.
+    // Epochs 0 and 1 fold into generation 1; the as-of-0 snapshot
+    // resolves generation 0 plus delta 0 only.
+    "dedup_simhash_asof" -> ((s, d) => {
+      val sigs = Dedup.simhashSignaturesMd5(Tables.documents(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft_simham_asof_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 === 0), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 1))
+      graft.operators.HammingIndex.appendEpoch(s, path, 1L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path, retainGens = 1)
+      graft.operators.HammingIndex.servePairsAsOf(s, path, epoch = 0L)
+    }),
+
+    // index observability: one row per live segment (base + each
+    // unfolded delta) with its row count — the view an operator sizes
+    // compaction from. Counts are exact (one signature per doc with
+    // ≥ 1 token), so the whole view is hash-oracled.
+    "dedup_index_stats" -> ((s, d) => {
+      val sigs = Dedup.simhashSignaturesMd5(Tables.documents(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft_simham_stats_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 === 0), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 1))
+      graft.operators.HammingIndex.appendEpoch(s, path, 1L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.segmentStats(s, path)
+    }),
+
     // pairwise dedup → per-cluster canonical assignment: connected
     // components over the exact n-gram-Jaccard pair graph, cluster_id
     // = min doc_id of the component. Oracled via recursive CTE.
@@ -1430,11 +1471,16 @@ object TextQueries {
 
   /** Shared by dedup_simhash and dedup_simhash_delta (the persisted
     * HammingIndex serve is bit-identical over any base∪delta split). */
-  private lazy val simhashOracleSql: String =
-    """WITH toks AS (
+  private lazy val simhashOracleSql: String = simhashPairLawSql("TRUE")
+
+  /** The SimHash pair law over a doc subset — `docFilter` restricts
+    * the corpus, so the same SQL oracles the full serve (`TRUE`) and
+    * any historical LSM snapshot (the as-of query's epoch prefix). */
+  private def simhashPairLawSql(docFilter: String): String =
+    s"""WITH toks AS (
            SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-             FROM documents)
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+             FROM documents WHERE $docFilter)
            WHERE length(tok) > 0),
          th AS (SELECT doc_id, md5(tok) AS h FROM toks),
          votes AS (
@@ -1599,6 +1645,22 @@ object TextQueries {
     // exhaustive and the pair sets must match exactly.
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_delta" -> simhashOracleSql,
+    // the as-of-epoch-0 snapshot holds exactly the base + delta-0 docs
+    "dedup_simhash_asof" -> simhashPairLawSql("doc_id % 3 <> 2"),
+
+    // one signature row per doc with >= 1 non-empty token (Md5SimHash64
+    // null-filters token-free docs), split by the build's thirds
+    "dedup_index_stats" ->
+      """WITH sigdocs AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0)
+         SELECT 'base' AS segment, count(*) AS n_rows FROM sigdocs WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT 'delta_0', count(*) FROM sigdocs WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT 'delta_1', count(*) FROM sigdocs WHERE doc_id % 3 = 2""",
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($ngramOracle),

@@ -46,6 +46,50 @@ object VectorQueries {
     "knn_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // filtered retrieval (the RAG metadata-filter shape): exact top-k
+    // among same-label corpus rows only — the pre-filter ground truth.
+    "knn_filtered" -> ((s, d) =>
+      Similarity.filteredBruteKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
+    // ...and the ANN tier under the same predicate: label rides in the
+    // inverted-list entry, the filter applies during the probed-list
+    // scan (in-scan filtering, no metadata side join).
+    "knn_filtered_ivf" -> ((s, d) =>
+      Similarity.filteredIvfKnn(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): the
+    // redundancy-control stage after the shortlist — greedily pick 5
+    // of the top-20 maximizing 0.7·rel − 0.3·max-sim-to-picked, so
+    // near-duplicate hits don't crowd the result set. The greedy
+    // trajectory is deterministic double arithmetic → unrolled-CTE
+    // oracle replays every pick bit-for-bit.
+    "knn_mmr" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
+    // the PRODUCTION retrieval chain: ANN shortlist first (seed-IVF
+    // top-20 — the corpus is touched only by the tier's probed-list
+    // scan), MMR diversity second over the 20-row shortlist. Both
+    // stages deterministic → the composed trajectory replays in full.
+    "knn_mmr_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerankWith(
+        Similarity.ivfKnn(e, nQueries = 8, k = 20)
+          .select(col("query_id"), col("vec_id"), col("cos").as("rel")),
+        e, k = 5)
+    }),
+
+    // the filtered-recall measurement a deployment tunes from: probed
+    // lists may hold few rows of the query's label, so filtered recall
+    // decays faster with selectivity than unfiltered recall with
+    // nProbe — measured per query vs the exact pre-filter truth.
+    "knn_eval_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.retrievalEval(
+        Similarity.filteredIvfKnn(e, nQueries = 8, k = 5),
+        Similarity.filteredBruteKnn(e, nQueries = 8, k = 5),
+        k = 5)
+    }),
+
     // binary quantization: sign bits packed 64-per-long, hamming
     // ranking — output is representation-independent, so the oracle
     // counts sign-disagreeing dimensions directly.
@@ -365,6 +409,36 @@ object VectorQueries {
         k = 5, nProbe = 4)
     }),
 
+    // TIME TRAVEL over the vector index: top-k served AS OF an earlier
+    // committed epoch, from the RETAINED generation after compact +
+    // gc(retainGens = 1) — "what would this query have retrieved when
+    // epoch 0 landed?", the reproducibility question answered from
+    // history without replaying ingest. Epochs 0 and 1 fold into
+    // generation 1; the as-of-0 snapshot resolves generation 0 plus
+    // delta 0 only, so the corpus is exactly the rows present then.
+    "knn_ivf_asof" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seeds = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_asof_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfIndex.write(
+        e.where(col("vec_id") % 3 =!= 2), seeds, path)
+      graft.operators.IvfIndex.appendEpoch(s, path, 0L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfIndex.appendEpoch(s, path, 1L,
+        e.where(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.IvfIndex.compact(s, path)
+      graft.operators.IvfIndex.gc(s, path, retainGens = 1)
+      graft.operators.IvfIndex.serveAsOf(s, path, epoch = 0L,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 5, nProbe = 4)
+    }),
+
     // the SQ8 tier of the same LSM ingest protocol: base segment
     // quantized from two thirds of the corpus, the rest appended as
     // two committed delta epochs (quantization is a pure per-vector
@@ -605,6 +679,14 @@ object VectorQueries {
     // the oracle replays training + assignment + survivor pick.
     "dedup_semantic" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d), k = 16, iters = 3)),
+
+    // self-supervised dataset pruning (Sorscher et al. 2022): per
+    // k-means cluster keep the hardest ⌈n/2⌉ members (farthest from
+    // their own prototype) — redundant easy examples drop. Same
+    // trained trajectory as dedup_semantic; exact integer keep rule
+    // (2·rank ≤ n+1), so the oracle replays train→assign→rank→keep.
+    "emb_prune_hard" -> ((s, d) =>
+      Similarity.pruneHard(Tables.embeddings(s, d), k = 16, iters = 3)),
 
     "neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.35)),
@@ -1195,18 +1277,163 @@ object VectorQueries {
           WHERE rn = 1)"""
   }
 
-  /** The seed-centroid IVF trajectory (centroids = first 16 vectors):
-    * shared verbatim by `knn_ivf` (in-memory) and `knn_ivf_persisted`
-    * (parquet round-trip) — the persisted path must be hash-identical
-    * to the in-memory one. */
-  private lazy val ivfSeedOracle: String =
-    s"""WITH c AS (
+  /** knn_mmr oracle: the greedy MMR trajectory UNROLLED, one CTE pair
+    * per pick (the lloydCtes pattern) — candidate shortlist = exact
+    * top-20, first pick maximizes λ·rel (empty picked set), each later
+    * pick maximizes λ·rel − μ·max-sim-to-picked over the not-yet-
+    * picked shortlist. λ and μ are independent literals CAST to
+    * DOUBLE, so both sides compute with the identical 0.7/0.3 bits
+    * (never 1 − λ in floating point). */
+  private lazy val mmrOracle: String = mmrGreedySql(
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8),
+       scored AS (
+         SELECT q.query_id, e.vec_id, e.embedding,
+                ${cosSql("q.qv", "e.embedding")} AS rel
+         FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       cand AS (
+         SELECT query_id, vec_id, rel, embedding FROM (
+           SELECT query_id, vec_id, rel, embedding,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id ASC) AS rank
+           FROM scored) WHERE rank <= 20)""")
+
+  /** knn_mmr_ivf oracle: the SAME greedy over the seed-IVF tier's
+    * top-20 shortlist — the composed production chain replayed. */
+  private lazy val mmrIvfOracle: String = mmrGreedySql(
+    s"""c AS (
           SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
         a AS (
           SELECT e.vec_id, e.embedding, c.c_id,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
           FROM embeddings e CROSS JOIN c),
+        assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
+        candraw AS (
+          SELECT p.query_id, s.vec_id, s.embedding,
+                 ${cosSql("p.qv", "s.embedding")} AS rel
+          FROM probe p JOIN assigned s ON p.c_id = s.c_id
+          WHERE s.vec_id <> p.query_id),
+        cand AS (
+          SELECT query_id, vec_id, rel, embedding FROM (
+            SELECT query_id, vec_id, rel, embedding,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, vec_id ASC) AS rank
+            FROM candraw) WHERE rank <= 20)""")
+
+  /** The unrolled greedy MMR trajectory over whatever `candCtes`
+    * defines as cand(query_id, vec_id, rel, embedding). */
+  private def mmrGreedySql(candCtes: String): String = {
+    val LAM = "CAST(0.7 AS DOUBLE)"; val MU = "CAST(0.3 AS DOUBLE)"
+    def step(i: Int): String =
+      s"""se${i - 1} AS (
+            SELECT p.query_id, c.embedding
+            FROM sel${i - 1} p JOIN cand c
+              ON c.query_id = p.query_id AND c.vec_id = p.vec_id),
+          m$i AS (
+            SELECT c.query_id, c.vec_id,
+                   max(c.rel) AS rel,
+                   max(${cosSql("c.embedding", "s.embedding")}) AS max_sim
+            FROM cand c JOIN se${i - 1} s ON s.query_id = c.query_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                              WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+            GROUP BY c.query_id, c.vec_id),
+          p$i AS (
+            SELECT query_id, vec_id, $i AS mmr_rank, mmr_score FROM (
+              SELECT query_id, vec_id,
+                     $LAM * rel - $MU * max_sim AS mmr_score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY $LAM * rel - $MU * max_sim DESC, vec_id ASC) AS rn
+              FROM m$i) WHERE rn = 1),
+          sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)"""
+    s"""WITH $candCtes,
+        sel1 AS (
+          SELECT query_id, vec_id, 1 AS mmr_rank, mmr_score FROM (
+            SELECT query_id, vec_id, $LAM * rel AS mmr_score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY $LAM * rel DESC, vec_id ASC) AS rn
+            FROM cand) WHERE rn = 1),
+        ${(2 to 5).map(step).mkString(",\n")}
+        SELECT query_id, vec_id, mmr_rank, mmr_score FROM sel5"""
+  }
+
+  /** Filtered exact truth: brute cosine top-k restricted to corpus
+    * rows sharing the query's label — the pre-filter form. */
+  private lazy val filteredBruteOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                   FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  ${cosSql("q.qv", "e.embedding")} AS cos
+           FROM embeddings e
+           JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+
+  /** Filtered IVF: the seed-IVF trajectory with the label carried in
+    * the assignment and the predicate applied to the probed-list scan
+    * — [[ivfSeedOracle]] plus one metadata column and one WHERE. */
+  private lazy val filteredIvfOracle: String =
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, e.label, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        assigned AS (SELECT vec_id, embedding, label, c_id FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, q.qlabel, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        probe AS (SELECT query_id, qv, qlabel, c_id FROM qa WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, s.vec_id,
+                 ${cosSql("p.qv", "s.embedding")} AS cos
+          FROM probe p JOIN assigned s ON p.c_id = s.c_id
+          WHERE s.vec_id <> p.query_id AND s.label = p.qlabel),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+        FROM ranked WHERE rank <= 5"""
+
+  /** The seed-centroid IVF trajectory (centroids = first 16 vectors):
+    * shared verbatim by `knn_ivf` (in-memory) and `knn_ivf_persisted`
+    * (parquet round-trip) — the persisted path must be hash-identical
+    * to the in-memory one. */
+  private lazy val ivfSeedOracle: String = ivfSeedOracleOver("TRUE")
+
+  /** The seed-IVF trajectory over a corpus subset — `corpusFilter`
+    * restricts which rows are INDEXED (centroids and queries stay the
+    * full-table seeds), so the same SQL oracles the live serve
+    * (`TRUE`) and any historical LSM snapshot (the as-of query's
+    * epoch prefix). */
+  private def ivfSeedOracleOver(corpusFilter: String): String =
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM (SELECT * FROM embeddings WHERE $corpusFilter) e CROSS JOIN c),
         assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         qa AS (
@@ -2279,6 +2506,13 @@ object VectorQueries {
     "knn_eval_sq8" -> evalOracle(sq8Oracle),
     "knn_eval_pq" -> evalOracle(pqSeedOracle),
     "knn_eval_ivf" -> evalOracle(ivfSeedOracle),
+    // filtered tier vs filtered truth — the selectivity-vs-recall
+    // measurement (the truth side is the pre-filter exact form)
+    "knn_eval_filtered" -> evalOracleVs(filteredIvfOracle, filteredBruteOracle),
+    "knn_filtered" -> filteredBruteOracle,
+    "knn_filtered_ivf" -> filteredIvfOracle,
+    "knn_mmr" -> mmrOracle,
+    "knn_mmr_ivf" -> mmrIvfOracle,
     "knn_eval_frontier" -> frontierOracle,
     "knn_eval_frontier_rescore" -> rescoreFrontierOracle,
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
@@ -2403,6 +2637,19 @@ object VectorQueries {
     "knn_ivfpq_trained_delta" -> ivfPqTrainedOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
+    // the same trained trajectory (shared lloydCtes), per-cluster
+    // hardest-half keep: 2·rank ≤ n+1 over (cos asc, vec_id asc)
+    "emb_prune_hard" ->
+      s"""WITH $lloydCtes,
+          r AS (
+            SELECT c_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY c_id
+                     ORDER BY cos ASC, vec_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY c_id) AS n
+            FROM af)
+          SELECT c_id, vec_id, CAST(rn AS INT) AS hard_rank, cos
+          FROM r WHERE rn * 2 <= n + 1""",
+
     "knn_ivf" -> ivfSeedOracle,
 
     // the persisted-index path must be indistinguishable from the
@@ -2413,6 +2660,8 @@ object VectorQueries {
     // ...and so must the base∪delta-segment (LSM ingest) view: the
     // per-vector assignment is segment-independent
     "knn_ivf_delta" -> ivfSeedOracle,
+    // the as-of-epoch-0 snapshot indexes exactly base + delta-0 rows
+    "knn_ivf_asof" -> ivfSeedOracleOver("vec_id % 3 <> 2 OR vec_id % 2 = 0"),
 
     // the semantic admission probe replayed from first principles:
     // assign corpus and re-keyed shard against the seed centroids

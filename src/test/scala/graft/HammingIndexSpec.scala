@@ -146,4 +146,58 @@ class HammingIndexSpec extends AnyFunSuite {
     assert(sat.exists(b => b._1 == 0 && b._2 == donorC0 && b._3 >= 7),
       "the donor-signature c0 bucket is missing from the diagnostic")
   }
+
+  test("segmentStats reports one exact row per live segment and tracks compaction") {
+    val sg = sigs()
+    val p = java.nio.file.Files.createTempDirectory("graft_ham_stats").toString
+    val third = (m: Int) => sg.where($"doc_id" % 3 === m)
+    HammingIndex.write(third(0), p)
+    HammingIndex.appendEpoch(spark, p, 0L, third(1))
+    HammingIndex.appendEpoch(spark, p, 1L, third(2))
+    val got = HammingIndex.segmentStats(spark, p)
+      .as[(String, Long)].collect().toMap
+    val n = (m: Int) => third(m).count()
+    assert(got == Map("base" -> n(0), "delta_0" -> n(1), "delta_1" -> n(2)))
+    HammingIndex.compact(spark, p)
+    HammingIndex.gc(spark, p)
+    val after = HammingIndex.segmentStats(spark, p)
+      .as[(String, Long)].collect().toMap
+    assert(after == Map("base" -> (n(0) + n(1) + n(2))),
+      "post-compaction view must collapse to one base row with the total")
+  }
+
+  test("time travel: as-of snapshots replay history exactly; gc sets the horizon loudly") {
+    val sg = sigs()
+    val p = java.nio.file.Files.createTempDirectory("graft_ham_asof").toString
+    val third = (m: Int) => sg.where($"doc_id" % 3 === m)
+    HammingIndex.write(third(0), p)
+    HammingIndex.appendEpoch(spark, p, 0L, third(1))
+    HammingIndex.appendEpoch(spark, p, 1L, third(2))
+    def law(df: org.apache.spark.sql.DataFrame) =
+      pairSet(Dedup.hammingChunkPairs(df, maxHamming = 3))
+    val atBase = law(third(0))
+    val at0 = law(third(0).unionByName(third(1)))
+    val at1 = law(sg)
+    assert(at0.nonEmpty && at0 != at1, "fixture has no epoch-1 pairs to travel past")
+    // every as-of point replays the exact historical pair set
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = -1L)) == atBase)
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 0L)) == at0)
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 1L)) == at1)
+    // a future epoch serves the live snapshot (lakehouse AS OF semantics)
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 99L)) == at1)
+    // compact + retainGens = 1: history before the fold stays serveable
+    HammingIndex.compact(spark, p)
+    HammingIndex.gc(spark, p, retainGens = 1)
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 0L)) == at0,
+      "retained generation lost the pre-fold snapshot")
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 1L)) == at1)
+    // gc to the current generation only: the pre-fold epoch is past
+    // the horizon and must fail loudly, never serve the wrong snapshot
+    HammingIndex.gc(spark, p)
+    val e = intercept[IllegalArgumentException](
+      HammingIndex.readAsOf(spark, p, epoch = 0L))
+    assert(e.getMessage.contains("horizon"))
+    assert(pairSet(HammingIndex.servePairsAsOf(spark, p, epoch = 1L)) == at1,
+      "the live snapshot must stay serveable after the horizon moves")
+  }
 }

@@ -280,6 +280,140 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mmrRerank matches an independent driver-side greedy replay") {
+    // the greedy MMR trajectory recomputed from first principles in
+    // plain Scala over the collected corpus: exact top-20 shortlist,
+    // first pick maximizes λ·rel, each later pick maximizes
+    // λ·rel − μ·max-sim-to-picked; ties (score desc, id asc). Every
+    // fold mirrors the engine's left-to-right double order.
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nQ = 4; val k = 5; val m = 20; val lam = 0.7; val mu = 0.3
+    val want = (0L until nQ).flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).map(id => (id, cos(vecs(q), vecs(id))))
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(m)
+      var picked = List.empty[(Long, Int, Double)]
+      val first = cand.map { case (id, rel) => (id, lam * rel) }
+        .minBy { case (id, s) => (-s, id) }
+      picked = List((first._1, 1, first._2))
+      for (i <- 2 to k) {
+        val sel = picked.map(_._1).toSet
+        val choice = cand.filterNot(c => sel(c._1)).map { case (id, rel) =>
+          (id, lam * rel - mu * picked.map(p => cos(vecs(id), vecs(p._1))).max)
+        }.minBy { case (id, s) => (-s, id) }
+        picked = picked :+ ((choice._1, i, choice._2))
+      }
+      picked.map { case (id, r, s) => (q, id, r, s) }
+    }.toSet
+    val res = Similarity.mmrRerank(e, nQueries = nQ, k = k, shortlist = m)
+    val got = res.as[(Long, Long, Int, Double)].collect().toSet
+    graft.operators.Storage.unpersistLocalCheckpoint(res)
+    assert(want.nonEmpty && got == want,
+      s"MMR diverged: got ${got.size} rows, want ${want.size}")
+  }
+
+  test("pruneHard keeps exactly the hardest half of every cluster with contiguous ranks") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val res = Similarity.pruneHard(e)
+    val kept = res.as[(Long, Long, Int, Double)].collect()
+    graft.operators.Storage.unpersistLocalCheckpoint(res)
+    // semanticDedup trains the identical trajectory — its n_members
+    // are the cluster sizes the keep rule divides
+    val sizes = Similarity.semanticDedup(e).select($"c_id", $"n_members")
+      .as[(Long, Long)].collect().toMap
+    assert(kept.nonEmpty)
+    kept.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"cluster $c ranks not contiguous from 1")
+      assert(rows.length.toLong == (sizes(c) + 1) / 2,
+        s"cluster $c kept ${rows.length} of ${sizes(c)}")
+    }
+  }
+
+  test("mmr over a full-probe ivf shortlist equals mmr over the exact shortlist") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val viaIvf = Similarity.mmrRerankWith(
+      Similarity.ivfKnn(e, nQueries = 4, k = 20, nCentroids = 8, nProbe = 8)
+        .select($"query_id", $"vec_id", $"cos".as("rel")), e)
+    val viaBrute = Similarity.mmrRerank(e, nQueries = 4, k = 5)
+    val a = viaIvf.as[(Long, Long, Int, Double)].collect().toSet
+    val b = viaBrute.as[(Long, Long, Int, Double)].collect().toSet
+    graft.operators.Storage.unpersistLocalCheckpoint(viaIvf)
+    graft.operators.Storage.unpersistLocalCheckpoint(viaBrute)
+    assert(a.nonEmpty && a == b,
+      "full-probe IVF shortlist must feed the identical greedy trajectory")
+  }
+
+  test("mmr demotes a duplicate of the first pick below a diverse candidate") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.999f, 0.04f), 0),
+      (2L, Array(0.999f, 0.04f), 0), // exact duplicate of 1 — brute rank 2
+      (3L, Array(0.6f, 0.8f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(
+      vecs, nQueries = 1, k = 3, shortlist = 3, lam = 0.3, mu = 0.7)
+    val order = got.orderBy("mmr_rank").select("vec_id").as[Long].collect().toSeq
+    graft.operators.Storage.unpersistLocalCheckpoint(got)
+    assert(order == Seq(1L, 3L, 2L),
+      s"diversity-blind order (brute would give 1,2,3): got $order")
+  }
+
+  test("filtered knn: only same-label rows surface, nearer cross-label rows are excluded") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.99f, 0.1f), 1),  // nearest overall — wrong label
+      (2L, Array(0.9f, 0.3f), 0),   // nearest qualifying
+      (3L, Array(0f, 1f), 0),
+      (4L, Array(-1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredBruteKnn(vecs, nQueries = 1, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 3L)) // only the two label-0 rows qualify
+  }
+
+  test("filtered ivf at nProbe = nCentroids degenerates to the exact pre-filter form") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.filteredBruteKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    val full = Similarity.filteredIvfKnn(
+      e, nQueries = 4, k = 5, nCentroids = 8, nProbe = 8)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    assert(full.nonEmpty)
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("filtered ivf with a vacuous predicate equals unfiltered ivf") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .withColumn("label", lit(7)) // every row qualifies
+    val filtered = Similarity.filteredIvfKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    val plain = Similarity.ivfKnn(e, nQueries = 4, k = 5)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    assert(filtered.nonEmpty)
+    assert(filtered.toSeq == plain.toSeq)
+  }
+
+  test("filtered ivf results are a subset of the probed lists' same-label rows") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    Similarity.filteredIvfKnn(e, nQueries = 8, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .foreach { case (q, v) => assert(labels(v) == labels(q), s"($q,$v)") }
+  }
+
   test("codegen'd SquaredL2 is bit-identical to the HOF formulation") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val hof = expr(
@@ -423,6 +557,43 @@ class SimilaritySpec extends AnyFunSuite {
     // bit-identical including the cosine doubles: float32 embeddings
     // round-trip parquet exactly
     assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("IVF as-of serve replays the historical snapshot exactly; gc sets the horizon loudly") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val seeds = e.where($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_asof_spec").toString
+    graft.operators.IvfIndex.write(e.where($"vec_id" % 3 =!= 2), seeds, p)
+    graft.operators.IvfIndex.appendEpoch(spark, p, 0L,
+      e.where($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0))
+    graft.operators.IvfIndex.appendEpoch(spark, p, 1L,
+      e.where($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0))
+    val queries = e.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Double)].collect().toSet
+    val live = rows(graft.operators.IvfIndex.serveAll(spark, p, queries))
+    val at0 = rows(graft.operators.IvfIndex.serveAsOf(spark, p, 0L, queries))
+    // the as-of snapshot == in-memory serve over exactly the prefix rows
+    val prefix = e.where($"vec_id" % 3 =!= 2 || $"vec_id" % 2 === 0)
+    val want = rows(Similarity.ivfServe(
+      Similarity.ivfAssign(prefix, seeds), seeds, queries, k = 5, nProbe = 4))
+    assert(at0 == want && at0.nonEmpty, "as-of snapshot diverged from the prefix serve")
+    assert(rows(graft.operators.IvfIndex.serveAsOf(spark, p, 1L, queries)) == live)
+    // compact + retainGens = 1: pre-fold history stays serveable
+    graft.operators.IvfIndex.compact(spark, p)
+    graft.operators.IvfIndex.gc(spark, p, retainGens = 1)
+    assert(rows(graft.operators.IvfIndex.serveAsOf(spark, p, 0L, queries)) == at0,
+      "retained generation lost the pre-fold snapshot")
+    // horizon: current generation only -> the pre-fold epoch fails loudly
+    graft.operators.IvfIndex.gc(spark, p)
+    val err = intercept[IllegalArgumentException](
+      graft.operators.IvfIndex.serveAsOf(spark, p, 0L, queries).collect())
+    assert(err.getMessage.contains("horizon"))
+    assert(rows(graft.operators.IvfIndex.serveAsOf(spark, p, 1L, queries)) == live,
+      "the live snapshot must stay serveable after the horizon moves")
   }
 
   test("IVF delta segments: incremental append serves exactly, replays and torn writes are no-ops") {
