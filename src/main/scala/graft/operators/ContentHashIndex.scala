@@ -50,12 +50,26 @@ object ContentHashIndex {
     }
   }
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
   /** Exact duplicate groups over the indexed corpus — one shuffle on
     * the stored 8-byte keys; bit-identical to [[Dedup.exact]] over
     * the union corpus. */
   def serveGroups(spark: SparkSession, path: String): DataFrame =
-    readAll(spark, path)
-      .groupBy("text_hash")
+    groupsOver(readAll(spark, path))
+
+  /** [[serveGroups]] AS OF a committed delta epoch — the duplicate
+    * groups exactly as they stood when that epoch landed. */
+  def serveGroupsAsOf(
+      spark: SparkSession, path: String, epoch: Long): DataFrame =
+    groupsOver(readAsOf(spark, path, epoch))
+
+  private def groupsOver(fp: DataFrame): DataFrame =
+    fp.groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** The admission check: for each document of a NEW shard (disjoint

@@ -75,12 +75,8 @@ object HammingIndex {
     * .segmentsAsOf]]'s snapshot; −1 = the fresh base). The horizon is
     * whatever `gc(retainGens = n)` kept: older as-of points fail
     * loudly rather than misreport history. */
-  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame = {
-    val (basePath, deltaPaths) = LsmSegments.segmentsAsOf(spark, path, epoch)
-    deltaPaths.foldLeft(spark.read.parquet(basePath)) {
-      (acc, p) => acc.unionByName(spark.read.parquet(p))
-    }
-  }
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
 
   /** [[servePairs]] AS OF a committed delta epoch: the batch pair law
     * over the historical snapshot — "what did the dedup decision set

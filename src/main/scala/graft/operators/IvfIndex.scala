@@ -139,13 +139,9 @@ object IvfIndex {
     * contract), so only the assignment rows travel. The horizon is
     * what `gc(retainGens = n)` kept; older epochs fail loudly. */
   def readAsOf(
-      spark: SparkSession, path: String, epoch: Long): (DataFrame, DataFrame) = {
-    val (basePath, deltaPaths) = LsmSegments.segmentsAsOf(spark, path, epoch)
-    val all = deltaPaths.foldLeft(loadSegment(spark, basePath)) {
-      (acc, p) => acc.unionByName(loadSegment(spark, p))
-    }
-    (all, spark.read.parquet(s"$path/centroids"))
-  }
+      spark: SparkSession, path: String, epoch: Long): (DataFrame, DataFrame) =
+    (LsmSegments.foldAsOf(spark, path, epoch, loadSegment(spark, _)),
+      spark.read.parquet(s"$path/centroids"))
 
   /** [[serveAll]] AS OF a committed delta epoch: historical top-k —
     * "what would this query have retrieved when epoch N landed?", the

@@ -189,6 +189,26 @@ object IvfPqIndex {
       snapshot, centroids, codebook, subspaces, subDim, queries, k, nProbe, salts)
   }
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, loadSegment(spark, _))
+
+  /** [[serveAll]] AS OF a committed delta epoch — historical ADC
+    * top-k over the retained code snapshot; the trained state
+    * (coarse centroids + residual codebook) is fixed for the life of
+    * the index, so only the code segments travel. */
+  def serveAsOf(
+      spark: SparkSession, path: String, epoch: Long, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4, salts: Int = 32): DataFrame = {
+    val (subspaces, subDim) = readMeta(spark, path)
+    serveSnapshot(readAsOf(spark, path, epoch),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      subspaces, subDim, queries, k, nProbe, salts)
+  }
+
   /** COMPRESSED semantic admission probe — [[IvfIndex.probeSemantic]]
     * with the admitted embedding store held as PQ codes instead of
     * raw float32 (the store is 16–32× smaller, which is what matters

@@ -229,6 +229,15 @@ private[graft] object LsmSegments {
     (s"$path/base/$gen", deltas)
   }
 
+  /** Fold the [[segmentsAsOf]] snapshot through a tier's own segment
+    * loader — the shared body of every tier's `readAsOf`. */
+  private[graft] def foldAsOf(
+      spark: SparkSession, path: String, epoch: Long,
+      load: String => DataFrame): DataFrame = {
+    val (basePath, deltaPaths) = segmentsAsOf(spark, path, epoch)
+    deltaPaths.foldLeft(load(basePath))((acc, p) => acc.unionByName(load(p)))
+  }
+
   /** Fold committed deltas into a NEW base generation: read the live
     * snapshot via `load`, `write` it to `base/<gen+1>`, then commit
     * the generation marker. The old generation and the folded delta

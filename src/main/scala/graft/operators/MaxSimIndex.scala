@@ -76,6 +76,19 @@ object MaxSimIndex {
       k: Int = 5, salts: Int = 32): DataFrame =
     serveSnapshot(readAll(spark, path), queries, k, salts)
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
+  /** [[serveAll]] AS OF a committed delta epoch — historical MaxSim
+    * top-k over the retained bag snapshot, same serving plan. */
+  def serveAsOf(
+      spark: SparkSession, path: String, epoch: Long, queries: DataFrame,
+      k: Int = 5, salts: Int = 32): DataFrame =
+    serveSnapshot(readAsOf(spark, path, epoch), queries, k, salts)
+
   /** The serving plan over an already-resolved snapshot — the seam a
     * long-lived server resolves once and answers many query batches
     * against. */

@@ -103,6 +103,21 @@ object MinHashIndex {
     fp.select(col("doc_id"), posexplode(col("band_hashes")))
       .toDF("doc_id", "band", "band_hash")
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
+  /** [[servePairs]] AS OF a committed delta epoch — the verified
+    * near-dup decision set exactly as it stood when that epoch
+    * landed, served from retained generations without replaying any
+    * ingest. */
+  def servePairsAsOf(
+      spark: SparkSession, path: String, epoch: Long,
+      threshold: Double = 0.5): DataFrame =
+    pairsOver(readAsOf(spark, path, epoch), threshold)
+
   /** All verified near-dup pairs over the indexed corpus —
     * [[Dedup.minhashLsh]]'s bucket → capped pair expansion → exact
     * shingle-Jaccard pipeline, replayed over base ∪ deltas: one
@@ -111,8 +126,12 @@ object MinHashIndex {
     * the batch operator over the union corpus. */
   def servePairs(
       spark: SparkSession, path: String,
-      threshold: Double = 0.5): DataFrame = {
-    val fp = readAll(spark, path)
+      threshold: Double = 0.5): DataFrame =
+    pairsOver(readAll(spark, path), threshold)
+
+  /** The pair law over an already-resolved snapshot — shared by the
+    * live and as-of serves. */
+  private def pairsOver(fp: DataFrame, threshold: Double): DataFrame = {
     val buckets = banded(fp)
       .groupBy("band", "band_hash")
       .agg(collect_list("doc_id").as("ids"))

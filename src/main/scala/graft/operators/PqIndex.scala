@@ -91,6 +91,23 @@ object PqIndex {
     serveSnapshot(snapshot, codebook, subspaces, subDim, queries, k, salts)
   }
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
+  /** [[serveAll]] AS OF a committed delta epoch — historical top-k
+    * over the retained code snapshot; the trained state (codebook,
+    * grid) is fixed for the life of the index, so only codes travel. */
+  def serveAsOf(
+      spark: SparkSession, path: String, epoch: Long, queries: DataFrame,
+      k: Int = 5, salts: Int = 32): DataFrame = {
+    val (subspaces, subDim) = readMeta(spark, path)
+    serveSnapshot(readAsOf(spark, path, epoch),
+      readCodebook(spark, path), subspaces, subDim, queries, k, salts)
+  }
+
   /** Resolve one consistent snapshot PLUS the index's fixed trained
     * state (codebook, grid) in a single call — the handle a
     * long-lived server (e.g. [[graft.streaming.StreamingOps.pqServeStream]])

@@ -55,6 +55,19 @@ object Sq8Index {
       k: Int = 5, salts: Int = 32): DataFrame =
     serveSnapshot(readAll(spark, path), queries, k, salts)
 
+  /** [[readAll]] AS OF a committed delta epoch ([[LsmSegments
+    * .segmentsAsOf]]'s retained snapshot; −1 = the fresh base; epochs
+    * past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
+  /** [[serveAll]] AS OF a committed delta epoch — historical top-k
+    * over the retained snapshot, same serving plan. */
+  def serveAsOf(
+      spark: SparkSession, path: String, epoch: Long, queries: DataFrame,
+      k: Int = 5, salts: Int = 32): DataFrame =
+    serveSnapshot(readAsOf(spark, path, epoch), queries, k, salts)
+
   /** The serving plan over an ALREADY-RESOLVED snapshot — the seam a
     * long-lived server (e.g. [[graft.streaming.StreamingOps.sq8ServeStream]])
     * uses to resolve the base∪deltas snapshot once and answer many
