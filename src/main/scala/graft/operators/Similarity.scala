@@ -1026,8 +1026,19 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val centroids = embeddings.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // ivfAssign with the metadata column riding in the list entry
-    val assigned = embeddings
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    filteredIvfServe(
+      filteredIvfAssign(embeddings, centroids), centroids, queries, k, nProbe)
+  }
+
+  /** [[ivfAssign]] with the metadata column riding IN the list entry
+    * — the layout that makes the predicate an in-scan filter. */
+  private[graft] def filteredIvfAssign(
+      embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings
       .join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("label"), col("c_id"),
         cosine(col("embedding"), col("c_vec")).as("c_cos"))
@@ -1036,10 +1047,13 @@ object Similarity {
         first(col("embedding")).as("embedding"),
         first(col("label")).as("label"),
         max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).cast("double"))).as("c_id"))
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("label").as("qlabel"))
+
+  /** [[ivfServe]] under the per-query label predicate: `assigned`
+    * carries `label` in the list entry, `queries` carry `qlabel`, and
+    * the equality applies to the probed-list scan before scoring. */
+  private[graft] def filteredIvfServe(
+      assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("p_cos").desc, col("c_id").asc)
     val probes = queries
@@ -1059,6 +1073,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cos")
+  }
+
+  /** The FILTERED recall–cost frontier — [[ivfFrontier]] under the
+    * per-query label predicate, the table a deployment running
+    * metadata-filtered retrieval actually tunes from. Filtered recall
+    * decays faster with nProbe than unfiltered recall (a probed list
+    * may hold few — or zero — rows of the query's label), so the
+    * sweep carries BOTH cost axes per config: `scanned_rows` (every
+    * member of every probed list — what the scan READS, predicate
+    * evaluated per row) and `qualifying_rows` (the same-label members
+    * — what the scorer actually scores). Their gap IS the price of
+    * post-scan filtering at that selectivity; recall vs
+    * `qualifying_rows` is the curve that says whether to raise nProbe
+    * or move to label-partitioned indexes. All numbers exact (integer
+    * sums + single divisions) → full DuckDB replay.
+    *
+    * Scale shape: assignment and filtered truth computed ONCE
+    * (materialized, shared across configs); per config one
+    * probe-pruned candidate join + output-sized eval; both cost
+    * columns are map-side-combinable aggregates over (c_id[, label])
+    * count tables. */
+  def filteredIvfFrontier(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nCentroids: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val assigned = filteredIvfAssign(e, centroids).localCheckpoint(true)
+    try {
+      val truth = filteredBruteKnn(e, nQueries, k).localCheckpoint(true)
+      try {
+        val queries = e.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+            col("label").as("qlabel"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("p_cos").desc, col("c_id").asc)
+        val probeRanks = queries
+          .join(broadcast(centroids))
+          .select(col("query_id"), col("qlabel"), col("c_id"),
+            cosine(col("q"), col("c_vec")).as("p_cos"))
+          .withColumn("pr", row_number().over(wProbe))
+        val listCounts = assigned.groupBy("c_id").agg(count(lit(1)).as("cnt"))
+        val listLabelCounts = assigned.groupBy("c_id", "label")
+          .agg(count(lit(1)).as("lcnt"))
+        val total = e.agg(count(lit(1)).as("n_total"))
+        probes.map { p =>
+          val hits = retrievalEval(
+            filteredIvfServe(assigned, centroids, queries, k, p), truth, k)
+            .agg(sum(col("n_hits")).as("hits"), count(lit(1)).as("nq"))
+          val scanned = probeRanks.where(col("pr") <= p)
+            .join(broadcast(listCounts), Seq("c_id"))
+            .agg(sum(col("cnt")).as("scanned_rows"))
+          val qualifying = probeRanks.where(col("pr") <= p)
+            .select(col("c_id"), col("qlabel"))
+            .join(broadcast(listLabelCounts.withColumnRenamed("label", "qlabel")),
+              Seq("c_id", "qlabel"))
+            .agg(coalesce(sum(col("lcnt")), lit(0L)).as("qualifying_rows"))
+          hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(qualifying))
+            .crossJoin(broadcast(total))
+            .select(
+              lit(p).as("n_probe"),
+              (col("hits").cast("double") / (col("nq") * k)).as(s"recall_at_$k"),
+              col("hits").cast("long").as("n_hits"),
+              col("scanned_rows").cast("long").as("scanned_rows"),
+              col("qualifying_rows").cast("long").as("qualifying_rows"),
+              (col("scanned_rows").cast("double") /
+                (col("nq") * col("n_total"))).as("scan_frac"))
+        }.reduce(_.unionByName(_)).localCheckpoint(true)
+      } finally Storage.unpersistLocalCheckpoint(truth)
+    } finally Storage.unpersistLocalCheckpoint(assigned)
   }
 
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)

@@ -78,6 +78,15 @@ object VectorQueries {
         e, k = 5)
     }),
 
+    // ...and the full tuning curve: the filtered recall–cost frontier
+    // over nProbe ∈ {1,2,4,8}, with BOTH cost axes per config — rows
+    // the scan reads (whole probed lists) and rows the scorer scores
+    // (same-label members); their gap is the price of the predicate
+    // at this selectivity.
+    "knn_filtered_frontier" -> ((s, d) =>
+      Similarity.filteredIvfFrontier(Tables.embeddings(s, d),
+        nQueries = 8, k = 5)),
+
     // the filtered-recall measurement a deployment tunes from: probed
     // lists may hold few rows of the query's label, so filtered recall
     // decays faster with selectivity than unfiltered recall with
@@ -1364,6 +1373,73 @@ object VectorQueries {
         SELECT query_id, vec_id, mmr_rank, mmr_score FROM sel5"""
   }
 
+  /** knn_filtered_frontier oracle: [[frontierOracle]] under the
+    * per-query label predicate — assignment carries the label, the
+    * candidate join filters on it, truth is the pre-filter exact
+    * form, and the sweep adds `qualifying_rows` (same-label members
+    * of the probed lists — what the scorer actually scores). */
+  private lazy val filteredFrontierOracle: String =
+    s"""WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, e.embedding, e.label, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c),
+        assigned AS (SELECT vec_id, embedding, label, c_id FROM a WHERE rn = 1),
+        cnts AS (SELECT c_id, count(*) AS cnt FROM assigned GROUP BY 1),
+        lcnts AS (SELECT c_id, label, count(*) AS lcnt FROM assigned GROUP BY 1, 2),
+        tot AS (SELECT count(*) AS n_total FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id < 8),
+        qa AS (
+          SELECT q.query_id, q.qv, q.qlabel, c.c_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC, c.c_id ASC) AS rn
+          FROM q CROSS JOIN c),
+        tru AS (SELECT query_id, vec_id FROM ($filteredBruteOracle)),
+        ps AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+        cand AS (
+          SELECT ps.n_probe, qa.query_id, s.vec_id,
+                 ${cosSql("qa.qv", "s.embedding")} AS cos
+          FROM ps JOIN qa ON qa.rn <= ps.n_probe
+          JOIN assigned s ON s.c_id = qa.c_id
+          WHERE s.vec_id <> qa.query_id AND s.label = qa.qlabel),
+        ranked AS (
+          SELECT n_probe, query_id, vec_id,
+                 row_number() OVER (PARTITION BY n_probe, query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand),
+        res AS (SELECT n_probe, query_id, vec_id FROM ranked WHERE rank <= 5),
+        marked AS (
+          SELECT ps.n_probe, t.query_id,
+                 CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ps CROSS JOIN tru t
+          LEFT JOIN res r ON r.n_probe = ps.n_probe
+            AND r.query_id = t.query_id AND r.vec_id = t.vec_id),
+        hits AS (
+          SELECT n_probe, CAST(sum(hit) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+          FROM marked GROUP BY 1),
+        scanned AS (
+          SELECT ps.n_probe, CAST(sum(cnts.cnt) AS BIGINT) AS scanned_rows
+          FROM ps JOIN qa ON qa.rn <= ps.n_probe
+          JOIN cnts ON cnts.c_id = qa.c_id
+          GROUP BY 1),
+        qual AS (
+          SELECT ps.n_probe,
+                 CAST(coalesce(sum(l.lcnt), 0) AS BIGINT) AS qualifying_rows
+          FROM ps JOIN qa ON qa.rn <= ps.n_probe
+          JOIN lcnts l ON l.c_id = qa.c_id AND l.label = qa.qlabel
+          GROUP BY 1)
+        SELECT h.n_probe,
+               CAST(h.n_hits AS DOUBLE) / (h.nq * 5) AS recall_at_5,
+               h.n_hits, s.scanned_rows,
+               CAST(coalesce(ql.qualifying_rows, 0) AS BIGINT) AS qualifying_rows,
+               CAST(s.scanned_rows AS DOUBLE) / (h.nq * t.n_total) AS scan_frac
+        FROM hits h JOIN scanned s USING (n_probe)
+        LEFT JOIN qual ql USING (n_probe) CROSS JOIN tot t"""
+
   /** Filtered exact truth: brute cosine top-k restricted to corpus
     * rows sharing the query's label — the pre-filter form. */
   private lazy val filteredBruteOracle: String =
@@ -2509,6 +2585,7 @@ object VectorQueries {
     // filtered tier vs filtered truth — the selectivity-vs-recall
     // measurement (the truth side is the pre-filter exact form)
     "knn_eval_filtered" -> evalOracleVs(filteredIvfOracle, filteredBruteOracle),
+    "knn_filtered_frontier" -> filteredFrontierOracle,
     "knn_filtered" -> filteredBruteOracle,
     "knn_filtered_ivf" -> filteredIvfOracle,
     "knn_mmr" -> mmrOracle,

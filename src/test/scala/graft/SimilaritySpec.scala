@@ -945,6 +945,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last._2 == 1.0, s"full probe must reach brute recall: $rows")
   }
 
+  test("filteredIvfFrontier: monotone in nProbe, qualifying ≤ scanned, full probe reaches filtered-exact recall") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val rows = Similarity
+      .filteredIvfFrontier(e, nQueries = 4, k = 5, probes = Seq(1, 4, 16))
+      .select($"n_probe", $"recall_at_5", $"scan_frac",
+        $"qualifying_rows", $"scanned_rows")
+      .as[(Int, Double, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1, 4, 16))
+    assert(rows.sliding(2).forall { case Seq(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 }, s"filtered frontier not monotone: $rows")
+    // the scorer can never score more rows than the scan reads
+    assert(rows.forall(r => r._4 <= r._5 && r._4 > 0L), s"qualifying > scanned: $rows")
+    // probing every one of the 16 lists IS the exact pre-filter form
+    assert(rows.last._2 == 1.0, s"full probe must reach filtered-exact recall: $rows")
+  }
+
   test("sq8 dequantized dot stays within the per-dim half-step error bound") {
     // max-abs symmetric SQ8 rounds each coordinate by at most half a
     // quantization step (scale/2 = mx/254), so the de-quantized dot
