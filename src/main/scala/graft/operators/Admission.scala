@@ -373,6 +373,17 @@ object Admission {
     }
   }
 
+  /** The admitted corpus AS OF a committed epoch — the decision log's
+    * prefix, served from retained generations ([[LsmSegments
+    * .segmentsAsOf]]; maintenance must run with `retainGens ≥ 1` for
+    * pre-fold epochs to stay auditable). With that policy EVERY
+    * store's as-of snapshot equals this set at the same epoch — the
+    * audit law AdmissionSpec pins — so the loop's whole history is
+    * reproducible from disk without replaying any ingest. */
+  def admittedAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(
+      spark, store(path, "admitted"), epoch, spark.read.parquet(_))
+
   /** Committed epochs of the admitted store (== fully decided
     * epochs). */
   def committedEpochs(spark: SparkSession, path: String): Seq[Long] =

@@ -65,6 +65,39 @@ class AdmissionSpec extends AnyFunSuite {
     assert(Dedup.exact(admitted).where($"n_copies" > 1).isEmpty)
   }
 
+  test("time-travel audit: every store as of epoch e holds exactly the admitted prefix") {
+    // the reproducibility question a production loop answers from
+    // disk: "what was the admitted corpus — and what did each
+    // screening store hold — when epoch e committed?" With
+    // maintenance at retainGens = 1, the as-of snapshot of the
+    // decision log AND of every index store equals the admitted
+    // prefix at that epoch, with no ingest replay.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_adm_audit_").toString
+    Admission.init(spark, path)
+    Seq(shard0, shard1, shard2).zipWithIndex.foreach { case (sh, e) =>
+      Admission.admitEpoch(spark, path, e.toLong, sh)
+    }
+    Admission.compact(spark, path, retainGens = 1)
+    val prefixes = Map(
+      0L -> wantByEpoch(0L),
+      1L -> (wantByEpoch(0L) ++ wantByEpoch(1L)),
+      2L -> wantByEpoch.values.flatten.toSet)
+    prefixes.foreach { case (e, want) =>
+      assert(admittedIds(Admission.admittedAsOf(spark, path, e)) == want,
+        s"decision log as of epoch $e")
+      assert(ContentHashIndex.readAsOf(spark, s"$path/exact", e)
+        .select("doc_id").as[Long].collect().toSet == want,
+        s"exact store as of epoch $e")
+      assert(MinHashIndex.readAsOf(spark, s"$path/neardup", e)
+        .select("doc_id").as[Long].collect().toSet == want,
+        s"neardup store as of epoch $e")
+    }
+    assert(admittedIds(Admission.admittedAsOf(spark, path, 2L)) ==
+      admittedIds(Admission.admittedAll(spark, path)),
+      "the latest as-of point must equal the live admitted corpus")
+  }
+
   test("replay at the worst crash point re-reads the committed decision, never re-decides") {
     // crash window: the admitted segment for epoch 1 committed, the
     // exact-index append committed, the MinHash append LOST. A replay
