@@ -943,6 +943,32 @@ object VectorQueries {
     "mm_neardup" -> ((s, d) =>
       Multimodal.imageNearDupPairs(s, Tables.documents(s, d), maxHamming = 3)),
 
+    // the multimodal PIPELINE capstone: decode every doc's image →
+    // aHash → perceptual near-dup drops the larger id of every
+    // hamming ≤ 3 pair → deterministic 50% membership sample (the
+    // pipeline_pretrain multiplicative hash) → per-source survivor
+    // counts. Every stage is an already-oracled component; the
+    // composition replays end-to-end from the closed-form pixel
+    // formula. Scale shape: decode is the embarrassingly-parallel
+    // codec seam, the pair law is the shared (cappable) pigeonhole
+    // blocking, everything after is a semi/anti join + one combinable
+    // aggregate — the corpus is scanned once per stage and never
+    // shuffled except the pair-bucket exchange.
+    "pipeline_multimodal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Multimodal.imageAHash(s, Multimodal.imageAssets(s, docs))
+        .toDF().withColumnRenamed("asset_id", "doc_id")
+      val dropped = graft.operators.Dedup.hammingChunkPairs(sigs, maxHamming = 3)
+        .select(col("b_id").as("doc_id")).distinct()
+      docs
+        .join(sigs.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .where(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(100L)) < 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ...and the image dedup taken to its decision: the perceptual
     // pair graph clustered with the shared pointer-jumped connected
     // components — every image in a near-dup cluster labeled by its
@@ -2975,6 +3001,25 @@ object VectorQueries {
     // chunks (pigeonhole), so blocking is exhaustive and the pair
     // sets must match exactly (same argument as dedup_simhash).
     "mm_neardup" -> mmNearDupOracle,
+
+    // the capstone composition: pair law from the closed-form pixels,
+    // larger-id drop, multiplicative-hash sample, per-source counts
+    "pipeline_multimodal" ->
+      s"""WITH $mmSigCtes,
+          pairs AS (
+            SELECT a.asset_id AS a_id, b.asset_id AS b_id
+            FROM sigs a JOIN sigs b ON a.asset_id < b.asset_id
+            WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+          dropped AS (SELECT DISTINCT b_id FROM pairs),
+          surv AS (
+            SELECT s.asset_id FROM sigs s
+            WHERE NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.b_id = s.asset_id)),
+          kept AS (
+            SELECT d.source FROM documents d
+            JOIN surv ON surv.asset_id = d.doc_id
+            WHERE ((d.doc_id % 1000003) * 2654435761) % 100 < 50)
+          SELECT source, count(*) AS n_docs FROM kept GROUP BY source""",
     // the persisted HammingIndex serve is bit-identical over any
     // base∪delta split — shared oracle
     "mm_neardup_delta" -> mmNearDupOracle,
