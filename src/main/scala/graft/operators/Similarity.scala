@@ -1779,6 +1779,47 @@ object Similarity {
     out
   }
 
+  /** What MMR BUYS, measured: per query the intra-list similarity
+    * (ILS — mean pairwise cosine of the returned set) of the plain
+    * top-k next to the MMR top-k. A diversified list has lower ILS at
+    * the same shortlist; this is the number a deployment reads to
+    * decide whether λ is doing anything. Pairwise-sum order is made
+    * engine-independent with the family's 2^36 fixed-point recipe
+    * ([[kmeans]]' fpSum — exact integer sums, one double division),
+    * so both columns replay bit-for-bit in DuckDB.
+    *
+    * Scale shape: both rankings are output-sized inputs (|queries|·k
+    * rows); the pairwise expansion is k²-per-query over those rows
+    * only — the corpus is touched exactly by the two shortlist
+    * stages. */
+  def mmrDiversityEval(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      shortlist: Int = 20, lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val fp = 68719476736L // 2^36 — the shared fixed-point scale
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    def ils(picks: DataFrame, name: String): DataFrame = {
+      val withV = picks
+        .join(emb, "vec_id")
+        .select(col("query_id"), col("vec_id"), col("embedding"))
+      val a = withV.toDF("query_id", "a_id", "a_v")
+      val b = withV.toDF("query_id", "b_id", "b_v")
+      a.join(b, Seq("query_id"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("query_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+        .groupBy("query_id")
+        .agg((sum(floor(col("cos") * fp + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+          / count(lit(1)) / fp).as(name))
+    }
+    val mmrRes = mmrRerank(embeddings, nQueries, k, shortlist, lam, mu)
+    try {
+      val plain = ils(
+        bruteForceKnn(emb, nQueries, k).select("query_id", "vec_id"), "ils_topk")
+      val diverse = ils(mmrRes.select("query_id", "vec_id"), "ils_mmr")
+      plain.join(diverse, "query_id").localCheckpoint(true)
+    } finally Storage.unpersistLocalCheckpoint(mmrRes)
+  }
+
   /** Self-supervised dataset PRUNING (Sorscher et al. 2022, "Beyond
     * neural scaling laws"): train k-means prototypes over the
     * embedding corpus, then per cluster keep the HARDEST ⌈n/2⌉

@@ -66,6 +66,13 @@ object VectorQueries {
     "knn_mmr" -> ((s, d) =>
       Similarity.mmrRerank(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // what MMR buys, measured: per query the intra-list similarity
+    // (mean pairwise cosine, 2^36 fixed-point exact) of the plain
+    // top-5 next to the MMR top-5 — the number that says whether λ
+    // is doing anything.
+    "knn_eval_mmr" -> ((s, d) =>
+      Similarity.mmrDiversityEval(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     // the PRODUCTION retrieval chain: ANN shortlist first (seed-IVF
     // top-20 — the corpus is touched only by the tier's probed-list
     // scan), MMR diversity second over the 20-row shortlist. Both
@@ -2616,6 +2623,37 @@ object VectorQueries {
     "knn_filtered_ivf" -> filteredIvfOracle,
     "knn_mmr" -> mmrOracle,
     "knn_mmr_ivf" -> mmrIvfOracle,
+
+    // intra-list similarity of both rankings — pairwise cosines
+    // folded with the 2^36 fixed-point recipe (exact integer sums,
+    // one double division on each side)
+    "knn_eval_mmr" ->
+      s"""WITH tk AS ($bruteOracle),
+          mm AS ($mmrOracle),
+          tkp AS (
+            SELECT a.query_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+            FROM tk a JOIN tk b
+              ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          mmp AS (
+            SELECT a.query_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+            FROM mm a JOIN mm b
+              ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          ti AS (
+            SELECT query_id,
+                   CAST(sum(CAST(floor(cos * 68719476736 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 68719476736 AS ils_topk
+            FROM tkp GROUP BY 1),
+          mi AS (
+            SELECT query_id,
+                   CAST(sum(CAST(floor(cos * 68719476736 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 68719476736 AS ils_mmr
+            FROM mmp GROUP BY 1)
+          SELECT ti.query_id, ti.ils_topk, mi.ils_mmr
+          FROM ti JOIN mi USING (query_id)""",
     "knn_eval_frontier" -> frontierOracle,
     "knn_eval_frontier_rescore" -> rescoreFrontierOracle,
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),

@@ -368,6 +368,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"diversity-blind order (brute would give 1,2,3): got $order")
   }
 
+  test("mmr diversity eval: the diversified list has strictly lower intra-list similarity") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.999f, 0.04f), 0),
+      (2L, Array(0.999f, 0.04f), 0), // exact duplicate of 1
+      (3L, Array(0.6f, 0.8f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.mmrDiversityEval(
+      vecs, nQueries = 1, k = 2, shortlist = 3, lam = 0.3, mu = 0.7)
+    val (ilsTopk, ilsMmr) =
+      r.select("ils_topk", "ils_mmr").as[(Double, Double)].collect().head
+    graft.operators.Storage.unpersistLocalCheckpoint(r)
+    // brute top-2 is the duplicate pair (ILS = 1 exactly); MMR swaps
+    // the dup for the diverse candidate
+    assert(ilsTopk == 1.0, s"dup-pair ILS should be exactly 1: $ilsTopk")
+    assert(ilsMmr < 0.9 && ilsMmr < ilsTopk, s"($ilsTopk, $ilsMmr)")
+  }
+
   test("filtered knn: only same-label rows surface, nearer cross-label rows are excluded") {
     val vecs = Seq(
       (0L, Array(1f, 0f), 0),
