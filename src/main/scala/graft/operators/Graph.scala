@@ -680,6 +680,99 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Multi-source BFS: minimum hop count from any node in `sources`
+    * to every node reachable within `maxHops` over the directed edge
+    * list `edges(src, dst)` (symmetrize upstream for undirected
+    * semantics). Returns (node_id, hops) — exactly the nodes
+    * discovered inside the budget, hops = shortest-path length.
+    * Unit weights are a special case of [[boundedSssp]]; the shared
+    * frontier kernel is BFS-optimal here automatically, because with
+    * unit weights a node's first discovery is already minimal, so
+    * the "improved" set degenerates to the newly-discovered frontier
+    * and each round's join touches only it. */
+  def bfs(edges: DataFrame, sources: Seq[Long], maxHops: Int): DataFrame =
+    boundedSssp(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      sources, maxHops)
+      .withColumnRenamed("dist", "hops")
+
+  /** Bellman–Ford relaxation bounded at `rounds` supersteps from a
+    * source set: returns (node_id, dist) = the minimum total edge
+    * weight over all paths of ≤ `rounds` hops from any source, for
+    * every node reachable inside the budget. `edges(src, dst, w)` is
+    * a directed multigraph with INTEGER weights — parallel edges are
+    * alternative routes, folded by the relaxation's min. Weights are
+    * exact int64 arithmetic throughout, so the whole trajectory is
+    * bit-replayable by an unrolled SQL oracle; a fixed round budget
+    * (not convergence) keeps the result a pure function of
+    * (edges, sources, rounds) — the k-hop-bounded distance semantics
+    * a feature pipeline wants anyway ("cost within 3 referrals").
+    *
+    * Frontier discipline — the part that matters at 100 TB: only a
+    * node whose distance IMPROVED in round r can improve a neighbor
+    * in round r+1 (relaxation monotonicity), so each round joins the
+    * pre-partitioned edge list against the CHANGED rows only —
+    * O(|frontier|), not O(|V|). The candidate relaxations fold with
+    * one map-side-combinable min per dst; the state merge is one
+    * |V|-row outer join. Induction gives exactness: after round r,
+    * dist(v) equals the ≤ r-hop optimum (every prefix-optimal value
+    * is offered the round after it is achieved), so frontier pruning
+    * changes cost, never the answer. Same storage protocol as
+    * [[pageRank]]: edges persisted pre-partitioned once, each round's
+    * state checkpointed, superseded rounds released immediately.
+    *
+    * Overflow headroom: dist ≤ rounds · max|w|; the relaxation add is
+    * int64 with no guard — callers with |w| near 2⁶³/rounds own the
+    * bound (the TPC-H-scale weights here sit ~10 orders below it). */
+  def boundedSssp(
+      edges: DataFrame, sources: Seq[Long], rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    // round-0 state = the sources at distance 0; also the warm-up job
+    var state = sources.toSet.toSeq.sorted.toDF("node_id")
+      .select(col("node_id").cast("long").as("node_id"),
+        lit(0L).as("dist"), lit(true).as("improved"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to rounds) {
+        val next = ssspRound(e, state).localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(state)
+        state = next
+      }
+      val out = state.select(col("node_id"), col("dist")).localCheckpoint(true)
+      Storage.unpersistLocalCheckpoint(state)
+      out
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** One bounded-SSSP superstep, factored out so the plan-shape spec
+    * can pin the exchange budget: candidate relaxations stream the
+    * pre-partitioned edges against the previous round's IMPROVED rows
+    * only (shuffle_hash — the frontier is the small side by
+    * construction), fold map-side to one min per dst, and one full
+    * outer join merges them into the |V|-row state. `improved` marks
+    * rows the merge lowered (or discovered) — the next round's
+    * frontier. */
+  private[graft] def ssspRound(e: DataFrame, state: DataFrame): DataFrame = {
+    val cand = e
+      .join(state.where(col("improved"))
+          .select(col("node_id").as("u"), col("dist").as("du"))
+          .hint("shuffle_hash"),
+        e("src") === col("u"))
+      .groupBy(col("dst").as("node_id"))
+      .agg(min(col("du") + col("w")).as("nd"))
+    state.select(col("node_id"), col("dist"))
+      .join(cand, Seq("node_id"), "full_outer")
+      .select(col("node_id"),
+        least(coalesce(col("dist"), col("nd")),
+          coalesce(col("nd"), col("dist"))).as("dist"),
+        (col("nd").isNotNull &&
+          (col("dist").isNull || col("nd") < col("dist"))).as("improved"))
+  }
+
   /** One synchronous LPA superstep, factored out so the plan-shape
     * spec can pin the exchange budget (the public entry checkpoints
     * each round, hiding the joins): vote stream = edges ⋈ labels on

@@ -29,6 +29,17 @@ object CoreQueries {
   private def dsumHi(c: Column): Column = sum(c).cast("double") // for already-decimal exprs
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  // er_candidates' oracle, shared by er_resolve as its pair CTE: an
+  // independent self-join formulation of the blocked comparison
+  private lazy val erPairsSql: String =
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey
+        AND a.c_mktsegment = b.c_mktsegment
+        AND a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- aggregation ---------------------------------------------------
@@ -794,6 +805,73 @@ object CoreQueries {
       out
     }),
 
+    // multi-source BFS over the symmetrized customer↔supplier
+    // purchase graph: shortest hop count from customers {1, 7} to
+    // every node within 4 hops. Frontier-only expansion per round;
+    // the oracle recomputes hop minima independently with a
+    // recursive CTE (a different formulation — exhaustive path
+    // enumeration with UNION dedup — so agreement is evidence, not
+    // replay). Full reached relation, no limit: the result IS the
+    // per-node distance labeling a feature pipeline joins back.
+    "graph_bfs" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.bfs(edges, sources = Seq(1L, 7L), maxHops = 4)
+    }),
+
+    // hop-bounded single-source min-cost (Bellman–Ford, 3 rounds)
+    // over the same purchase graph with integer edge costs
+    // (l_quantity, both directions): cheapest ≤ 3-hop route from
+    // customer 1 to every reachable node. Parallel purchase edges
+    // are alternative routes — the relaxation's min folds them. The
+    // oracle unrolls the 3 relaxation rounds as CTEs (full
+    // relaxation — provably equal to the engine's frontier-pruned
+    // form, so agreement checks the pruning proof too).
+    "graph_sssp" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"),
+          col("l_quantity").cast("long").as("w"))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst"), col("w")),
+          struct(col("sp").as("src"), col("c").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      graft.operators.Graph.boundedSssp(edges, sources = Seq(1L), rounds = 3)
+    }),
+
+    // -- entity resolution (structured-record dedup) ---------------------
+
+    // blocking + edit-distance candidate pairs over the customer
+    // table: compare only within (nation, market segment) blocks,
+    // keep pairs whose names are ≤ 2 edits apart. Both engines run
+    // the identical integer Levenshtein, so the threshold has no
+    // float caveats; the oracle is an independent self-join.
+    "er_candidates" -> ((s, d) =>
+      graft.operators.EntityResolution.blockedPairs(
+        Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"), col("c_mktsegment")),
+        blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2)),
+
+    // the full resolution pipeline: candidate pairs → transitive
+    // closure (connected components) → one canonical survivor per
+    // entity (highest account balance, ties toward the smaller key).
+    // One row per record in a multi-record entity.
+    "er_resolve" -> ((s, d) =>
+      graft.operators.EntityResolution.resolve(
+        Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+        blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        quality = "c_acctbal")),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1378,6 +1456,79 @@ object CoreQueries {
           $rounds
           SELECT node_id, community FROM l3 ORDER BY node_id ASC"""
     },
+
+    // exhaustive bounded path enumeration with UNION dedup, folded to
+    // per-node hop minima — an independent formulation of the
+    // engine's frontier expansion (which never enumerates paths).
+    "graph_bfs" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
+                    UNION ALL SELECT sp, c FROM e0),
+          reach(node_id, d) AS (
+            SELECT src, 0 FROM (VALUES (1), (7)) s(src)
+            UNION
+            SELECT e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.node_id
+            WHERE r.d < 4)
+          SELECT CAST(node_id AS BIGINT) AS node_id,
+                 CAST(min(d) AS BIGINT) AS hops
+          FROM reach GROUP BY node_id""",
+
+    // 3 unrolled FULL Bellman–Ford relaxation rounds (every state row
+    // relaxes every round) — provably equal to the engine's
+    // frontier-pruned relaxation, and structurally different from it.
+    "graph_sssp" -> {
+      def iter(prev: String, n: Int): String =
+        s"""c$n AS MATERIALIZED (
+              SELECT e.dst AS node_id, min(p.dist + e.w) AS nd
+              FROM edges e JOIN $prev p ON e.src = p.node_id GROUP BY e.dst),
+          d$n AS MATERIALIZED (
+              SELECT coalesce(p.node_id, c.node_id) AS node_id,
+                     least(coalesce(p.dist, c.nd), coalesce(c.nd, p.dist)) AS dist
+              FROM $prev p FULL OUTER JOIN c$n c ON p.node_id = c.node_id)"""
+      val rounds = (1 to 3).map(n => iter(if (n == 1) "d0" else s"d${n - 1}", n))
+        .mkString(",\n          ")
+      s"""WITH e0 AS MATERIALIZED (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS MATERIALIZED (SELECT c AS src, sp AS dst, w FROM e0
+                    UNION ALL SELECT sp, c, w FROM e0),
+          d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node_id,
+                                     CAST(0 AS BIGINT) AS dist),
+          $rounds
+          SELECT node_id, CAST(dist AS BIGINT) AS dist FROM d3"""
+    },
+
+    "er_candidates" -> erPairsSql,
+
+    "er_resolve" ->
+      s"""WITH RECURSIVE pr AS ($erPairsSql),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+          cc AS (SELECT id, CAST(min(lab) AS BIGINT) AS entity_id
+                 FROM reach GROUP BY id),
+          m AS (SELECT cc.id, cc.entity_id, c.c_acctbal AS q
+                FROM cc JOIN customer c ON cc.id = c.c_custkey),
+          sv AS (SELECT entity_id, id,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY q DESC, id ASC) AS rn
+                 FROM m),
+          st AS (SELECT entity_id,
+                   max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+                   count(*) AS n_members
+                 FROM sv GROUP BY entity_id)
+          SELECT m.id, m.entity_id, m.id = st.survivor_id AS is_survivor,
+                 CAST(st.n_members AS BIGINT) AS n_members
+          FROM m JOIN st USING (entity_id)""",
 
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def recs(rows: (Long, String, Int, Double)*) =
+    rows.toDF("id", "name", "block", "q")
+
+  test("blockedPairs: matches stay inside blocks and under the distance cap") {
+    val df = recs(
+      (1L, "acme corp", 1, 0.0), (2L, "acme corpx", 1, 0.0), // dist 1
+      (3L, "acme corp", 2, 0.0), // same name, OTHER block — never compared
+      (4L, "zenith ltd", 1, 0.0)) // dist > 2 from both acme rows
+    val got = EntityResolution
+      .blockedPairs(df, blockCols = Seq("block"), maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)),
+      s"wanted only the in-block near-name pair: $got")
+  }
+
+  test("blockedPairs agrees with a driver-side brute force on random records") {
+    val rnd = new scala.util.Random(11)
+    val names = Vector("alpha", "alphb", "alpzb", "beta", "betta", "gamma")
+    val rows = (1L to 120L).map(i =>
+      (i, names(rnd.nextInt(names.size)), rnd.nextInt(4), 0.0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ref = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1
+      d = lev(a._2, b._2) if d <= 2
+    } yield (a._1, b._1, d)).toSet
+    val got = EntityResolution
+      .blockedPairs(recs(rows: _*), blockCols = Seq("block"), maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("blockedPairs fails loudly when a block exceeds the pair budget") {
+    val df = recs((1L to 20L).map(i => (i, s"name$i", 1, 0.0)): _*)
+    val e = intercept[Exception] {
+      EntityResolution
+        .blockedPairs(df, blockCols = Seq("block"), maxDist = 2,
+          maxPairsPerBlock = 100L)
+        .collect()
+    }
+    assert(exceptionChain(e).exists(_.contains("maxPairsPerBlock")),
+      s"wanted the loud block-budget message, got: ${e.getMessage}")
+  }
+
+  test("resolve: transitive closure + quality survivor; singletons excluded") {
+    // chain a–b, b–c links {1,2,3} into one entity even though 1 and 3
+    // are 2 edits apart only via b; 9 is a singleton and must not appear
+    val df = recs(
+      (1L, "smith", 1, 5.0), (2L, "smyth", 1, 9.0), (3L, "smythe", 1, 7.0),
+      (9L, "unrelated", 1, 99.0))
+    val got = EntityResolution
+      .resolve(df, blockCols = Seq("block"), maxDist = 1, quality = "q")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, false, 3L), (2L, 1L, true, 3L), (3L, 1L, false, 3L)),
+      s"wanted one 3-member entity with survivor 2 (q=9.0): $got")
+  }
+
+  test("resolve survivor ties break toward the smaller id") {
+    val df = recs((1L, "aa", 1, 5.0), (2L, "ab", 1, 5.0))
+    val got = EntityResolution
+      .resolve(df, blockCols = Seq("block"), maxDist = 1, quality = "q")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(got == Set((1L, 1L, true, 2L), (2L, 1L, false, 2L)))
+  }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+}

@@ -293,6 +293,71 @@ class GraphSpec extends AnyFunSuite {
       s"wanted composite-overflow guidance, got: ${e.getMessage}")
   }
 
+  test("bfs: multi-source hop minima, budget bound, unreached absent") {
+    // path 1→2→3→4→5 plus source 7 adjacent to 4: node 5 is 1 hop
+    // from 7's side via 4? no — 7→4→5, so 5 is at hop 2; node 3 is
+    // min(2 from 1, 2 from 7's 4? 7→4→3 = 2) = 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.bfs(edges, sources = Seq(1L, 7L), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 7L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L),
+      s"hop minima wrong: $got")
+    // hop-3 nodes appear once the budget allows
+    val wide = Graph.bfs(edges, sources = Seq(1L), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("boundedSssp: a cheap 2-hop route beats the direct edge; parallel edges fold") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3 = 5; a parallel 1→2 edge
+    // costs 9 and must lose to the 2
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (1L, 2L, 9L), (2L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.boundedSssp(edges, sources = Seq(1L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 2L, 3L -> 10L),
+      s"after 1 round the direct edge must still hold: $r1")
+    val r2 = Graph.boundedSssp(edges, sources = Seq(1L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L),
+      s"round 2 must relax through the improved frontier: $r2")
+  }
+
+  test("frontier-pruned relaxation equals full Bellman-Ford on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (1 + rnd.nextInt(9)).toLong))
+    val rounds = 4
+    val sources = Seq(0L, 1L)
+    // driver-side full relaxation: dist_r = min over ≤ r-hop paths
+    var ref = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = edges.flatMap { case (s, t, w) =>
+        ref.get(s).map(ds => t -> (ds + w)) }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+      ref = (ref.keySet ++ cand.keySet).map { n =>
+        n -> math.min(ref.getOrElse(n, Long.MaxValue),
+          cand.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    val got = Graph.boundedSssp(edges.toDF("src", "dst", "w"), sources, rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref, s"engine vs reference mismatch: " +
+      s"only-engine=${got.toSet -- ref.toSet} only-ref=${ref.toSet -- got.toSet}")
+  }
+
+  test("bfs/sssp release every superseded checkpoint; only the result stays") {
+    val edges = (1L to 100L).map(i => (i, i % 10)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Graph.bfs(edges, sources = Seq(1L), maxHops = 3)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"leaked checkpoint blocks: $before before, $after after")
+  }
+
   private def exceptionChain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
