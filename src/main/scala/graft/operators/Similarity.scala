@@ -1867,6 +1867,72 @@ object Similarity {
     * Exact by construction; the correctness baseline the banded-LSH
     * operator is verified against. Only safe when blocks are small —
     * the pair space is O(|block|²). */
+  /** Hybrid lexical + dense retrieval with reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher 2009) — the production search stack
+    * in one operator: a sparse (token-overlap) ranking and a dense
+    * (embedding-cosine) ranking are computed per query, each cut to
+    * its top-`m`, and fused by RRF(d) = Σ_lists 1/(rrfK + rank_d),
+    * docs absent from a list contributing nothing from it.
+    *
+    * Inputs: `lexical(doc_id, toks)` — DISTINCT token sets — and
+    * `embeddings(vec_id, embedding)`; the corpus is their inner join
+    * on doc_id = vec_id, queries are ids < `nQueries` (query-by-
+    * example: the query's own tokens and embedding, self excluded).
+    *
+    * Determinism: ranks are integers from the salted top-`m` (total
+    * order score desc, id asc); the only FP steps are the cosine
+    * (left-to-right kernel, oracle-identical), one int division for
+    * Jaccard, and the two-term RRF sum in fixed dense-then-lexical
+    * order — every one an identically-ordered IEEE op in DuckDB.
+    *
+    * 100 TB shape: the query batch broadcasts; BOTH scores come out
+    * of ONE pass over the joined corpus (one projection computes cos
+    * and jac side by side), and the two top-`m` reductions then hash-
+    * partition that scored stream by the SAME (query, salt) key —
+    * identical exchange subtrees, so the scan+join runs once and the
+    * second reduction reuses the shuffle (ReusedExchange), paying
+    * only its own sort. Fusion touches ≤ 2m rows per query. Nothing
+    * corpus-wide is windowed, collected, or re-shuffled. */
+  def hybridRrf(
+      lexical: DataFrame, embeddings: DataFrame, nQueries: Int = 8,
+      m: Int = 20, k: Int = 10, rrfK: Int = 60,
+      salts: Int = 32): DataFrame = {
+    val corpus = lexical
+      .join(embeddings, lexical("doc_id") === embeddings("vec_id"))
+      .select(col("vec_id"), col("toks"), col("embedding"))
+    val queries = corpus
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("toks").as("qt"),
+        col("embedding").as("qv"))
+    val inter = size(array_intersect(col("qt"), col("toks")))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"),
+        (inter.cast("double") /
+          (size(col("qt")) + size(col("toks")) - inter)).as("jac"))
+    val dense = saltedTopK(scored, "cos", ascending = false, k = m, salts = salts)
+      .select(col("query_id"), col("vec_id"), col("rank").as("dense_rank"))
+    val lex = saltedTopK(scored, "jac", ascending = false, k = m, salts = salts)
+      .select(col("query_id"), col("vec_id"), col("rank").as("lex_rank"))
+    val fused = dense
+      .join(lex, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        col("dense_rank"), col("lex_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        round(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+
   def cosineNearDupExact(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
     val b = embeddings.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_v"))

@@ -73,6 +73,20 @@ object VectorQueries {
     "knn_eval_mmr" -> ((s, d) =>
       Similarity.mmrDiversityEval(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
+    // hybrid lexical + dense retrieval with reciprocal-rank fusion:
+    // token-Jaccard top-20 and cosine top-20 per query (both scores
+    // out of ONE corpus pass — the second top-k reuses the first's
+    // shuffle), fused by RRF with k=60. Query-by-example over the
+    // docs⋈embeddings corpus; the oracle recomputes both rankings
+    // and the fusion from first principles.
+    "knn_hybrid_rrf" -> ((s, d) => {
+      val lex = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("toks"))
+      Similarity.hybridRrf(lex,
+        Tables.embeddings(s, d).select("vec_id", "embedding"))
+    }),
+
     // the PRODUCTION retrieval chain: ANN shortlist first (seed-IVF
     // top-20 — the corpus is touched only by the tier's probed-list
     // scan), MMR diversity second over the 20-row shortlist. Both
@@ -2623,6 +2637,56 @@ object VectorQueries {
     "knn_filtered_ivf" -> filteredIvfOracle,
     "knn_mmr" -> mmrOracle,
     "knn_mmr_ivf" -> mmrIvfOracle,
+
+    // both rankings + the RRF fusion recomputed from first
+    // principles: window top-20s over one scored relation, full
+    // outer fusion, CAST(1 AS DOUBLE) guards against DuckDB's
+    // decimal-typed literal division
+    "knn_hybrid_rrf" ->
+      s"""WITH corpus AS MATERIALIZED (
+            SELECT e.vec_id,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(d.text), '\\s+'),
+                     t -> len(t) > 0)) AS toks,
+                   e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          q AS (SELECT vec_id AS query_id, toks AS qt, embedding AS qv
+                FROM corpus WHERE vec_id < 8),
+          scored AS MATERIALIZED (
+            SELECT q.query_id, c.vec_id,
+                   ${cosSql("q.qv", "c.embedding")} AS cos,
+                   CAST(len(list_intersect(q.qt, c.toks)) AS DOUBLE)
+                     / (len(q.qt) + len(c.toks)
+                        - len(list_intersect(q.qt, c.toks))) AS jac
+            FROM corpus c JOIN q ON c.vec_id <> q.query_id),
+          dm AS (SELECT query_id, vec_id, r FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS r
+              FROM scored) WHERE r <= 20),
+          lm AS (SELECT query_id, vec_id, r FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY jac DESC, vec_id ASC) AS r
+              FROM scored) WHERE r <= 20),
+          fused AS (
+            SELECT coalesce(dm.query_id, lm.query_id) AS query_id,
+                   coalesce(dm.vec_id, lm.vec_id) AS doc_id,
+                   coalesce(dm.r, 0) AS dr, coalesce(lm.r, 0) AS lr,
+                   coalesce(CAST(1 AS DOUBLE) / (60 + dm.r),
+                            CAST(0 AS DOUBLE))
+                     + coalesce(CAST(1 AS DOUBLE) / (60 + lm.r),
+                                CAST(0 AS DOUBLE)) AS rrf
+            FROM dm FULL OUTER JOIN lm
+              ON dm.query_id = lm.query_id AND dm.vec_id = lm.vec_id),
+          rk AS (SELECT query_id, doc_id, dr, lr, rrf,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id ASC) AS rank
+                 FROM fused)
+          SELECT query_id, doc_id, CAST(dr AS INT) AS dense_rank,
+                 CAST(lr AS INT) AS lex_rank, round(rrf, 6) AS rrf,
+                 CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 10""",
 
     // intra-list similarity of both rankings — pairwise cosines
     // folded with the 2^36 fixed-point recipe (exact integer sums,

@@ -1016,6 +1016,74 @@ class SimilaritySpec extends AnyFunSuite {
       s"scaled copy must rank first, got ${top.toSeq}")
   }
 
+  test("hybridRrf equals a driver-side replay of both rankings + fusion") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("the", "cat", "dog", "sat", "ran", "mat", "sun", "sky")
+    val rows = (0L until 40L).map { i =>
+      val toks = rnd.shuffle(vocab).take(2 + rnd.nextInt(5)).toArray
+      val emb = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, toks, emb)
+    }
+    val lex = rows.map(r => (r._1, r._2)).toDF("doc_id", "toks")
+    val emb = rows.map(r => (r._1, r._3)).toDF("vec_id", "embedding")
+    val m = 6; val k = 4; val nQ = 3; val rrfK = 60
+    // driver replay with the same total orders
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- ad.indices) { dot += ad(j) * bd(j); na += ad(j) * ad(j); nb += bd(j) * bd(j) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    val expect = (0L until nQ).flatMap { q =>
+      val (_, qt, qv) = byId(q)
+      val scored = rows.filter(_._1 != q).map { case (id, t, v) =>
+        val inter = qt.toSet.intersect(t.toSet).size
+        val jac = inter.toDouble / (qt.toSet.size + t.toSet.size - inter)
+        (id, cos(qv, v), jac)
+      }
+      val dr = scored.sortBy(x => (-x._2, x._1)).take(m).zipWithIndex
+        .map { case (x, i) => x._1 -> (i + 1) }.toMap
+      val lr = scored.sortBy(x => (-x._3, x._1)).take(m).zipWithIndex
+        .map { case (x, i) => x._1 -> (i + 1) }.toMap
+      val fused = (dr.keySet ++ lr.keySet).toSeq.map { id =>
+        val rrf = dr.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+          lr.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+        (id, dr.getOrElse(id, 0), lr.getOrElse(id, 0), rrf)
+      }
+      fused.sortBy(x => (-x._4, x._1)).take(k).zipWithIndex.map {
+        case ((id, d, l, rrf), i) =>
+          (q, id, d, l, math.rint(rrf * 1e6) / 1e6, i + 1)
+      }
+    }.toSet
+    val got = Similarity
+      .hybridRrf(lex, emb, nQueries = nQ, m = m, k = k, rrfK = rrfK, salts = 4)
+      .as[(Long, Long, Int, Int, Double, Int)].collect().toSet
+    assert(got == expect,
+      s"only-engine=${got -- expect} only-ref=${expect -- got}")
+  }
+
+  test("hybridRrf: a doc leading both lists is fused to rank 1") {
+    // doc 5 duplicates query 0's embedding AND token set; no other
+    // doc shares tokens with the query, so 5 tops both rankings
+    val qToks = Array("alpha", "beta", "gamma")
+    val qEmb = Array.tabulate(6)(j => (j + 1).toFloat)
+    val others = (1L to 4L).map { i =>
+      (i, Array(s"w$i", s"x$i"),
+        Array.tabulate(6)(j => (math.sin(i * 7.0 + j)).toFloat))
+    }
+    val rows = (0L, qToks, qEmb) +: others :+ ((5L, qToks, qEmb.map(_ * 2f)))
+    val lex = rows.map(r => (r._1, r._2)).toDF("doc_id", "toks")
+    val emb = rows.map(r => (r._1, r._3)).toDF("vec_id", "embedding")
+    val top = Similarity
+      .hybridRrf(lex, emb, nQueries = 1, m = 3, k = 1, salts = 2)
+      .as[(Long, Long, Int, Int, Double, Int)].collect()
+    assert(top.length == 1 && top.head._2 == 5L,
+      s"dual-list leader must fuse to rank 1: ${top.toSeq}")
+    assert(top.head._3 == 1 && top.head._4 == 1,
+      s"both source ranks must be 1: ${top.toSeq}")
+  }
+
   test("hyperplane signature is deterministic and bounded") {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
     val s1 = e.select(VectorFunctions.hyperplaneSignature($"embedding", 8).as("b"))
