@@ -112,4 +112,34 @@ object ContentHashIndex {
     * kept — the replay guard). */
   def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
     LsmSegments.gc(spark, path, retainGens)
+
+  /** Semantic diff between two retained snapshots: every fingerprint
+    * tuple that entered the index after `fromEpoch` and is visible at
+    * `toEpoch`, labeled `'changed'` when the doc id was already
+    * indexed at `fromEpoch` (a re-crawl whose content moved) and
+    * `'added'` when it is new — the audit view a lakehouse ingest
+    * reviews before promoting an epoch ("what did this crawl actually
+    * change?"). Returns (doc_id, status).
+    *
+    * Set semantics on (doc_id, text_hash): a doc re-appended with
+    * IDENTICAL content is not a difference (and an exact-dedup
+    * admission loop would have dropped it upstream anyway). Both
+    * snapshots resolve through the as-of protocol, so the diff is
+    * exact for any two retained epochs and fails loudly past the gc
+    * horizon. Shape: two snapshot folds, one anti join + one
+    * presence join, all hash-partitioned on doc_id — o(index), no
+    * windows, nothing driver-side. */
+  def diffAsOf(
+      spark: SparkSession, path: String,
+      fromEpoch: Long, toEpoch: Long): DataFrame = {
+    val a = readAsOf(spark, path, fromEpoch).distinct()
+    val b = readAsOf(spark, path, toEpoch).distinct()
+    b.join(a, Seq("doc_id", "text_hash"), "left_anti")
+      .join(a.select(col("doc_id")).distinct()
+          .withColumn("was_indexed", lit(1)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("was_indexed").isNotNull, lit("changed"))
+          .otherwise(lit("added")).as("status"))
+  }
 }

@@ -344,6 +344,31 @@ object TextQueries {
       graft.operators.HammingIndex.segmentStats(s, path)
     }),
 
+    // the epoch-promotion audit: after the full corpus is indexed
+    // (base + epoch 0), epoch 1 lands a crawl of content-mutated
+    // re-crawls (every 7th doc, text revised under the SAME id) plus
+    // brand-new pages (every 11th doc re-keyed) — the diff labels
+    // exactly which ids the crawl changed vs added, via the as-of
+    // snapshots on both sides. The oracle replays the set algebra on
+    // the raw texts (hash equality ⟺ text equality, the dedup_exact
+    // contract).
+    "dedup_index_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ch_diff_")
+      val path = dir.toAbsolutePath.toString
+      dedupIndexDirs.add(dir)
+      graft.operators.ContentHashIndex.write(
+        docs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.ContentHashIndex.appendEpoch(s, path, 0L,
+        docs.where(col("doc_id") % 3 === 2))
+      graft.operators.ContentHashIndex.appendEpoch(s, path, 1L,
+        docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+          .unionByName(docs.where(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+      graft.operators.ContentHashIndex.diffAsOf(s, path, 0L, 1L)
+    }),
+
     // pairwise dedup → per-cluster canonical assignment: connected
     // components over the exact n-gram-Jaccard pair graph, cluster_id
     // = min doc_id of the component. Oracled via recursive CTE.
@@ -1674,6 +1699,30 @@ object TextQueries {
             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id)
           SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
           FROM reach GROUP BY doc_id""",
+
+    // the diff's set algebra replayed on raw texts: state at epoch 0
+    // is the whole corpus; epoch 1's delta is the mutated re-crawls +
+    // re-keyed new pages; new tuples = delta minus the epoch-0 state,
+    // labeled by id presence
+    "dedup_index_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+          delta AS (
+            SELECT doc_id, text || ' rev2' AS text
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text
+            FROM documents WHERE doc_id % 11 = 0),
+          newt AS (
+            SELECT d.doc_id
+            FROM delta d LEFT JOIN a
+              ON a.doc_id = d.doc_id AND a.text = d.text
+            WHERE a.doc_id IS NULL)
+          SELECT n.doc_id,
+                 CASE WHEN p.doc_id IS NOT NULL THEN 'changed'
+                      ELSE 'added' END AS status
+          FROM newt n
+          LEFT JOIN (SELECT DISTINCT doc_id FROM a) p
+            ON p.doc_id = n.doc_id""",
 
     "text_scrub_pii" ->
       """SELECT doc_id,

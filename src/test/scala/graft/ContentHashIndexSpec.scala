@@ -87,4 +87,29 @@ class ContentHashIndexSpec extends AnyFunSuite {
     // indexed copies; 11/12 duplicate each other but nothing INDEXED
     assert(got == Set((10L, 1L, 2L)))
   }
+
+  test("diffAsOf labels changed vs added; identical re-appends are not differences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ch_diff_spec_")
+    val path = dir.toAbsolutePath.toString
+    ContentHashIndex.write(corpus.where($"doc_id" <= 3), path)
+    assert(ContentHashIndex.appendEpoch(spark, path, 0L, docs(
+      (1L, "alpha beta gamma"), // identical re-append: NOT a diff
+      (2L, "alpha beta gamma REVISED"), // content moved under same id
+      (20L, "brand new page")))) // new id
+    val got = ContentHashIndex.diffAsOf(spark, path, -1L, 0L)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (20L, "added")),
+      s"diff statuses wrong: $got")
+    // empty diff when both snapshots are the same epoch
+    assert(ContentHashIndex.diffAsOf(spark, path, 0L, 0L).isEmpty)
+    // the diff survives compaction: fold everything into a new base
+    // and the same epoch pair must resolve identically through the
+    // retained-generation as-of protocol
+    assert(ContentHashIndex.appendEpoch(spark, path, 1L,
+      docs((30L, "late page"))))
+    ContentHashIndex.compact(spark, path)
+    val after = ContentHashIndex.diffAsOf(spark, path, -1L, 0L)
+      .as[(Long, String)].collect().toSet
+    assert(after == got, s"compaction changed the diff: $after")
+  }
 }
