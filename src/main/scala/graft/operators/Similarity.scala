@@ -1887,11 +1887,15 @@ object Similarity {
     *
     * 100 TB shape: the query batch broadcasts; BOTH scores come out
     * of ONE pass over the joined corpus (one projection computes cos
-    * and jac side by side), and the two top-`m` reductions then hash-
-    * partition that scored stream by the SAME (query, salt) key —
-    * identical exchange subtrees, so the scan+join runs once and the
-    * second reduction reuses the shuffle (ReusedExchange), paying
-    * only its own sort. Fusion touches ≤ 2m rows per query. Nothing
+    * and jac side by side) into a PERSISTED (nQueries·|corpus|)-row
+    * scored relation of four scalar columns — orders of magnitude
+    * narrower than the corpus — which both top-`m` reductions then
+    * consume from cache. (Exchange reuse can't do this: the rank
+    * pushdown injects a different pre-shuffle WindowGroupLimit sort
+    * per score, so the branches' exchange subtrees never
+    * canonicalize equal and an unpersisted form re-scans the corpus
+    * per ranking.) Fusion touches ≤ 2m rows per query; the result is
+    * materialized and the cache released before returning. Nothing
     * corpus-wide is windowed, collected, or re-shuffled. */
   def hybridRrf(
       lexical: DataFrame, embeddings: DataFrame, nQueries: Int = 8,
@@ -1911,26 +1915,31 @@ object Similarity {
         cosine(col("qv"), col("embedding")).as("cos"),
         (inter.cast("double") /
           (size(col("qt")) + size(col("toks")) - inter)).as("jac"))
-    val dense = saltedTopK(scored, "cos", ascending = false, k = m, salts = salts)
-      .select(col("query_id"), col("vec_id"), col("rank").as("dense_rank"))
-    val lex = saltedTopK(scored, "jac", ascending = false, k = m, salts = salts)
-      .select(col("query_id"), col("vec_id"), col("rank").as("lex_rank"))
-    val fused = dense
-      .join(lex, Seq("query_id", "vec_id"), "full_outer")
-      .select(col("query_id"), col("vec_id"),
-        col("dense_rank"), col("lex_rank"),
-        (coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)))
-          .as("rrf"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("rrf").desc, col("vec_id").asc)
-    fused
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        round(col("rrf"), 6).as("rrf"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dense = saltedTopK(scored, "cos", ascending = false, k = m, salts = salts)
+        .select(col("query_id"), col("vec_id"), col("rank").as("dense_rank"))
+      val lex = saltedTopK(scored, "jac", ascending = false, k = m, salts = salts)
+        .select(col("query_id"), col("vec_id"), col("rank").as("lex_rank"))
+      val fused = dense
+        .join(lex, Seq("query_id", "vec_id"), "full_outer")
+        .select(col("query_id"), col("vec_id"),
+          col("dense_rank"), col("lex_rank"),
+          (coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)))
+            .as("rrf"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("vec_id").asc)
+      fused
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          round(col("rrf"), 6).as("rrf"), col("rank"))
+        // materialize before the finally releases the scored cache
+        .localCheckpoint(true)
+    } finally scored.unpersist(blocking = false)
   }
 
   def cosineNearDupExact(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

@@ -1063,6 +1063,20 @@ class SimilaritySpec extends AnyFunSuite {
       s"only-engine=${got -- expect} only-ref=${expect -- got}")
   }
 
+  test("hybridRrf releases the scored cache; only the result stays") {
+    val rows = (0L until 30L).map(i =>
+      (i, Array(s"t${i % 5}", s"u${i % 3}"),
+        Array.tabulate(6)(j => math.sin(i * 3.0 + j).toFloat)))
+    val lex = rows.map(r => (r._1, r._2)).toDF("doc_id", "toks")
+    val emb = rows.map(r => (r._1, r._3)).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Similarity.hybridRrf(lex, emb, nQueries = 2, m = 4, k = 3, salts = 2)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"leaked cache blocks: $before persistent RDDs before, $after after")
+  }
+
   test("hybridRrf: a doc leading both lists is fused to rank 1") {
     // doc 5 duplicates query 0's embedding AND token set; no other
     // doc shares tokens with the query, so 5 tops both rankings
