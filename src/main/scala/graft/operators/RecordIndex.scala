@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable ENTITY-RESOLUTION screening index — the structured-record
+  * sibling of [[ContentHashIndex]] on the same marker-last
+  * [[LsmSegments]] protocol, and the fourth record schema through it
+  * (hashes, MinHash bands, Hamming chunks, now ER records — the
+  * protocol is payload-agnostic by construction). Segments store
+  * `(id, name, block)`: the record key, the fuzzy-match field, and
+  * the caller-computed blocking key ([[EntityResolution]]'s contract
+  * — concatenate your blocking columns; the key bounds the
+  * comparison fan-out).
+  *
+  * [[probeShard]] is the admission check a master-data ingest runs:
+  * which arriving records fuzzily match something already registered?
+  * o(index) per probe — the index scan is cut to the shard's blocks
+  * by a broadcast semi-join BEFORE any pair expands, so probe cost
+  * tracks the shard's block footprint, not the index. Within the
+  * surviving blocks the comparison streams through one equi-join on
+  * `block` (never a per-block collect), Levenshtein evaluated
+  * per streamed pair — Σ |shard_b|·|index_b| work, the blocking
+  * contract's own bound. */
+object RecordIndex {
+
+  private def writeSegment(df: DataFrame, p: String): Unit =
+    df.select("id", "name", "block").write.mode("overwrite").parquet(p)
+
+  /** Persist `records(id, name, block)` as base gen 0. */
+  def write(records: DataFrame, path: String): Unit =
+    LsmSegments.initBase(records.sparkSession, path)(p =>
+      writeSegment(records, p))
+
+  /** Idempotently append one epoch of records as a delta segment;
+    * false = epoch already committed (replay — no write). */
+  def appendEpoch(
+      spark: SparkSession, path: String, epoch: Long,
+      records: DataFrame): Boolean =
+    LsmSegments.appendEpoch(spark, path, epoch)(p =>
+      writeSegment(records, p))
+
+  /** One consistent snapshot of the record segments. */
+  def readAll(spark: SparkSession, path: String): DataFrame = {
+    val (basePath, deltaPaths) = LsmSegments.liveSegments(spark, path)
+    deltaPaths.foldLeft(spark.read.parquet(basePath)) {
+      (acc, p) => acc.unionByName(spark.read.parquet(p))
+    }
+  }
+
+  /** [[readAll]] AS OF a committed delta epoch (−1 = the fresh base;
+    * epochs past the gc horizon fail loudly). */
+  def readAsOf(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    LsmSegments.foldAsOf(spark, path, epoch, spark.read.parquet(_))
+
+  /** The fuzzy admission check: for each record of a new shard
+    * `(id, name, block)`, every INDEXED record in the same block
+    * whose name is within `maxDist` edits. Returns
+    * (shard_id, indexed_id, name_dist). */
+  def probeShard(
+      spark: SparkSession, path: String, shard: DataFrame,
+      maxDist: Int): DataFrame =
+    probeShardOver(readAll(spark, path), shard, maxDist)
+
+  /** [[probeShard]] against an explicit snapshot (the as-of serves
+    * and the batch-parity spec share it). */
+  private[graft] def probeShardOver(
+      indexed: DataFrame, shard: DataFrame, maxDist: Int): DataFrame = {
+    val cut = indexed
+      .join(broadcast(shard.select("block").distinct()),
+        Seq("block"), "left_semi")
+    shard.select(col("block"), col("id").as("shard_id"),
+        col("name").as("shard_name"))
+      .join(cut.select(col("block"), col("id").as("indexed_id"),
+        col("name").as("indexed_name")), Seq("block"))
+      .select(col("shard_id"), col("indexed_id"),
+        levenshtein(col("shard_name"), col("indexed_name"))
+          .cast("int").as("name_dist"))
+      .where(col("name_dist") <= maxDist)
+  }
+
+  /** Fold committed deltas into a new base generation (marker written
+    * last); data retired by [[gc]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    LsmSegments.compact(spark, path,
+      load = ps => ps.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      write = writeSegment)
+
+  /** Retire superseded generations + folded delta data (epoch markers
+    * kept — the replay guard). */
+  def gc(spark: SparkSession, path: String, retainGens: Int = 0): Unit =
+    LsmSegments.gc(spark, path, retainGens)
+}

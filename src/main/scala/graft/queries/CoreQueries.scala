@@ -29,6 +29,21 @@ object CoreQueries {
   private def dsumHi(c: Column): Column = sum(c).cast("double") // for already-decimal exprs
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  // temp dirs behind the durable er_probe index, deleted at JVM exit
+  // (the TextQueries dedupIndexDirs pattern)
+  private val erIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    erIndexDirs.asScala.filter(Files.exists(_)).foreach { dir =>
+      scala.util.Using(Files.walk(dir)) { st =>
+        st.iterator.asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   // er_candidates' oracle, shared by er_resolve as its pair CTE: an
   // independent self-join formulation of the blocked comparison
   private lazy val erPairsSql: String =
@@ -872,6 +887,32 @@ object CoreQueries {
         blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         quality = "c_acctbal")),
 
+    // the DURABLE form of the screening: the customer register is
+    // persisted through the LSM record index (base + one delta
+    // epoch), and a re-crawl shard — every 9th customer re-keyed,
+    // name mutated by one trailing edit — probes it for fuzzy
+    // matches. o(index): the scan is cut to the shard's blocks
+    // before any pair streams. The oracle replays the shard surgery
+    // and the blocked comparison against the full register.
+    "er_probe" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_er_probe_")
+      val path = dir.toAbsolutePath.toString
+      erIndexDirs.add(dir)
+      graft.operators.RecordIndex.write(
+        cust.where(col("id") % 3 =!= 2), path)
+      graft.operators.RecordIndex.appendEpoch(s, path, 0L,
+        cust.where(col("id") % 3 === 2))
+      val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"),
+            lit("X")).as("name"),
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
+    }),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1503,6 +1544,19 @@ object CoreQueries {
     },
 
     "er_candidates" -> erPairsSql,
+
+    "er_probe" ->
+      """WITH shard AS (
+           SELECT c_custkey + 1000000 AS shard_id,
+                  substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+                  c_nationkey, c_mktsegment
+           FROM customer WHERE c_custkey % 9 = 0)
+         SELECT s.shard_id, c.c_custkey AS indexed_id,
+                CAST(levenshtein(s.name, c.c_name) AS INT) AS name_dist
+         FROM shard s JOIN customer c
+           ON c.c_nationkey = s.c_nationkey
+          AND c.c_mktsegment = s.c_mktsegment
+         WHERE levenshtein(s.name, c.c_name) <= 1""",
 
     "er_resolve" ->
       s"""WITH RECURSIVE pr AS ($erPairsSql),
