@@ -791,6 +791,46 @@ object StreamingOps {
         graft.operators.HammingIndex.gc(signatures.sparkSession, indexPath, retainGens = retainGens)
       })(onBatch)
 
+  /** The STRUCTURED-RECORD sibling of [[minhashProbeStream]] — fuzzy
+    * master-data admission: each micro-batch of records (id, name,
+    * block) is probed against a persisted
+    * [[graft.operators.RecordIndex]]; every indexed record in the
+    * batch's blocks within `maxDist` name edits is handed to `sink`.
+    * Read-only, snapshot-per-batch, per-batch results eagerly
+    * materialized and released after the sink. */
+  def recordProbeStream(
+      records: DataFrame,
+      indexPath: String,
+      maxDist: Int = 1,
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = records.sparkSession
+    serveStream(records, options, queryName, trigger,
+      release = graft.operators.Storage.unpersistLocalCheckpoint)(batch =>
+      graft.operators.RecordIndex.probeShard(
+        spark, indexPath, batch, maxDist))(sink)
+  }
+
+  /** [[ivfIngestStream]]'s structured-record sibling: each micro-batch
+    * of (id, name, block) records is committed as an idempotent delta
+    * segment of a [[graft.operators.RecordIndex]]. Same lineage
+    * guard. */
+  def recordIngestStream(
+      records: DataFrame,
+      indexPath: String,
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0,
+      retainGens: Int = 1)(
+      onBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    lsmIngestStream("recordIngestStream", records, indexPath, options,
+      graft.operators.RecordIndex.appendEpoch, compactEvery,
+      () => {
+        graft.operators.RecordIndex.compact(records.sparkSession, indexPath)
+        graft.operators.RecordIndex.gc(records.sparkSession, indexPath, retainGens = retainGens)
+      })(onBatch)
+
   /** The EMBEDDING sibling of [[minhashProbeStream]]: each micro-batch
     * of vectors (vec_id, embedding) is screened against a persisted
     * IVF index ([[graft.operators.IvfIndex.probeSemantic]] — SemDeDup

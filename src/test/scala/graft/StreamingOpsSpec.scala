@@ -1801,6 +1801,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("record ingest + probe streams equal the batch ER tier") {
+    // recordIngestStream: record micro-batches land as committed delta
+    // segments — a probe against the streamed index must equal one
+    // against an all-at-once register. recordProbeStream: each batch's
+    // fuzzy matches equal the batch probeShard on that shard.
+    implicit val sqlCtx = spark.sqlContext
+    val names = Vector("alpha", "alphb", "alpzb", "beta", "betta", "gamma")
+    val reg = (1L to 80L).map(i =>
+      (i, names((i % names.size).toInt), s"b${i % 4}"))
+    val inc = java.nio.file.Files.createTempDirectory("graft_ri_s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ri_sf").toString
+    graft.operators.RecordIndex.write(
+      reg.filter(_._1 % 2 == 0).toDF("id", "name", "block"), inc)
+    graft.operators.RecordIndex.write(
+      reg.toDF("id", "name", "block"), full)
+    val rest = reg.filter(_._1 % 2 == 1)
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.recordIngestStream(
+      mem.toDF().toDF("id", "name", "block"), inc, compactEvery = 2)()
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val shard = (200L to 209L).map(i =>
+      (i, names((i % names.size).toInt) + "x", s"b${i % 4}"))
+    def probed(p: String) =
+      graft.operators.RecordIndex.probeShard(
+        spark, p, shard.toDF("id", "name", "block"), maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(probed(inc) == probed(full) && probed(inc).nonEmpty,
+      "streamed record ingest diverged from the all-at-once register")
+    // probe stream: per-batch matches == batch probeShard
+    val (s1, s2) = shard.splitAt(shard.length / 2)
+    val pmem = MemoryStream[(Long, String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val pq = StreamingOps.recordProbeStream(
+      pmem.toDF().toDF("id", "name", "block"), inc, maxDist = 2) { out =>
+      seen.synchronized { seen ++= out.as[(Long, Long, Int)].collect() }
+    }
+    def batchProbe(sh: Seq[(Long, String, String)]) =
+      graft.operators.RecordIndex.probeShard(
+        spark, inc, sh.toDF("id", "name", "block"), maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    try {
+      pmem.addData(s1: _*); pq.processAllAvailable()
+      val want1 = batchProbe(s1)
+      assert(seen.toSet == want1 && want1.nonEmpty,
+        "shard-1 record screening diverged")
+      pmem.addData(s2: _*); pq.processAllAvailable()
+      assert(seen.toSet == want1 ++ batchProbe(s2),
+        "shard-2 record screening diverged")
+    } finally pq.stop()
+  }
+
   test("reference join pipeline: batch and streaming plans agree on schema") {
     val batch = Seq(("k", "v")).toDF("key", "value")
     val streamed = {
