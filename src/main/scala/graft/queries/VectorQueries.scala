@@ -87,6 +87,26 @@ object VectorQueries {
         Tables.embeddings(s, d).select("vec_id", "embedding"))
     }),
 
+    // the fused tier in the tier-vs-truth matrix: hybrid top-5 vs
+    // exact-cosine truth over the SAME joined corpus — the number
+    // that says whether the lexical signal helps or hurts recall of
+    // the dense ground truth at this fusion weight.
+    "knn_eval_hybrid" -> ((s, d) => {
+      val lex = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("toks"))
+      val embAll = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpusEmb = embAll
+        .join(Tables.documents(s, d).select(col("doc_id")),
+          col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      val truth = Similarity.bruteForceKnn(corpusEmb, nQueries = 8, k = 5)
+      val hyb = Similarity
+        .hybridRrf(lex, embAll, nQueries = 8, m = 20, k = 5)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+      Similarity.retrievalEval(hyb, truth, k = 5)
+    }),
+
     // the PRODUCTION retrieval chain: ANN shortlist first (seed-IVF
     // top-20 — the corpus is touched only by the tier's probed-list
     // scan), MMR diversity second over the 20-row shortlist. Both
@@ -2414,6 +2434,51 @@ object VectorQueries {
 
   /** knn_brute's exact-cosine ranking — the flagship truth side of
     * every tier-vs-truth evaluation. */
+  // the hybrid-RRF replay CTE chain (corpus → scored → per-list
+  // top-20s → fused → rk with the final fusion ranking); consumers
+  // cut rk at their k
+  private lazy val hybridRrfCtes: String =
+    s"""corpus AS MATERIALIZED (
+            SELECT e.vec_id,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(d.text), '\\s+'),
+                     t -> len(t) > 0)) AS toks,
+                   e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          q AS (SELECT vec_id AS query_id, toks AS qt, embedding AS qv
+                FROM corpus WHERE vec_id < 8),
+          scored AS MATERIALIZED (
+            SELECT q.query_id, c.vec_id,
+                   ${cosSql("q.qv", "c.embedding")} AS cos,
+                   CAST(len(list_intersect(q.qt, c.toks)) AS DOUBLE)
+                     / (len(q.qt) + len(c.toks)
+                        - len(list_intersect(q.qt, c.toks))) AS jac
+            FROM corpus c JOIN q ON c.vec_id <> q.query_id),
+          dm AS (SELECT query_id, vec_id, r FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS r
+              FROM scored) WHERE r <= 20),
+          lm AS (SELECT query_id, vec_id, r FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY jac DESC, vec_id ASC) AS r
+              FROM scored) WHERE r <= 20),
+          fused AS (
+            SELECT coalesce(dm.query_id, lm.query_id) AS query_id,
+                   coalesce(dm.vec_id, lm.vec_id) AS doc_id,
+                   coalesce(dm.r, 0) AS dr, coalesce(lm.r, 0) AS lr,
+                   coalesce(CAST(1 AS DOUBLE) / (60 + dm.r),
+                            CAST(0 AS DOUBLE))
+                     + coalesce(CAST(1 AS DOUBLE) / (60 + lm.r),
+                                CAST(0 AS DOUBLE)) AS rrf
+            FROM dm FULL OUTER JOIN lm
+              ON dm.query_id = lm.query_id AND dm.vec_id = lm.vec_id),
+          rk AS (SELECT query_id, doc_id, dr, lr, rrf,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id ASC) AS rank
+                 FROM fused)"""
+
   private lazy val bruteOracle: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          scored AS (
@@ -2643,50 +2708,34 @@ object VectorQueries {
     // outer fusion, CAST(1 AS DOUBLE) guards against DuckDB's
     // decimal-typed literal division
     "knn_hybrid_rrf" ->
-      s"""WITH corpus AS MATERIALIZED (
-            SELECT e.vec_id,
-                   list_distinct(list_filter(
-                     string_split_regex(lower(d.text), '\\s+'),
-                     t -> len(t) > 0)) AS toks,
-                   e.embedding
-            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-          q AS (SELECT vec_id AS query_id, toks AS qt, embedding AS qv
-                FROM corpus WHERE vec_id < 8),
-          scored AS MATERIALIZED (
-            SELECT q.query_id, c.vec_id,
-                   ${cosSql("q.qv", "c.embedding")} AS cos,
-                   CAST(len(list_intersect(q.qt, c.toks)) AS DOUBLE)
-                     / (len(q.qt) + len(c.toks)
-                        - len(list_intersect(q.qt, c.toks))) AS jac
-            FROM corpus c JOIN q ON c.vec_id <> q.query_id),
-          dm AS (SELECT query_id, vec_id, r FROM (
-              SELECT query_id, vec_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, vec_id ASC) AS r
-              FROM scored) WHERE r <= 20),
-          lm AS (SELECT query_id, vec_id, r FROM (
-              SELECT query_id, vec_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY jac DESC, vec_id ASC) AS r
-              FROM scored) WHERE r <= 20),
-          fused AS (
-            SELECT coalesce(dm.query_id, lm.query_id) AS query_id,
-                   coalesce(dm.vec_id, lm.vec_id) AS doc_id,
-                   coalesce(dm.r, 0) AS dr, coalesce(lm.r, 0) AS lr,
-                   coalesce(CAST(1 AS DOUBLE) / (60 + dm.r),
-                            CAST(0 AS DOUBLE))
-                     + coalesce(CAST(1 AS DOUBLE) / (60 + lm.r),
-                                CAST(0 AS DOUBLE)) AS rrf
-            FROM dm FULL OUTER JOIN lm
-              ON dm.query_id = lm.query_id AND dm.vec_id = lm.vec_id),
-          rk AS (SELECT query_id, doc_id, dr, lr, rrf,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY rrf DESC, doc_id ASC) AS rank
-                 FROM fused)
+      s"""WITH ${hybridRrfCtes}
           SELECT query_id, doc_id, CAST(dr AS INT) AS dense_rank,
                  CAST(lr AS INT) AS lex_rank, round(rrf, 6) AS rrf,
                  CAST(rank AS INT) AS rank
           FROM rk WHERE rank <= 10""",
+
+    // fused tier vs exact-cosine truth over the SAME joined corpus —
+    // does the lexical signal help or hurt recall of the dense truth?
+    "knn_eval_hybrid" -> evalOracleVs(
+      s"""WITH ${hybridRrfCtes}
+          SELECT query_id, doc_id AS vec_id, CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 5""",
+      s"""WITH ce AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM ce WHERE vec_id < 8),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ${cosSql("q.qv", "e.embedding")} AS cos
+            FROM ce e JOIN q ON e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 5"""),
 
     // intra-list similarity of both rankings — pairwise cosines
     // folded with the 2^36 fixed-point recipe (exact integer sums,

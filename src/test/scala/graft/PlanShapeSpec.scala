@@ -562,6 +562,61 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("boundedSssp round: pre-partitioned edges never re-exchange; frontier-only join") {
+    // per-round moving data must be O(|V|): the frontier shuffles to
+    // meet the hash(src) edge cache, candidate relaxations combine
+    // map-side into one min per dst, and the state merge is one
+    // |V|-row outer join. The |E|-row weighted edge list itself must
+    // never re-exchange.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 300L).map(i => (i % 40, i % 37, 1L + i % 5))
+      .toDF("src", "dst", "w")
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val state = Seq((0L, 0L, true), (1L, 0L, true))
+        .toDF("node_id", "dist", "improved")
+        .localCheckpoint(true)
+      val qe = graft.operators.Graph.ssspRound(e, state).queryExecution
+      qe.toRdd.count()
+      val plNodes = walkPlan(qe.executedPlan)
+      def isEdgeScan(pl: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        pl match {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.output.map(_.name).toSet == Set("src", "dst", "w")
+          case _ => false
+        }
+      val relaxJoin = plNodes.find {
+        case j: org.apache.spark.sql.execution.joins.HashJoin =>
+          walkPlan(j).exists(isEdgeScan)
+        case _ => false
+      }
+      assert(relaxJoin.isDefined, "relaxation join over the edge cache not found")
+      val exchangedEdges = walkPlan(relaxJoin.get).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if walkPlan(s).exists(isEdgeScan) => s
+      }
+      assert(exchangedEdges.isEmpty,
+        "edge list re-exchanged below the relaxation join — cached " +
+          s"hash(src) layout not reused:\n${exchangedEdges.mkString("\n")}")
+      // expected: frontier → hash(src) for the relax join, the
+      // map-side-combined min partials on dst, and the two outer-join
+      // sides → hash(node_id). The edge list must never appear.
+      val shuffles = plNodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size <= 4,
+        s"per-round shuffle budget exceeded: ${shuffles.size}:\n" +
+          shuffles.mkString("\n"))
+      val windows = plNodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        "candidate fold must be a combinable min, not a window")
+    } finally e.unpersist()
+  }
+
   test("HITS half-steps stream each edge cache without re-exchanging it") {
     // the authority step joins on `src` and must consume the
     // hash(src)-partitioned edge cache in place; the hub step joins
