@@ -913,6 +913,40 @@ object CoreQueries {
       graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
     }),
 
+    // the ER payoff view — dedup-aware aggregation: order revenue
+    // rolled up to RESOLVED entities instead of raw customer keys
+    // (the number duplicate records silently split). Multi-member
+    // entities only; singleton customers keep their own key in the
+    // roster and are excluded by the n_members >= 2 cut.
+    "er_rollup" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val resolved = graft.operators.EntityResolution.resolve(
+        cust.select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+        blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        quality = "c_acctbal")
+        .select(col("id"), col("entity_id"))
+      val roster = cust.select(col("c_custkey").as("id"))
+        .join(resolved, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("entity_id"), col("id")).as("entity_id"))
+      val members = roster.groupBy("entity_id")
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") >= 2)
+      val rev = roster
+        .join(Tables.orders(s, d)
+            .select(col("o_custkey"), col("o_totalprice")),
+          col("id") === col("o_custkey"))
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+      members.join(rev, Seq("entity_id"), "left")
+        .select(col("entity_id"), col("n_members"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+    }),
+
     // -- string / math / date / JSON functions ---------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1544,6 +1578,36 @@ object CoreQueries {
     },
 
     "er_candidates" -> erPairsSql,
+
+    "er_rollup" ->
+      s"""WITH RECURSIVE pr AS ($erPairsSql),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+          cc AS (SELECT id, CAST(min(lab) AS BIGINT) AS entity_id
+                 FROM reach GROUP BY id),
+          roster AS (
+            SELECT c.c_custkey AS id,
+                   coalesce(cc.entity_id, c.c_custkey) AS entity_id
+            FROM customer c LEFT JOIN cc ON cc.id = c.c_custkey),
+          members AS (
+            SELECT entity_id, count(*) AS n_members
+            FROM roster GROUP BY entity_id HAVING count(*) >= 2),
+          rev AS (
+            SELECT r.entity_id, count(*) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                     AS DOUBLE) AS revenue
+            FROM roster r JOIN orders o ON o.o_custkey = r.id
+            GROUP BY r.entity_id)
+          SELECT m.entity_id, CAST(m.n_members AS BIGINT) AS n_members,
+                 coalesce(CAST(v.n_orders AS BIGINT), 0) AS n_orders,
+                 coalesce(v.revenue, CAST(0 AS DOUBLE)) AS revenue
+          FROM members m LEFT JOIN rev v ON v.entity_id = m.entity_id""",
 
     "er_probe" ->
       """WITH shard AS (
