@@ -748,6 +748,78 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /** PER-SOURCE bounded BFS: [[bfs]] keyed by (src_id, node_id) —
+    * every source's full hop field in ONE trajectory (state rows are
+    * (source, node) pairs; the relaxation join and min fold key on
+    * the composite), instead of |S| sequential frontier loops whose
+    * round latencies add up. Returns (src_id, node_id, hops) for
+    * every pair discovered inside the budget. State size is
+    * O(|S|·|V|) worst case — callers own keeping |S| a seed set
+    * (centrality probes, landmark embeddings), not the node set. */
+  def bfsPerSource(
+      edges: DataFrame, sources: Seq[Long], maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    var state = sources.toSet.toSeq.sorted.toDF("src_id")
+      .select(col("src_id").cast("long").as("src_id"),
+        col("src_id").cast("long").as("node_id"),
+        lit(0L).as("hops"), lit(true).as("improved"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to maxHops) {
+        val cand = e
+          .join(state.where(col("improved"))
+              .select(col("src_id"), col("node_id").as("u"), col("hops").as("du"))
+              .hint("shuffle_hash"),
+            e("src") === col("u"))
+          .groupBy(col("src_id"), col("dst").as("node_id"))
+          .agg(min(col("du") + 1L).as("nh"))
+        val next = state.select(col("src_id"), col("node_id"), col("hops"))
+          .join(cand, Seq("src_id", "node_id"), "full_outer")
+          .select(col("src_id"), col("node_id"),
+            least(coalesce(col("hops"), col("nh")),
+              coalesce(col("nh"), col("hops"))).as("hops"),
+            (col("nh").isNotNull &&
+              (col("hops").isNull || col("nh") < col("hops"))).as("improved"))
+          .localCheckpoint(true)
+        Storage.unpersistLocalCheckpoint(state)
+        state = next
+      }
+      val out = state.select(col("src_id"), col("node_id"), col("hops"))
+        .localCheckpoint(true)
+      Storage.unpersistLocalCheckpoint(state)
+      out
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Harmonic closeness restricted to a landmark/seed set (Marchiori
+    * & Latora 2000; the sampled-centrality practice for graphs where
+    * all-pairs BFS is unpayable): for each node, Σ over sources of
+    * 1/d(s, v) for the sources that reach it within `maxHops`,
+    * scaled by 840 = lcm(1..8) so every term is an EXACT integer
+    * (840/d divides evenly for any hop count d ≤ 8) and the sum is
+    * order-independent — the oracle replays it with integer `//`.
+    * Returns (node_id, n_reach, hc840); sources score their own
+    * d = 0 as no contribution (standard harmonic convention).
+    * Requires maxHops ≤ 8 (the exactness window; raise the scale
+    * constant for deeper probes). */
+  def harmonicCloseness(
+      edges: DataFrame, sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"harmonicCloseness: maxHops $maxHops outside [1, 8] — 840 is " +
+        "only divisible by hop counts up to 8")
+    bfsPerSource(edges, sources, maxHops)
+      .where(col("hops") > 0)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_reach"),
+        // 840/d is exact for every d ≤ 8, so the per-row long cast
+        // loses nothing and the sum is pure int64 — order-free
+        sum((lit(840L) / col("hops")).cast("long")).as("hc840"))
+  }
+
   /** One bounded-SSSP superstep, factored out so the plan-shape spec
     * can pin the exchange budget: candidate relaxations stream the
     * pre-partitioned edges against the previous round's IMPROVED rows

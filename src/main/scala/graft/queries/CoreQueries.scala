@@ -861,6 +861,24 @@ object CoreQueries {
       graft.operators.Graph.boundedSssp(edges, sources = Seq(1L), rounds = 3)
     }),
 
+    // harmonic closeness to a 4-customer landmark set within 4 hops
+    // (sampled centrality — the practice when all-pairs BFS is
+    // unpayable): per-source hop fields in ONE composite-keyed
+    // trajectory, folded to Σ 840/d (exact integers — 840 = lcm(1..8),
+    // so the sum is order-free and the oracle replays it with `//`).
+    "graph_closeness" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.harmonicCloseness(
+        edges, sources = Seq(1L, 3L, 5L, 7L), maxHops = 4)
+    }),
+
     // -- entity resolution (structured-record dedup) ---------------------
 
     // blocking + edit-distance candidate pairs over the customer
@@ -1576,6 +1594,28 @@ object CoreQueries {
           $rounds
           SELECT node_id, CAST(dist AS BIGINT) AS dist FROM d3"""
     },
+
+    // per-source hop minima by exhaustive bounded path enumeration,
+    // folded with integer 840 // d — structurally independent of the
+    // engine's composite-keyed frontier
+    "graph_closeness" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
+                    UNION ALL SELECT sp, c FROM e0),
+          reach(src_id, node_id, d) AS (
+            SELECT src, src, 0 FROM (VALUES (1), (3), (5), (7)) s(src)
+            UNION
+            SELECT r.src_id, e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.node_id
+            WHERE r.d < 4),
+          md AS (SELECT src_id, node_id, min(d) AS d
+                 FROM reach GROUP BY src_id, node_id)
+          SELECT CAST(node_id AS BIGINT) AS node_id,
+                 CAST(count(*) AS BIGINT) AS n_reach,
+                 CAST(sum(840 // d) AS BIGINT) AS hc840
+          FROM md WHERE d > 0 GROUP BY node_id""",
 
     "er_candidates" -> erPairsSql,
 

@@ -348,6 +348,41 @@ class GraphSpec extends AnyFunSuite {
       s"only-engine=${got.toSet -- ref.toSet} only-ref=${ref.toSet -- got.toSet}")
   }
 
+  test("bfsPerSource equals independent per-source bfs runs") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).toDF("src", "dst")
+    val sources = Seq(0L, 3L, 9L)
+    val got = Graph.bfsPerSource(edges, sources, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = sources.flatMap { s =>
+      Graph.bfs(edges, Seq(s), maxHops = 3)
+        .as[(Long, Long)].collect().map { case (n, h) => (s, n, h) }
+    }.toSet
+    assert(got == ref, s"only-engine=${got -- ref} only-ref=${ref -- got}")
+  }
+
+  test("harmonic closeness: exact 840-scaled terms on a path graph") {
+    // path 1→2→3→4 and 5→3: from sources {1, 5}, node 3 collects
+    // 840/2 (two hops from 1) + 840/1 (one hop from 5) = 1260
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.harmonicCloseness(edges, sources = Seq(1L, 5L), maxHops = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (2L, 1L, 840L), // 1 hop from source 1 only
+      (3L, 2L, 1260L), // 840/2 + 840/1 = 420 + 840
+      (4L, 2L, 700L)), // 840/3 + 840/2 = 280 + 420
+      s"closeness terms wrong: $got")
+  }
+
+  test("harmonic closeness rejects hop budgets past the exactness window") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.harmonicCloseness(edges, sources = Seq(1L), maxHops = 9)
+    }
+  }
+
   test("bfs/sssp release every superseded checkpoint; only the result stays") {
     val edges = (1L to 100L).map(i => (i, i % 10)).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.size
