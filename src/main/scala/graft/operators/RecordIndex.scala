@@ -56,23 +56,49 @@ object RecordIndex {
   /** The fuzzy admission check: for each record of a new shard
     * `(id, name, block)`, every INDEXED record in the same block
     * whose name is within `maxDist` edits. Returns
-    * (shard_id, indexed_id, name_dist). */
+    * (shard_id, indexed_id, name_dist).
+    *
+    * Same loud skew contract as
+    * [[EntityResolution.blockedPairs]]: a (shard, index) block pair
+    * that would stream more than `maxPairsPerBlock` comparisons
+    * fails the probe with the block key in the message, BEFORE the
+    * expansion runs — a partial match set is never served, and a
+    * hot registered block (the data-skew case the blocking key must
+    * own) surfaces as an error instead of a stuck task. */
   def probeShard(
       spark: SparkSession, path: String, shard: DataFrame,
-      maxDist: Int): DataFrame =
-    probeShardOver(readAll(spark, path), shard, maxDist)
+      maxDist: Int, maxPairsPerBlock: Long = 100000000L): DataFrame =
+    probeShardOver(readAll(spark, path), shard, maxDist, maxPairsPerBlock)
 
   /** [[probeShard]] against an explicit snapshot (the as-of serves
     * and the batch-parity spec share it). */
   private[graft] def probeShardOver(
-      indexed: DataFrame, shard: DataFrame, maxDist: Int): DataFrame = {
+      indexed: DataFrame, shard: DataFrame, maxDist: Int,
+      maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    // per-block pair budget = |shard_b| · |index_b|, checked on every
+    // index row BEFORE the join expands: the window's hash(block)
+    // layout is the same exchange the join needs, and the shard-side
+    // counts broadcast. The guard rides the name column (a dropped
+    // flag column would be pruned away, and raise_error with it).
+    val sn = broadcast(
+      shard.groupBy("block").agg(count(lit(1)).cast("long").as("sn")))
     val cut = indexed
       .join(broadcast(shard.select("block").distinct()),
         Seq("block"), "left_semi")
+      .withColumn("xn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("block"))
+        .cast("long"))
+      .join(sn, Seq("block"))
+      .select(col("block"), col("id").as("indexed_id"),
+        when(col("xn") * col("sn") <= maxPairsPerBlock, col("name"))
+          .otherwise(raise_error(concat(
+            lit("probeShard: block "), col("block"), lit(" expands "),
+            (col("xn") * col("sn")).cast("string"),
+            lit(s" comparisons > maxPairsPerBlock=$maxPairsPerBlock — "
+              + "refine the blocking key")))).as("indexed_name"))
     shard.select(col("block"), col("id").as("shard_id"),
         col("name").as("shard_name"))
-      .join(cut.select(col("block"), col("id").as("indexed_id"),
-        col("name").as("indexed_name")), Seq("block"))
+      .join(cut, Seq("block"))
       .select(col("shard_id"), col("indexed_id"),
         levenshtein(col("shard_name"), col("indexed_name"))
           .cast("int").as("name_dist"))

@@ -65,6 +65,26 @@ class RecordIndexSpec extends AnyFunSuite {
       s"base snapshot must not see epoch 0: $asOfBase")
   }
 
+  test("probeShard fails loudly when a block exceeds the pair budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri_budget_")
+    val path = dir.toAbsolutePath.toString
+    RecordIndex.write(
+      recs((1L to 30L).map(i => (i, s"name$i", "hot")): _*), path)
+    val shard = recs((100L to 109L).map(i => (i, s"name$i", "hot")): _*)
+    val e = intercept[Exception] {
+      RecordIndex.probeShard(spark, path, shard, maxDist = 2,
+        maxPairsPerBlock = 100L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("maxPairsPerBlock")),
+      s"wanted the loud block-budget message, got: ${e.getMessage}")
+    // within budget the same probe serves
+    assert(RecordIndex.probeShard(spark, path, shard, maxDist = 2,
+      maxPairsPerBlock = 300L).count() > 0)
+  }
+
   test("probeShard equals a driver-side brute force on random registers") {
     val rnd = new scala.util.Random(31)
     val names = Vector("alpha", "alphb", "alpzb", "beta", "betta")
