@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: pair generation is a self-equi-join on the blocking
   * keys — both sides shuffle-partition on the same key so the
   * quadratic expansion happens STREAMED inside each join partition
-  * (never a whole block `collect_list`'d into one row), and the two
-  * scan branches of the self-join are identical subtrees, so the
-  * exchange is built once and reused (ReusedExchange, pinned by
-  * spec). Blocking-key choice owns the skew budget: a hot block
+  * (never a whole block `collect_list`'d into one row). The two
+  * branches do scan the records twice (Spark plan branches share no
+  * work; at gate scale AQE broadcasts one side instead — see the
+  * er_candidates digest) — the deliberate trade against a per-block
+  * collect_list, whose hot-block row would OOM a task rather than
+  * stream. Blocking-key choice owns the skew budget: a hot block
   * costs |block|² streamed comparisons, so keys must be chosen to
   * bound block size (the usual practice) — `maxPairsPerBlock` makes
   * that contract LOUD: any block whose pair count would exceed it
