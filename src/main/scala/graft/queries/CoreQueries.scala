@@ -861,6 +861,43 @@ object CoreQueries {
       graft.operators.Graph.boundedSssp(edges, sources = Seq(1L), rounds = 3)
     }),
 
+    // local clustering coefficient over the part co-purchase graph:
+    // 2·triangles(v) / (deg(v)·(deg(v)−1)) — how clique-like each
+    // node's neighborhood is. Composes the degree-ordered triangle
+    // kernel with one degree fold; ordering rides the UNROUNDED
+    // coefficient (bit-identical doubles both engines) with a
+    // node_id tiebreak. Top-20, degree ≥ 2 only.
+    "graph_clustering" -> ((s, d) => {
+      val und = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+        .localCheckpoint(true) // two consumers below — never rebuilt
+      val tc = graft.operators.Graph.triangleCounts(und)
+      val deg = und
+        .select(explode(array(col("a"), col("b"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("degree"))
+      val out = deg.where(col("degree") >= 2)
+        .join(tc, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          col("degree"),
+          (coalesce(col("n_triangles"), lit(0L)).cast("double") * lit(2.0) /
+            (col("degree") * (col("degree") - 1))).as("c"))
+        .orderBy(col("c").desc, col("node_id").asc)
+        .limit(20)
+        .select(col("node_id"), col("n_triangles"), col("degree"),
+          round(col("c"), 6).as("coeff"))
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(tc)
+      graft.operators.Storage.unpersistLocalCheckpoint(und)
+      out
+    }),
+
     // harmonic closeness to a 4-customer landmark set within 4 hops
     // (sampled centrality — the practice when all-pairs BFS is
     // unpayable): per-source hop fields in ONE composite-keyed
@@ -1594,6 +1631,36 @@ object CoreQueries {
           $rounds
           SELECT node_id, CAST(dist AS BIGINT) AS dist FROM d3"""
     },
+
+    "graph_clustering" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         und AS (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM os a JOIN os b ON a.o = b.o AND a.p < b.p),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pernode AS (
+           SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT unnest([x, y, z]) AS node_id FROM tri)
+           GROUP BY node_id),
+         deg AS (
+           SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+             SELECT unnest([a, b]) AS node_id FROM und)
+           GROUP BY node_id),
+         j AS (
+           SELECT d.node_id,
+                  CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+                  d.degree,
+                  CAST(coalesce(p.n_triangles, 0) AS DOUBLE)
+                    * CAST(2 AS DOUBLE)
+                    / (d.degree * (d.degree - 1)) AS c
+           FROM deg d LEFT JOIN pernode p USING (node_id)
+           WHERE d.degree >= 2)
+         SELECT node_id, n_triangles, degree, round(c, 6) AS coeff
+         FROM j ORDER BY c DESC, node_id ASC LIMIT 20""",
 
     // per-source hop minima by exhaustive bounded path enumeration,
     // folded with integer 840 // d — structurally independent of the
