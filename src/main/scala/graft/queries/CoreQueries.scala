@@ -968,6 +968,41 @@ object CoreQueries {
       graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
     }),
 
+    // the ER measurement: the er_probe shard is PLANTED (every typo'd
+    // re-crawl has exactly one known original, shard_id − 1000000),
+    // so probe quality is exactly computable — recall of the planted
+    // originals, plus how many matches were near-misses to OTHER
+    // registered records (the reviewer-queue volume). One pass over
+    // the match set + a broadcast shard count; one-row output.
+    "er_probe_eval" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_er_eval_")
+      val path = dir.toAbsolutePath.toString
+      erIndexDirs.add(dir)
+      graft.operators.RecordIndex.write(cust, path)
+      val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"),
+            lit("X")).as("name"),
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val nShard = shard.agg(count(lit(1)).as("n_shard"))
+      graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
+        .agg(
+          count(lit(1)).as("n_matches"),
+          sum(when(col("indexed_id") === col("shard_id") - 1000000L, 1L)
+            .otherwise(0L)).as("n_self_matches"),
+          countDistinct(when(
+            col("indexed_id") === col("shard_id") - 1000000L,
+            col("shard_id"))).as("n_caught"))
+        .crossJoin(broadcast(nShard))
+        .select(col("n_shard"), col("n_matches"), col("n_self_matches"),
+          col("n_caught"),
+          round(col("n_caught").cast("double") /
+            col("n_shard").cast("double"), 6).as("recall"))
+    }),
+
     // the ER payoff view — dedup-aware aggregation: order revenue
     // rolled up to RESOLVED entities instead of raw customer keys
     // (the number duplicate records silently split). Multi-member
@@ -1715,6 +1750,34 @@ object CoreQueries {
                  coalesce(CAST(v.n_orders AS BIGINT), 0) AS n_orders,
                  coalesce(v.revenue, CAST(0 AS DOUBLE)) AS revenue
           FROM members m LEFT JOIN rev v ON v.entity_id = m.entity_id""",
+
+    "er_probe_eval" ->
+      """WITH shard AS (
+           SELECT c_custkey + 1000000 AS shard_id,
+                  substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+                  c_nationkey, c_mktsegment
+           FROM customer WHERE c_custkey % 9 = 0),
+          m AS (
+           SELECT s.shard_id, c.c_custkey AS indexed_id
+           FROM shard s JOIN customer c
+             ON c.c_nationkey = s.c_nationkey
+            AND c.c_mktsegment = s.c_mktsegment
+           WHERE levenshtein(s.name, c.c_name) <= 1),
+          agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_matches,
+                  CAST(sum(CASE WHEN indexed_id = shard_id - 1000000
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_self_matches,
+                  CAST(count(DISTINCT CASE WHEN indexed_id = shard_id - 1000000
+                                           THEN shard_id END) AS BIGINT)
+                    AS n_caught
+           FROM m)
+          SELECT CAST((SELECT count(*) FROM shard) AS BIGINT) AS n_shard,
+                 n_matches, n_self_matches, n_caught,
+                 round(CAST(n_caught AS DOUBLE)
+                   / CAST((SELECT count(*) FROM shard) AS DOUBLE), 6)
+                   AS recall
+          FROM agg""",
 
     "er_probe" ->
       """WITH shard AS (
