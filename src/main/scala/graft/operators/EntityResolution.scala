@@ -42,6 +42,47 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** One field's contribution to a multi-field agreement score
+    * ([[blockedPairsMulti]]) — the Fellegi–Sunter shape: each field
+    * comparison yields agree/disagree, and agreement earns the
+    * field's INTEGER weight (integer so the summed score is exact on
+    * any engine). A NULL on either side is a DISAGREEMENT (missing
+    * data earns no points — the conservative linkage default). */
+  sealed trait FieldScore {
+    def field: String
+    def weight: Int
+    private[operators] def agree(
+        a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+
+  /** Fuzzy text agreement: `levenshtein(a, b) <= maxDist` (Spark's
+    * codegen'd integer Levenshtein — matched exactly by DuckDB's). */
+  final case class FuzzyField(field: String, maxDist: Int, weight: Int)
+      extends FieldScore {
+    private[operators] def agree(
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce((levenshtein(a, b) <= maxDist).cast("int"), lit(0))
+  }
+
+  /** Exact agreement on a secondary key (phone, tax id, zip). */
+  final case class ExactField(field: String, weight: Int)
+      extends FieldScore {
+    private[operators] def agree(
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce((a === b).cast("int"), lit(0))
+  }
+
+  /** Numeric agreement within an absolute tolerance — exact on both
+    * engines when the column is DECIMAL (the difference stays decimal
+    * and the comparison has no float rounding at these scales). */
+  final case class NumericField(field: String, tol: Double, weight: Int)
+      extends FieldScore {
+    private[operators] def agree(
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce((abs(a - b) <= tol).cast("int"), lit(0))
+  }
+
   /** Candidate pairs: records compared within equal `blockCols`
     * values, kept when `levenshtein(name_a, name_b) <= maxDist`.
     * Input must carry `id` (int64, unique) and `name` (string);
@@ -54,11 +95,18 @@ object EntityResolution {
       records: DataFrame, blockCols: Seq[String], maxDist: Int,
       maxPairsPerBlock: Long = 100000000L): DataFrame = {
     val bcols = blockCols.map(col)
+    // NULL-keyed records can never be compared (the equi-join drops
+    // NULL keys), so they are excluded BEFORE the budget window:
+    // otherwise the window groups them into one phantom "block" that
+    // can trip maxPairsPerBlock loudly for data that cannot produce a
+    // single pair. Exclusion here makes the guard's domain exactly
+    // the join's domain.
+    val participating = records.where(bcols.map(_.isNotNull).reduce(_ && _))
     // the guard RIDES the name column (a standalone flag column would
     // be pruned away, and raise_error with it): any oversized block
     // poisons every name it would have compared, so the join can
     // never stream a partial pair set past it
-    val guarded = records
+    val guarded = participating
       .withColumn("bn", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(bcols: _*))
         .cast("long"))
@@ -79,6 +127,54 @@ object EntityResolution {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_name"), col("b_name")).cast("int").as("name_dist"))
       .where(col("name_dist") <= maxDist)
+  }
+
+  /** MULTI-FIELD candidate pairs — real record linkage weighs several
+    * fields, not one ([[blockedPairs]] scores only the name): within
+    * equal `blockCols` values, each field of `fields` is compared and
+    * agreement earns its integer weight; pairs whose summed score
+    * reaches `minScore` are returned as (a_id, b_id, score). The
+    * weighted-agreement form of Fellegi–Sunter 1969 with
+    * deterministic integer weights in place of estimated log-odds —
+    * every comparison and the sum replay exactly in SQL.
+    *
+    * Same loud block budget and NULL-block exclusion as
+    * [[blockedPairs]]; the guard rides the FIRST scored field (every
+    * emitted pair evaluates it, so no pair can stream past a poisoned
+    * block). Scale shape identical too: one self-equi-join on the
+    * blocking keys, quadratic-in-block streamed in-partition, never a
+    * per-block collect. */
+  def blockedPairsMulti(
+      records: DataFrame, blockCols: Seq[String], fields: Seq[FieldScore],
+      minScore: Int, maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    require(fields.nonEmpty, "blockedPairsMulti: no fields to score")
+    val bcols = blockCols.map(col)
+    val participating = records.where(bcols.map(_.isNotNull).reduce(_ && _))
+    val f0 = fields.head.field
+    val guarded = participating
+      .withColumn("bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(bcols: _*))
+        .cast("long"))
+      .select((Seq(col("id"),
+        when(col("bn") * (col("bn") - 1) / 2 <= maxPairsPerBlock, col(f0))
+          .otherwise(raise_error(concat(
+            lit("blockedPairsMulti: block "), concat_ws("/", bcols: _*),
+            lit(" expands "),
+            (col("bn") * (col("bn") - 1) / 2).cast("string"),
+            lit(s" pairs > maxPairsPerBlock=$maxPairsPerBlock — refine "
+              + "the blocking keys")))).as(f0)) ++
+        fields.tail.map(f => col(f.field)) ++ bcols): _*)
+    val a = guarded.select((col("id").as("a_id") +:
+      fields.map(f => col(f.field).as(s"a_${f.field}"))) ++ bcols: _*)
+    val b = guarded.select((col("id").as("b_id") +:
+      fields.map(f => col(f.field).as(s"b_${f.field}"))) ++ bcols: _*)
+    val score = fields
+      .map(f => lit(f.weight) * f.agree(col(s"a_${f.field}"), col(s"b_${f.field}")))
+      .reduce(_ + _)
+    a.join(b, blockCols)
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), score.cast("int").as("score"))
+      .where(col("score") >= minScore)
   }
 
   /** Full resolution: candidate pairs → transitive closure →

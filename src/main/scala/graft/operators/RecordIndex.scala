@@ -67,8 +67,21 @@ object RecordIndex {
     * own) surfaces as an error instead of a stuck task. */
   def probeShard(
       spark: SparkSession, path: String, shard: DataFrame,
-      maxDist: Int, maxPairsPerBlock: Long = 100000000L): DataFrame =
-    probeShardOver(readAll(spark, path), shard, maxDist, maxPairsPerBlock)
+      maxDist: Int, maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    // same pinned-result contract as MinHashIndex/HammingIndex
+    // .probePairs: the shard feeds three plan branches (block count,
+    // block semi-join keys, the final pair join) that share no work,
+    // and the RESULT is eagerly materialized so a sink running more
+    // than one action can never re-read segment files a concurrent
+    // compact/gc retired mid-batch — the snapshot-per-batch guarantee
+    // recordProbeStream documents. Release with
+    // [[Storage.unpersistLocalCheckpoint]].
+    val pinned = shard.select("id", "name", "block")
+      .localCheckpoint(eager = true)
+    try probeShardOver(readAll(spark, path), pinned, maxDist, maxPairsPerBlock)
+      .localCheckpoint(eager = true)
+    finally Storage.unpersistLocalCheckpoint(pinned)
+  }
 
   /** [[probeShard]] against an explicit snapshot (the as-of serves
     * and the batch-parity spec share it). */

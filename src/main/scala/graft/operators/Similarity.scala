@@ -1332,6 +1332,51 @@ object Similarity {
     } finally Storage.unpersistLocalCheckpoint(assigned)
   }
 
+  /** The SCALAR-TIER frontier — recall@k vs bytes actually scanned
+    * per query for the full-scan compressed representations, the
+    * table that justifies each quantized tier's existence: float32
+    * brute (dims·4 B/vec — the exactness ceiling and the cost
+    * ceiling), SQ8 (dims·1 B codes + one 8 B scale), binary sign bits
+    * (8 B per 64 dims), and seed-codebook PQ (`subspaces`·1 B codes).
+    * Unlike [[ivfFrontier]] (which tunes HOW MUCH of one index is
+    * scanned), every tier here scans the whole corpus minus self —
+    * the axis is bytes per candidate, so
+    * `scanned_bytes = (n_total − 1) · bytes_per_vec` is exact
+    * accounting, not an estimate. One row per tier; truth is computed
+    * once and every tier evaluates against it through
+    * [[retrievalEval]] (all integer sums + single divisions, so the
+    * composed oracle replays the whole table bit-for-bit).
+    *
+    * Scale shape: each tier is the already-bounded full-scan ranker
+    * (queries broadcast, corpus never shuffled, salted top-k); the
+    * frontier adds only output-sized aggregation on top. */
+  def scalarFrontier(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val truth = bruteForceKnn(e, nQueries, k, salts).localCheckpoint(true)
+    try {
+      val stats = e.agg(count(lit(1)).as("n_total"),
+        max(size(col("embedding"))).cast("long").as("dims"))
+      val tiers: Seq[(String, DataFrame, org.apache.spark.sql.Column)] = Seq(
+        ("float32_brute", truth, col("dims") * 4),
+        ("sq8", sq8Knn(e, nQueries, k, salts), col("dims") + 8),
+        ("binary", binaryKnn(e, nQueries, k, salts),
+          expr("((dims + 63) div 64) * 8")),
+        ("pq", pqKnn(e, nQueries, k, salts = salts), lit(4L)))
+      tiers.map { case (name, res, bytes) =>
+        val hits = retrievalEval(res, truth, k)
+          .agg(sum(col("n_hits")).as("hits"), count(lit(1)).as("nq"))
+        hits.crossJoin(broadcast(stats))
+          .select(lit(name).as("tier"),
+            (col("hits").cast("double") / (col("nq") * k)).as(s"recall_at_$k"),
+            col("hits").cast("long").as("n_hits"),
+            bytes.cast("long").as("bytes_per_vec"),
+            ((col("n_total") - 1) * bytes).cast("long").as("scanned_bytes"))
+      }.reduce(_.unionByName(_)).localCheckpoint(true)
+    } finally Storage.unpersistLocalCheckpoint(truth)
+  }
+
   /** [[ivfFrontier]]'s two-stage sibling — the OTHER knob a
     * production deployment tunes: at fixed coarse cost (nProbe), how
     * wide must the IVFADC shortlist be before exact rescoring stops
@@ -1916,6 +1961,10 @@ object Similarity {
         (inter.cast("double") /
           (size(col("qt")) + size(col("toks")) - inter)).as("jac"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // warm the cache eagerly (pageRank's nodeInfo.count() pattern):
+    // the dense and lexical branches otherwise race to fill it on
+    // first execution and the corpus join+cosine pass can run twice
+    scored.count()
     try {
       val dense = saltedTopK(scored, "cos", ascending = false, k = m, salts = salts)
         .select(col("query_id"), col("vec_id"), col("rank").as("dense_rank"))
@@ -1940,6 +1989,58 @@ object Similarity {
         // materialize before the finally releases the scored cache
         .localCheckpoint(true)
     } finally scored.unpersist(blocking = false)
+  }
+
+  /** Token-Jaccard top-`m` per query — [[hybridRrf]]'s lexical signal
+    * as a standalone ranking (query-by-example, self excluded), for
+    * fusion with a PERSISTED dense tier via [[rrfFuse]]. `lexical` is
+    * (doc_id, toks); queries are the corpus entries with doc_id <
+    * nQueries. Queries broadcast; the corpus is scanned once and
+    * never shuffled (salted top-k). */
+  def lexicalTopM(
+      lexical: DataFrame, nQueries: Int = 8, m: Int = 20,
+      salts: Int = 32): DataFrame = {
+    val corpus = lexical.select(col("doc_id").as("vec_id"), col("toks"))
+    val queries = corpus.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("toks").as("qt"))
+    val inter = size(array_intersect(col("qt"), col("toks")))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (inter.cast("double") /
+          (size(col("qt")) + size(col("toks")) - inter)).as("jac"))
+    saltedTopK(scored, "jac", ascending = false, k = m, salts = salts)
+  }
+
+  /** Reciprocal-rank fusion of two already-ranked signals — the
+    * fusion seam of [[hybridRrf]] exposed for PERSISTED tiers: any
+    * two (query_id, vec_id, rank ≤ m) rankings fuse identically
+    * (Cormack et al. 2009), so a deployment can swap the in-memory
+    * exact dense pass for an ANN index serve without touching the
+    * fusion contract. Output-sized throughout (≤ 2m rows per query
+    * in, k out); same output schema and rounding as [[hybridRrf]]. */
+  def rrfFuse(
+      dense: DataFrame, lex: DataFrame, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val d = dense.select(col("query_id"), col("vec_id"),
+      col("rank").cast("int").as("dense_rank"))
+    val l = lex.select(col("query_id"), col("vec_id"),
+      col("rank").cast("int").as("lex_rank"))
+    val fused = d.join(l, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        col("dense_rank"), col("lex_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        round(col("rrf"), 6).as("rrf"), col("rank"))
   }
 
   def cosineNearDupExact(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

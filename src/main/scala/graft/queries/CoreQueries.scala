@@ -832,7 +832,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -852,7 +852,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"),
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"),
           col("l_quantity").cast("long").as("w"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst"), col("w")),
@@ -907,7 +907,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -929,6 +929,29 @@ object CoreQueries {
           col("c_custkey").as("id"), col("c_name").as("name"),
           col("c_nationkey"), col("c_mktsegment")),
         blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2)),
+
+    // MULTI-FIELD candidate pairs — the weighted-agreement form real
+    // record linkage uses (Fellegi–Sunter with deterministic integer
+    // weights in place of estimated log-odds): within a NATION block
+    // (coarser than er_candidates — the secondary fields take over
+    // the discrimination the block gave up), a name within 2 edits
+    // earns 3, an exact market-segment match 2, an account balance
+    // within 100.00 earns 1; candidates need ≥ 4 — a name match
+    // alone is NOT enough, some secondary signal must corroborate.
+    // Every comparison is integer/IEEE-exact on both engines, so the
+    // summed score replays bit-for-bit.
+    "er_candidates_multi" -> ((s, d) =>
+      graft.operators.EntityResolution.blockedPairsMulti(
+        Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          col("c_nationkey")),
+        blockCols = Seq("c_nationkey"),
+        fields = Seq(
+          graft.operators.EntityResolution.FuzzyField("name", maxDist = 2, weight = 3),
+          graft.operators.EntityResolution.ExactField("segment", weight = 2),
+          graft.operators.EntityResolution.NumericField("acctbal", tol = 100.0, weight = 1)),
+        minScore = 4)),
 
     // the full resolution pipeline: candidate pairs → transitive
     // closure (connected components) → one canonical survivor per
@@ -1001,6 +1024,48 @@ object CoreQueries {
           col("n_caught"),
           round(col("n_caught").cast("double") /
             col("n_shard").cast("double"), 6).as("recall"))
+    }),
+
+    // the ER ADMISSION LOOP end-to-end — Admission's structured-
+    // record sibling: three arriving customer shards (epoch = id % 3,
+    // augmented with typo'd re-keyed copies — every 7th record
+    // re-crawled into ITS OWN shard, every 5th of the PREVIOUS shard
+    // re-crawled one epoch later), each screened fuzzy against the
+    // durable register (RecordIndex.probeShard, o(index)), survivors
+    // kept under smaller-id dominance within the shard, admitted, and
+    // appended back — so later epochs resolve against everything
+    // admitted so far. The decision commits to the WAL log before any
+    // register append (crash-replay re-reads it; RecordAdmissionSpec
+    // runs the worst-crash-point battery). The oracle replays the
+    // whole three-epoch fold in SQL: register screen as NOT EXISTS vs
+    // the admitted union, dominance as NOT EXISTS vs smaller-id
+    // screen survivors. Output: (id, epoch) of every admitted record.
+    "er_admission_loop" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_er_adm_")
+      erIndexDirs.add(dir)
+      val path = dir.toAbsolutePath.toString
+      graft.operators.RecordAdmission.init(s, path)
+      val typod = concat(
+        expr("substring(name, 1, length(name)-1)"), lit("X")).as("name")
+      def shard(e: Int): DataFrame = {
+        val own = cust.where(col("id") % 3 === e)
+        val withDupes = own.unionByName(
+          cust.where(col("id") % 3 === e && col("id") % 7 === 0)
+            .select((col("id") + 3000000L).as("id"), typod, col("block")))
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          cust.where(col("id") % 3 === e - 1 && col("id") % 5 === 0)
+            .select((col("id") + lit(1000000L * e)).as("id"), typod,
+              col("block")))
+      }
+      (0 to 2).map { e =>
+        graft.operators.RecordAdmission.admitEpoch(
+          s, path, e.toLong, shard(e), maxDist = 1)
+          .select(col("id"), lit(e.toLong).as("epoch"))
+      }.reduce(_.unionByName(_))
     }),
 
     // the ER payoff view — dedup-aware aggregation: order revenue
@@ -1627,12 +1692,12 @@ object CoreQueries {
     // engine's frontier expansion (which never enumerates paths).
     "graph_bfs" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
                     UNION ALL SELECT sp, c FROM e0),
           reach(node_id, d) AS (
-            SELECT src, 0 FROM (VALUES (1), (7)) s(src)
+            SELECT CAST(src AS BIGINT), 0 FROM (VALUES (1), (7)) s(src)
             UNION
             SELECT e.dst, r.d + 1
             FROM reach r JOIN edges e ON e.src = r.node_id
@@ -1656,7 +1721,7 @@ object CoreQueries {
       val rounds = (1 to 3).map(n => iter(if (n == 1) "d0" else s"d${n - 1}", n))
         .mkString(",\n          ")
       s"""WITH e0 AS MATERIALIZED (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp,
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp,
                    CAST(l_quantity AS BIGINT) AS w
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS MATERIALIZED (SELECT c AS src, sp AS dst, w FROM e0
@@ -1702,12 +1767,12 @@ object CoreQueries {
     // engine's composite-keyed frontier
     "graph_closeness" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
                     UNION ALL SELECT sp, c FROM e0),
           reach(src_id, node_id, d) AS (
-            SELECT src, src, 0 FROM (VALUES (1), (3), (5), (7)) s(src)
+            SELECT CAST(src AS BIGINT), CAST(src AS BIGINT), 0 FROM (VALUES (1), (3), (5), (7)) s(src)
             UNION
             SELECT r.src_id, e.dst, r.d + 1
             FROM reach r JOIN edges e ON e.src = r.node_id
@@ -1720,6 +1785,78 @@ object CoreQueries {
           FROM md WHERE d > 0 GROUP BY node_id""",
 
     "er_candidates" -> erPairsSql,
+
+    "er_candidates_multi" ->
+      """SELECT a_id, b_id, score FROM (
+           SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                  CAST(3 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                            THEN 1 ELSE 0 END)
+                     + 2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                            THEN 1 ELSE 0 END)
+                     + 1 * (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                            THEN 1 ELSE 0 END) AS INT) AS score
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey
+            AND a.c_custkey < b.c_custkey)
+         WHERE score >= 4""",
+
+    // the three-epoch ER admission fold replayed from first
+    // principles: shards rebuilt with the same typo surgery, the
+    // register screen as NOT EXISTS vs the admitted union, dominance
+    // as NOT EXISTS vs smaller-id screen survivors of the same shard
+    // (a rejected survivor still dominates — the Admission law).
+    "er_admission_loop" -> {
+      val ty = "substr(name, 1, length(name)-1) || 'X'"
+      def screen(sN: String, adm: Option[String]) =
+        s"SELECT x.* FROM $sN x" +
+          adm.map(a =>
+            s""" WHERE NOT EXISTS (SELECT 1 FROM $a z
+                   WHERE z.block = x.block
+                     AND levenshtein(z.name, x.name) <= 1)""")
+            .getOrElse("")
+      def dominate(fN: String) =
+        s"""SELECT x.* FROM $fN x
+            WHERE NOT EXISTS (SELECT 1 FROM $fN y
+              WHERE y.id < x.id AND y.block = x.block
+                AND levenshtein(y.name, x.name) <= 1)"""
+      s"""WITH r AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   concat_ws('|', c_nationkey, c_mktsegment) AS block
+            FROM customer),
+          s0 AS (
+            SELECT id, name, block FROM r WHERE id % 3 = 0
+            UNION ALL
+            SELECT id + 3000000, $ty, block FROM r
+            WHERE id % 3 = 0 AND id % 7 = 0),
+          s1 AS (
+            SELECT id, name, block FROM r WHERE id % 3 = 1
+            UNION ALL
+            SELECT id + 3000000, $ty, block FROM r
+            WHERE id % 3 = 1 AND id % 7 = 0
+            UNION ALL
+            SELECT id + 1000000, $ty, block FROM r
+            WHERE id % 3 = 0 AND id % 5 = 0),
+          s2 AS (
+            SELECT id, name, block FROM r WHERE id % 3 = 2
+            UNION ALL
+            SELECT id + 3000000, $ty, block FROM r
+            WHERE id % 3 = 2 AND id % 7 = 0
+            UNION ALL
+            SELECT id + 2000000, $ty, block FROM r
+            WHERE id % 3 = 1 AND id % 5 = 0),
+          a0 AS MATERIALIZED (${dominate("s0")}),
+          f1 AS MATERIALIZED (${screen("s1", Some("a0"))}),
+          a1 AS MATERIALIZED (${dominate("f1")}),
+          adm1 AS MATERIALIZED (
+            SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+          f2 AS MATERIALIZED (${screen("s2", Some("adm1"))}),
+          a2 AS MATERIALIZED (${dominate("f2")})
+          SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS epoch FROM a0
+          UNION ALL
+          SELECT CAST(id AS BIGINT), CAST(1 AS BIGINT) FROM a1
+          UNION ALL
+          SELECT CAST(id AS BIGINT), CAST(2 AS BIGINT) FROM a2"""
+    },
 
     "er_rollup" ->
       s"""WITH RECURSIVE pr AS ($erPairsSql),

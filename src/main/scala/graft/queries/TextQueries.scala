@@ -276,6 +276,48 @@ object TextQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // ...and the perceptual stage is SIGNATURE-AGNOSTIC by
+    // construction — proven with a SECOND signature family through
+    // the same loop: the identical three-epoch admission fold with
+    // VIDEO temporal-majority fingerprints (per-frame real BMP decode
+    // through the shared aHash kernel, majority-folded over frames —
+    // Multimodal.videoFingerprint) in place of image aHash. Identical
+    // policy, identical stores; only the loop's fixed signature
+    // function differs — exactly the contract Admission.init
+    // documents. Plants carry reworded text + the original's VIDEO
+    // signature, so only the perceptual stage can drop them.
+    "dedup_admission_video" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val sigs = graft.multimodal.Multimodal.videoFingerprint(
+        s, graft.multimodal.Multimodal.videoAssets(s, Tables.documents(s, d)))
+        .toDF().withColumnRenamed("asset_id", "doc_id")
+      val base = docs.join(sigs, "doc_id")
+        .select(col("doc_id"), col("text"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_adm_vid_")
+      dedupIndexDirs.add(dir)
+      val path = dir.toAbsolutePath.toString
+      graft.operators.Admission.init(s, path, perceptual = true)
+      val sigCols = Seq(col("c0"), col("c1"), col("c2"), col("c3"))
+      def shard(e: Int): DataFrame = {
+        val own = base.where(col("doc_id") % 3 === e)
+        val withDupes = own.unionByName(
+          base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id") +:
+              col("text") +: sigCols: _*))
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(1000000L * e)).as("doc_id") +:
+              concat(lit("perceptual recrawl of video "), col("doc_id"),
+                lit(" reworded entirely")).as("text") +: sigCols: _*))
+      }
+      (0 to 2).map { e =>
+        graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e))
+          .select(col("doc_id"), lit(e.toLong).as("epoch"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // md5-bit variant so the whole pipeline (tokenize → bit votes →
     // sign vector → pigeonhole blocking → hamming join) is DuckDB-
     // hash-verified; the single-pass xxhash64 kernel path
@@ -1207,7 +1249,20 @@ object TextQueries {
     * (dominance — a rejected survivor still dominates) or among ALL
     * previously admitted docs (arrival order wins regardless of id).
     * Pure integer bit arithmetic — bit-exact across engines. */
-  private lazy val admissionMultimodalOracle: String = {
+  private lazy val admissionMultimodalOracle: String =
+    admissionPerceptualOracle(
+      VectorQueries.mmSigCtes, "sigs", "perceptual recrawl of asset ")
+
+  /** dedup_admission_video's oracle: the identical three-epoch
+    * perceptual fold with the VIDEO temporal-majority signature chain
+    * in place of image aHash — the stage is signature-agnostic, so
+    * the oracle is too (only the signature CTEs differ). */
+  private lazy val admissionVideoOracle: String =
+    admissionPerceptualOracle(
+      VectorQueries.videoSigCtes, "vsigs", "perceptual recrawl of video ")
+
+  private def admissionPerceptualOracle(
+      sigCtes: String, sigRel: String, plantPrefix: String): String = {
     def J(x: String, y: String) =
       s"""CAST(len(list_intersect($x.sh, $y.sh)) AS DOUBLE) /
           (len($x.sh) + len($y.sh) - len(list_intersect($x.sh, $y.sh)))"""
@@ -1244,16 +1299,16 @@ object TextQueries {
             p.c0, p.c1, p.c2, p.c3
           FROM (
             SELECT b.doc_id,
-                   'perceptual recrawl of asset ' || CAST(b.doc_id AS VARCHAR)
+                   '$plantPrefix' || CAST(b.doc_id AS VARCHAR)
                      || ' reworded entirely' AS text,
                    b.c0, b.c1, b.c2, b.c3
             FROM ba b
             WHERE b.doc_id % 3 = $mod3 AND b.doc_id % 4 = 0) p"""
-    s"""WITH ${VectorQueries.mmSigCtes},
+    s"""WITH $sigCtes,
         ba AS MATERIALIZED (
           SELECT d.doc_id, d.text, ${shingleSetSql(3)} AS sh,
                  g.c0, g.c1, g.c2, g.c3
-          FROM documents d JOIN sigs g ON d.doc_id = g.asset_id),
+          FROM documents d JOIN $sigRel g ON d.doc_id = g.asset_id),
         s0 AS (
           SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 0
           UNION ALL
@@ -1661,6 +1716,7 @@ object TextQueries {
     "dedup_admission_loop" -> admissionOracle,
     "dedup_admission_semantic" -> admissionSemanticOracle,
     "dedup_admission_multimodal" -> admissionMultimodalOracle,
+    "dedup_admission_video" -> admissionVideoOracle,
 
     // brute-force first-principles SimHash: per-token bits from md5
     // nibbles (byte-identical across engines), frequency-weighted bit

@@ -87,6 +87,39 @@ object VectorQueries {
         Tables.embeddings(s, d).select("vec_id", "embedding"))
     }),
 
+    // ...and the PERSISTED form — the stack a deployment actually
+    // runs: the dense signal served from a durable IVF index
+    // (IvfIndex.serve top-20, probed-list scan only — the corpus's
+    // floats are never re-scored in full), the lexical signal from
+    // one in-row token-Jaccard pass, fused through the identical RRF
+    // seam (Similarity.rrfFuse — the fusion contract is ranking-
+    // source-agnostic by construction). The oracle swaps the exact
+    // dense ranking for the seed-IVF trajectory and reuses the same
+    // fusion tail.
+    "knn_hybrid_rrf_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val embAll = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpusEmb = embAll
+        .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      val lex = docs
+        .join(embAll.select(col("vec_id")), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          array_distinct(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("toks"))
+      val seeds = embAll.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_hyb_ivf_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfIndex.write(corpusEmb, seeds, path)
+      val dense = graft.operators.IvfIndex.serve(s, path,
+        corpusEmb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 20, nProbe = 4)
+      Similarity.rrfFuse(dense, Similarity.lexicalTopM(lex, nQueries = 8, m = 20))
+    }),
+
     // the fused tier in the tier-vs-truth matrix: hybrid top-5 vs
     // exact-cosine truth over the SAME joined corpus — the number
     // that says whether the lexical signal helps or hurts recall of
@@ -228,6 +261,16 @@ object VectorQueries {
       Similarity.ivfPqRescoreFrontier(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         nQueries = 8, k = 5)),
+
+    // ...and the BYTES axis — the scalar/compressed full-scan tiers
+    // at the same k: float32 brute (256 B/vec), SQ8 (72 B), binary
+    // sign bits (8 B), seed PQ (4 B), each a row of (recall@5 vs the
+    // shared brute truth, raw hits, bytes per candidate, exact
+    // bytes-scanned-per-query = (n−1)·bytes_per_vec). The table that
+    // justifies the quantized tiers' existence: what recall each
+    // memory budget buys when the whole corpus is scanned.
+    "knn_eval_frontier_scalar" -> ((s, d) =>
+      Similarity.scalarFrontier(Tables.embeddings(s, d), nQueries = 8, k = 5)),
 
     // ...and the two-stage composition's recall — the number a
     // deployment actually gates on (rescoring can only fix ranking
@@ -1203,7 +1246,51 @@ object VectorQueries {
             s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
             .withColumnRenamed("asset_id", "doc_id"),
           maxHamming = 3))
-        .select(col("doc_id").as("asset_id"), col("cluster_id"))))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"))),
+
+    // the PRODUCTION decision chain for dense perceptual spaces, for
+    // all three signature families: SKEW-CAPPED pairs (maxBucket = 32
+    // — the cap that saturates real buckets at both verified SFs, so
+    // the capped law is exercised, never vacuously equal to the
+    // exhaustive one) → pointer-jumped connected components →
+    // survivor labels (is_survivor = the cluster's min id — the
+    // keep/drop bit an ingest applies). This is the composition a
+    // 100 TB deployment runs where the uncapped chain cannot
+    // (SCALE10X: uncapped image clusters ×32 at 10× assets; uncapped
+    // video pair expansion stalls outright) — oracled end-to-end from
+    // first principles: per-(chunk, value) bucket counts + the
+    // qualifying-chunk EXISTS pair law, then the recursive min-label
+    // closure. Saturation is a pure function of the signature
+    // relation, so capped→CC is exactly SQL-replayable.
+    "mm_neardup_clusters_capped" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingChunkPairs(
+          Multimodal.imageAHash(
+            s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+            .withColumnRenamed("asset_id", "doc_id"),
+          maxHamming = 3, maxBucket = 32))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_survivor"))),
+
+    "mm_video_clusters_capped" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingChunkPairs(
+          Multimodal.videoFingerprint(
+            s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
+            .withColumnRenamed("asset_id", "doc_id"),
+          maxHamming = 3, maxBucket = 32))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_survivor"))),
+
+    "mm_audio_clusters_capped" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingChunkPairs(
+          Multimodal.audioFingerprint(
+            s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
+            .withColumnRenamed("asset_id", "doc_id"),
+          maxHamming = 3, maxBucket = 32))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_survivor"))))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -2222,7 +2309,7 @@ object VectorQueries {
     * integer luma sums per (frame, cell), cross-multiplied
     * cell-vs-frame mean threshold), folded by strict temporal
     * majority (2·votes > n_frames) into the 4×16-bit chunks. */
-  private lazy val videoSigCtes: String =
+  private[queries] lazy val videoSigCtes: String =
     """va AS (
            SELECT doc_id AS asset_id, CAST(doc_id % 6 + 4 AS INT) AS nf,
                   CAST(doc_id % 16 + 8 AS INT) AS width,
@@ -2319,6 +2406,51 @@ object VectorQueries {
               OR (bc.chunk = 2 AND x.ac2 = x.bc2 AND bc.v = x.ac2)
               OR (bc.chunk = 3 AND x.ac3 = x.bc3 AND bc.v = x.ac3))
             AND bc.n <= 32)"""
+
+  /** mm_audio_clusters_capped's pair stage: [[mmCappedOracle]]'s
+    * first-principles capped law over the audio signature chain. */
+  private lazy val mmAudioCappedOracle: String =
+    s"""WITH $audioSigCtes,
+        bc AS (
+          SELECT chunk, v, count(*) AS n FROM (
+            SELECT 0 AS chunk, c0 AS v FROM asigs
+            UNION ALL SELECT 1, c1 FROM asigs
+            UNION ALL SELECT 2, c2 FROM asigs
+            UNION ALL SELECT 3, c3 FROM asigs) GROUP BY 1, 2),
+        hp AS (
+          SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                 a.c0 AS ac0, a.c1 AS ac1, a.c2 AS ac2, a.c3 AS ac3,
+                 b.c0 AS bc0, b.c1 AS bc1, b.c2 AS bc2, b.c3 AS bc3,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) AS hamming
+          FROM asigs a JOIN asigs b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3)
+        SELECT a_id, b_id, hamming FROM hp x
+        WHERE EXISTS (
+          SELECT 1 FROM bc
+          WHERE ((bc.chunk = 0 AND x.ac0 = x.bc0 AND bc.v = x.ac0)
+              OR (bc.chunk = 1 AND x.ac1 = x.bc1 AND bc.v = x.ac1)
+              OR (bc.chunk = 2 AND x.ac2 = x.bc2 AND bc.v = x.ac2)
+              OR (bc.chunk = 3 AND x.ac3 = x.bc3 AND bc.v = x.ac3))
+            AND bc.n <= 32)"""
+
+  /** The capped decision chain's closure, shared by the three
+    * *_clusters_capped oracles: capped pairs → recursive min-label
+    * reachability fixpoint → survivor bit (min id of the cluster). */
+  private def cappedClustersOracle(pairsSql: String): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pr
+          UNION ALL SELECT b_id, a_id FROM pr),
+        nodes AS (SELECT DISTINCT src AS aid FROM edges),
+        reach AS (
+          SELECT aid, aid AS lab FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
+        SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id,
+               aid = min(lab) AS is_survivor
+        FROM reach GROUP BY aid"""
 
   /** mm_audio_clusters oracle: the natural all-pairs fingerprint
     * graph (no plants) — the recursive-CTE min-label closure then
@@ -2464,7 +2596,14 @@ object VectorQueries {
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY jac DESC, vec_id ASC) AS r
               FROM scored) WHERE r <= 20),
-          fused AS (
+          $hybridFusionTailSql"""
+
+  /** The RRF fusion tail shared by the exact and persisted hybrid
+    * oracles — dm/lm are the two (query_id, vec_id, r ≤ 20) rankings,
+    * fusion and final ranking identical regardless of their source
+    * (the [[Similarity.rrfFuse]] contract). */
+  private lazy val hybridFusionTailSql: String =
+    """fused AS (
             SELECT coalesce(dm.query_id, lm.query_id) AS query_id,
                    coalesce(dm.vec_id, lm.vec_id) AS doc_id,
                    coalesce(dm.r, 0) AS dr, coalesce(lm.r, 0) AS lr,
@@ -2478,6 +2617,53 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY rrf DESC, doc_id ASC) AS rank
                  FROM fused)"""
+
+  /** knn_hybrid_rrf_persisted's CTE chain: the same joined corpus and
+    * lexical ranking as [[hybridRrfCtes]], with the dense ranking
+    * swapped for the seed-IVF trajectory (assign → probe 4 lists →
+    * score probed candidates only) — then the shared fusion tail. */
+  private lazy val hybridRrfPersistedCtes: String =
+    s"""corpus AS MATERIALIZED (
+            SELECT e.vec_id,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(d.text), '\\s+'),
+                     t -> len(t) > 0)) AS toks,
+                   e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          c AS (SELECT vec_id AS c_id, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 16),
+          a AS (
+            SELECT s.vec_id, s.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${cosSql("s.embedding", "c.c_vec")} DESC,
+                              c.c_id ASC) AS rn
+            FROM corpus s CROSS JOIN c),
+          assigned AS (SELECT vec_id, embedding, c_id FROM a WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, toks AS qt, embedding AS qv
+                FROM corpus WHERE vec_id < 8),
+          qa AS (
+            SELECT q.query_id, q.qv, c.c_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qv", "c.c_vec")} DESC,
+                              c.c_id ASC) AS rn
+            FROM q CROSS JOIN c),
+          probe AS (SELECT query_id, qv, c_id FROM qa WHERE rn <= 4),
+          dm AS (SELECT query_id, vec_id, r FROM (
+              SELECT p.query_id, s.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${cosSql("p.qv", "s.embedding")} DESC,
+                                s.vec_id ASC) AS r
+              FROM probe p JOIN assigned s ON p.c_id = s.c_id
+              WHERE s.vec_id <> p.query_id) WHERE r <= 20),
+          lm AS (SELECT query_id, vec_id, r FROM (
+              SELECT q.query_id, s.vec_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY CAST(len(list_intersect(q.qt, s.toks)) AS DOUBLE)
+                           / (len(q.qt) + len(s.toks)
+                              - len(list_intersect(q.qt, s.toks))) DESC,
+                                s.vec_id ASC) AS r
+              FROM corpus s JOIN q ON s.vec_id <> q.query_id) WHERE r <= 20),
+          $hybridFusionTailSql"""
 
   private lazy val bruteOracle: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -2500,6 +2686,33 @@ object VectorQueries {
     * retrievalEval: a query the tier returned nothing for still
     * reports zeros. Divisions are forced to DOUBLE (DuckDB's literal
     * arithmetic is decimal-typed and would round differently). */
+  /** knn_eval_frontier_scalar oracle: one row per full-scan tier —
+    * each tier's exact top-5 replayed (the shared per-tier oracles),
+    * hits vs the shared brute truth, and the byte accounting from
+    * corpus stats (n_total, dims) — `(n_total − 1) · bytes_per_vec`
+    * exactly as the engine computes it. */
+  private lazy val scalarFrontierOracle: String = {
+    def row(name: String, resSql: String, bytes: String) =
+      s"""SELECT '$name' AS tier,
+            CAST(h.hits AS DOUBLE) / (h.nq * 5) AS recall_at_5,
+            CAST(h.hits AS BIGINT) AS n_hits,
+            CAST($bytes AS BIGINT) AS bytes_per_vec,
+            CAST((st.n_total - 1) * ($bytes) AS BIGINT) AS scanned_bytes
+          FROM (
+            SELECT sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+                   count(DISTINCT t.query_id) AS nq
+            FROM tru t LEFT JOIN ($resSql) r
+              ON r.query_id = t.query_id AND r.vec_id = t.vec_id) h, st"""
+    s"""WITH tru AS ($bruteOracle),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                      CAST(max(len(embedding)) AS BIGINT) AS dims
+               FROM embeddings)
+        ${row("float32_brute", "SELECT * FROM tru", "st.dims * 4")}
+        UNION ALL ${row("sq8", sq8Oracle, "st.dims + 8")}
+        UNION ALL ${row("binary", binaryOracle, "((st.dims + 63) // 64) * 8")}
+        UNION ALL ${row("pq", pqSeedOracle, "4")}"""
+  }
+
   private def evalOracle(tierSql: String): String =
     evalOracleVs(tierSql, bruteOracle)
 
@@ -2714,6 +2927,13 @@ object VectorQueries {
                  CAST(rank AS INT) AS rank
           FROM rk WHERE rank <= 10""",
 
+    "knn_hybrid_rrf_persisted" ->
+      s"""WITH ${hybridRrfPersistedCtes}
+          SELECT query_id, doc_id, CAST(dr AS INT) AS dense_rank,
+                 CAST(lr AS INT) AS lex_rank, round(rrf, 6) AS rrf,
+                 CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 10""",
+
     // fused tier vs exact-cosine truth over the SAME joined corpus —
     // does the lexical signal help or hurt recall of the dense truth?
     "knn_eval_hybrid" -> evalOracleVs(
@@ -2769,6 +2989,7 @@ object VectorQueries {
           FROM ti JOIN mi USING (query_id)""",
     "knn_eval_frontier" -> frontierOracle,
     "knn_eval_frontier_rescore" -> rescoreFrontierOracle,
+    "knn_eval_frontier_scalar" -> scalarFrontierOracle,
     "knn_eval_ivfpq" -> evalOracle(ivfPqSeedOracle),
     "knn_eval_lsh" -> evalOracle(lshOracle),
     "knn_eval_lsh_mp" -> evalOracle(lshMultiProbeOracle),
@@ -3228,6 +3449,10 @@ object VectorQueries {
             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
           SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id
           FROM reach GROUP BY aid""",
+
+    "mm_neardup_clusters_capped" -> cappedClustersOracle(mmCappedOracle),
+    "mm_video_clusters_capped" -> cappedClustersOracle(mmVideoCappedOracle),
+    "mm_audio_clusters_capped" -> cappedClustersOracle(mmAudioCappedOracle),
 
     "emb_label_centroid_dist" ->
       """WITH dims AS (

@@ -59,6 +59,80 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"wanted the loud block-budget message, got: ${e.getMessage}")
   }
 
+  test("blockedPairs: NULL blocking keys neither pair nor trip the budget") {
+    // 50 NULL-keyed rows would (bn·(bn−1)/2 = 1225 > 100) trip the
+    // budget as a phantom block if they reached the guard window —
+    // but NULL keys can never join, so they must be excluded, and the
+    // real block's pairs must come back untouched.
+    val df = recs((1L, "acme corp", 1, 0.0), (2L, "acme corpx", 1, 0.0))
+      .unionByName((100L to 149L).map(i => (i, s"n$i", 0, 0.0))
+        .toDF("id", "name", "block", "q")
+        .select(col("id"), col("name"),
+          lit(null).cast("int").as("block"), col("q")))
+    val got = EntityResolution
+      .blockedPairs(df, blockCols = Seq("block"), maxDist = 2,
+        maxPairsPerBlock = 100L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)),
+      s"NULL-keyed rows must not pair or trip the budget: $got")
+  }
+
+  test("blockedPairsMulti agrees with a driver-side brute force on random records") {
+    val rnd = new scala.util.Random(23)
+    val names = Vector("alpha", "alphb", "alpzb", "beta", "betta", "gamma")
+    val phones = Vector("555-0001", "555-0002", "555-0003")
+    val rows = (1L to 100L).map(i =>
+      (i, names(rnd.nextInt(names.size)), rnd.nextInt(3),
+        phones(rnd.nextInt(phones.size)),
+        BigDecimal(rnd.nextInt(2000)) / 100))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ref = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1
+      score = 3 * (if (lev(a._2, b._2) <= 1) 1 else 0) +
+        2 * (if (a._4 == b._4) 1 else 0) +
+        1 * (if ((a._5 - b._5).abs <= BigDecimal(5)) 1 else 0)
+      if score >= 3
+    } yield (a._1, b._1, score)).toSet
+    val df = rows.toDF("id", "name", "block", "phone", "bal")
+      .withColumn("bal", col("bal").cast("decimal(12,2)"))
+    val got = EntityResolution
+      .blockedPairsMulti(df, blockCols = Seq("block"),
+        fields = Seq(
+          EntityResolution.FuzzyField("name", maxDist = 1, weight = 3),
+          EntityResolution.ExactField("phone", weight = 2),
+          EntityResolution.NumericField("bal", tol = 5.0, weight = 1)),
+        minScore = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref, s"multi-field score mismatch: got ${got.size}, " +
+      s"want ${ref.size}; diff ${(got diff ref) ++ (ref diff got)}")
+  }
+
+  test("blockedPairsMulti: NULL field values are disagreements, not errors") {
+    val df = Seq(
+      (1L, "acme corp", 1, "555-1", Some(BigDecimal(10))),
+      (2L, "acme corpx", 1, null.asInstanceOf[String], None: Option[BigDecimal]))
+      .toDF("id", "name", "block", "phone", "bal")
+      .withColumn("bal", col("bal").cast("decimal(12,2)"))
+    val got = EntityResolution
+      .blockedPairsMulti(df, blockCols = Seq("block"),
+        fields = Seq(
+          EntityResolution.FuzzyField("name", maxDist = 2, weight = 3),
+          EntityResolution.ExactField("phone", weight = 2),
+          EntityResolution.NumericField("bal", tol = 5.0, weight = 1)),
+        minScore = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 3)),
+      s"NULL phone/bal must score 0, name alone scores 3: $got")
+  }
+
   test("resolve: transitive closure + quality survivor; singletons excluded") {
     // chain a–b, b–c links {1,2,3} into one entity even though 1 and 3
     // are 2 edits apart only via b; 9 is a singleton and must not appear
