@@ -191,10 +191,19 @@ object EntityResolution {
     * quality join, never windowed corpus-wide. */
   def resolve(
       records: DataFrame, blockCols: Seq[String], maxDist: Int,
-      quality: String): DataFrame = {
+      quality: String): DataFrame =
+    resolveWith(records,
+      blockedPairs(records, blockCols, maxDist), quality)
+
+  /** [[resolve]] over an EXPLICIT candidate-pair relation — the seam
+    * that lets any scorer feed the closure + survivor election:
+    * [[blockedPairsMulti]]'s weighted-agreement pairs, a probe
+    * result, or an externally-supplied match set. `pairs` needs only
+    * (a_id, b_id). */
+  def resolveWith(
+      records: DataFrame, pairs: DataFrame, quality: String): DataFrame = {
     val cc = Dedup.connectedComponents(
-      blockedPairs(records, blockCols, maxDist)
-        .select(col("a_id"), col("b_id")))
+      pairs.select(col("a_id"), col("b_id")))
     val members = cc
       .select(col("doc_id").as("id"), col("cluster_id").as("entity_id"))
       .join(records.select(col("id"), col(quality).as("q")), Seq("id"))

@@ -55,6 +55,20 @@ object CoreQueries {
         AND a.c_custkey < b.c_custkey
        WHERE levenshtein(a.c_name, b.c_name) <= 2"""
 
+  private lazy val erMultiPairsSql: String =
+    """SELECT a_id, b_id, score FROM (
+         SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                CAST(3 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                          THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END)
+                   + 1 * (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                          THEN 1 ELSE 0 END) AS INT) AS score
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_custkey < b.c_custkey)
+       WHERE score >= 4"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- aggregation ---------------------------------------------------
@@ -953,6 +967,27 @@ object CoreQueries {
           graft.operators.EntityResolution.NumericField("acctbal", tol = 100.0, weight = 1)),
         minScore = 4)),
 
+    // ...and the multi-field pairs taken to their decision: weighted-
+    // agreement candidates → transitive closure → one survivor per
+    // entity (highest balance, ties toward the smaller key) —
+    // resolveWith is the seam that lets ANY scorer feed the shared
+    // closure + election.
+    "er_resolve_multi" -> ((s, d) => {
+      val recs = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        col("c_nationkey"))
+      graft.operators.EntityResolution.resolveWith(recs,
+        graft.operators.EntityResolution.blockedPairsMulti(recs,
+          blockCols = Seq("c_nationkey"),
+          fields = Seq(
+            graft.operators.EntityResolution.FuzzyField("name", maxDist = 2, weight = 3),
+            graft.operators.EntityResolution.ExactField("segment", weight = 2),
+            graft.operators.EntityResolution.NumericField("acctbal", tol = 100.0, weight = 1)),
+          minScore = 4),
+        quality = "acctbal")
+    }),
+
     // the full resolution pipeline: candidate pairs → transitive
     // closure (connected components) → one canonical survivor per
     // entity (highest account balance, ties toward the smaller key).
@@ -1786,19 +1821,36 @@ object CoreQueries {
 
     "er_candidates" -> erPairsSql,
 
-    "er_candidates_multi" ->
-      """SELECT a_id, b_id, score FROM (
-           SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-                  CAST(3 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
-                            THEN 1 ELSE 0 END)
-                     + 2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment
-                            THEN 1 ELSE 0 END)
-                     + 1 * (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
-                            THEN 1 ELSE 0 END) AS INT) AS score
-           FROM customer a JOIN customer b
-             ON a.c_nationkey = b.c_nationkey
-            AND a.c_custkey < b.c_custkey)
-         WHERE score >= 4""",
+    "er_candidates_multi" -> erMultiPairsSql,
+
+    // the multi-field pairs taken to their decision — the same
+    // closure + survivor-election SQL as er_resolve over the
+    // weighted-agreement pair relation
+    "er_resolve_multi" ->
+      s"""WITH RECURSIVE pr AS ($erMultiPairsSql),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pr
+            UNION ALL SELECT b_id, a_id FROM pr),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+          cc AS (SELECT id, CAST(min(lab) AS BIGINT) AS entity_id
+                 FROM reach GROUP BY id),
+          m AS (SELECT cc.id, cc.entity_id, c.c_acctbal AS q
+                FROM cc JOIN customer c ON cc.id = c.c_custkey),
+          sv AS (SELECT entity_id, id,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY q DESC, id ASC) AS rn
+                 FROM m),
+          st AS (SELECT entity_id,
+                   max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+                   count(*) AS n_members
+                 FROM sv GROUP BY entity_id)
+          SELECT m.id, m.entity_id, m.id = st.survivor_id AS is_survivor,
+                 CAST(st.n_members AS BIGINT) AS n_members
+          FROM m JOIN st USING (entity_id)""",
 
     // the three-epoch ER admission fold replayed from first
     // principles: shards rebuilt with the same typo surgery, the

@@ -140,6 +140,38 @@ object VectorQueries {
       Similarity.retrievalEval(hyb, truth, k = 5)
     }),
 
+    // ...and the persisted stack in the tier-vs-truth matrix: the
+    // IVF-dense + lexical fusion's top-5 vs the same exact-cosine
+    // truth — what the ANN approximation costs (or buys) the fused
+    // ranking relative to knn_eval_hybrid's exact-dense fusion.
+    "knn_eval_hybrid_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val embAll = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpusEmb = embAll
+        .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      val lex = docs
+        .join(embAll.select(col("vec_id")), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          array_distinct(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("toks"))
+      val seeds = embAll.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_hybe_ivf_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.IvfIndex.write(corpusEmb, seeds, path)
+      val dense = graft.operators.IvfIndex.serve(s, path,
+        corpusEmb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        k = 20, nProbe = 4)
+      val hyb = Similarity
+        .rrfFuse(dense, Similarity.lexicalTopM(lex, nQueries = 8, m = 20), k = 5)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+      Similarity.retrievalEval(hyb,
+        Similarity.bruteForceKnn(corpusEmb, nQueries = 8, k = 5), k = 5)
+    }),
+
     // the PRODUCTION retrieval chain: ANN shortlist first (seed-IVF
     // top-20 — the corpus is touched only by the tier's probed-list
     // scan), MMR diversity second over the 20-row shortlist. Both
@@ -2933,6 +2965,27 @@ object VectorQueries {
                  CAST(lr AS INT) AS lex_rank, round(rrf, 6) AS rrf,
                  CAST(rank AS INT) AS rank
           FROM rk WHERE rank <= 10""",
+
+    "knn_eval_hybrid_persisted" -> evalOracleVs(
+      s"""WITH ${hybridRrfPersistedCtes}
+          SELECT query_id, doc_id AS vec_id, CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 5""",
+      s"""WITH ce AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM ce WHERE vec_id < 8),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ${cosSql("q.qv", "e.embedding")} AS cos
+            FROM ce e JOIN q ON e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 5"""),
 
     // fused tier vs exact-cosine truth over the SAME joined corpus —
     // does the lexical signal help or hurt recall of the dense truth?

@@ -69,7 +69,14 @@ object PlanDigest {
     // and the index epoch diff
     "graph_bfs", "graph_sssp", "er_candidates", "er_resolve",
     "er_probe", "knn_hybrid_rrf", "dedup_index_diff",
-    "knn_eval_hybrid", "er_rollup", "graph_closeness", "graph_clustering", "er_probe_eval")
+    "knn_eval_hybrid", "er_rollup", "graph_closeness", "graph_clustering", "er_probe_eval",
+    // round 16: the capped perceptual decision chains (production
+    // form), the scalar-tier byte frontier, multi-field ER scoring,
+    // the durable ER admission loop, and the persisted hybrid stack
+    "mm_neardup_clusters_capped", "mm_video_clusters_capped",
+    "mm_audio_clusters_capped", "knn_eval_frontier_scalar",
+    "er_candidates_multi", "er_admission_loop",
+    "knn_hybrid_rrf_persisted", "dedup_admission_video")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")
