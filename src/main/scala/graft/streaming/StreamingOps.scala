@@ -1157,6 +1157,50 @@ object StreamingOps {
       .start()
   }
 
+  /** [[admissionIngestStream]]'s ENTITY-RESOLUTION sibling — the
+    * durable fuzzy master-data ingest run as a stream: each
+    * micro-batch of records (id, name, block) is one
+    * [[graft.operators.RecordAdmission.admitEpoch]] epoch (register
+    * screen → in-shard dominance → WAL-logged decision → register
+    * append), exactly-once under replay at every crash point (the
+    * decision log commits first; the register append is
+    * marker-guarded). Same lineage fail-fast and same in-loop
+    * maintenance policy as the document loop. */
+  def recordAdmissionIngestStream(
+      records: DataFrame,
+      path: String,
+      maxDist: Int = 1,
+      maxPairsPerBlock: Long = 100000000L,
+      options: Map[String, String] = Map.empty,
+      compactEvery: Int = 0,
+      retainGens: Int = 1)(
+      onBatch: (Long, DataFrame) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = records.sparkSession
+    requireDurableLineage("recordAdmissionIngestStream",
+      graft.operators.RecordAdmission.committedEpochs(spark, path).lastOption,
+      path, options)
+    records.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        onBatch(epoch, graft.operators.RecordAdmission.admitEpoch(
+          spark, path, epoch, batch.toDF(), maxDist, maxPairsPerBlock))
+        if (compactEvery > 0) {
+          // admitEpoch returned, so BOTH stores have committed this
+          // epoch — the between-appends maintenance window
+          val (_, upto) = graft.operators.LsmSegments
+            .current(spark, s"$path/admitted")
+          val unfolded = graft.operators.RecordAdmission
+            .committedEpochs(spark, path).count(_ > upto)
+          if (unfolded >= compactEvery)
+            graft.operators.RecordAdmission.compact(
+              spark, path, retainGens = retainGens)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The shared ingest loop of the six persisted index tiers: one
     * marker-guarded `appendEpoch` per micro-batch (replayed epochs
     * skipped, torn segments overwritten — exactly-once), plus the

@@ -283,6 +283,39 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally graft.operators.Storage.unpersistLocalCheckpoint(shard)
   }
 
+  test("record probe cuts the register to the shard's blocks via a broadcast semi-join") {
+    // RecordIndex.probeShard's o(index) claim: the register scan
+    // meets the shard's broadcast block keys in a broadcast LEFT SEMI
+    // join BEFORE the pair equi-join streams any comparison, so probe
+    // cost tracks the shard's block footprint, not the register.
+    // Pinned on the factored plan builder (probeShard itself now
+    // returns an eagerly checkpointed result — the LogicalRDD the
+    // plan digest shows).
+    val cust = graft.Tables.customer(spark, TestSpark.sfDir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec_planshape_")
+    val path = dir.toAbsolutePath.toString
+    graft.operators.RecordIndex.write(cust.where(col("id") % 3 =!= 2), path)
+    val shard = cust.where(col("id") % 9 === 0)
+      .select((col("id") + 1000000L).as("id"), col("name"), col("block"))
+      .localCheckpoint(true)
+    try {
+      val qe = graft.operators.RecordIndex
+        .probeShardOver(
+          graft.operators.RecordIndex.readAll(spark, path), shard, 1)
+        .queryExecution
+      qe.toRdd.count()
+      val semis = walkPlan(qe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semis.nonEmpty,
+        s"expected a broadcast semi-join cutting the register to the " +
+          s"shard's blocks:\n" + qe.executedPlan.toString.take(1500))
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(shard)
+  }
+
   test("text_bm25 reuses the per-doc aggregation exchange for corpus stats") {
     // dl + per-term tfs come from ONE explode+aggregation; the stats
     // branch is the identical subtree, so its shuffle must be reused,

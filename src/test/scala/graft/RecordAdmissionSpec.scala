@@ -99,6 +99,42 @@ class RecordAdmissionSpec extends AnyFunSuite {
       wantByEpoch.values.flatten.toSet)
   }
 
+  test("streamed loop killed and resumed mid-stream equals the batch fold; compact preserves it") {
+    // the durable composition: record shards streamed through the ER
+    // admission loop, killed after the first micro-batch, resumed
+    // from the same checkpoint lineage, pinned equal to the batch
+    // fold over the shards in arrival order
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_eradm_stream_").toString
+    val (src, ckpt, loop) = (s"$base/src", s"$base/chk", s"$base/loop")
+    RecordAdmission.init(spark, loop)
+    val perEpoch =
+      scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    // one file per shard + one file per trigger → micro-batch epochs
+    // are exactly the shards in arrival order
+    def start() = graft.streaming.StreamingOps.recordAdmissionIngestStream(
+      spark.readStream.schema("id LONG, name STRING, block STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      loop, maxDist = 1,
+      options = Map("checkpointLocation" -> ckpt),
+      compactEvery = 2) { (ep, admitted) =>
+      perEpoch(ep) = ids(admitted)
+    }
+    df(s0).coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // KILL
+    assert(perEpoch.get(0L).contains(wantByEpoch(0L)), s"$perEpoch")
+    df(s1).coalesce(1).write.mode("append").parquet(src)
+    df(s2).coalesce(1).write.mode("append").parquet(src)
+    val q2 = start() // RESUME from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    assert((0L to 2L).forall(e => perEpoch.get(e).contains(wantByEpoch(e))),
+      s"stream != batch fold: $perEpoch")
+    assert(ids(RecordAdmission.admittedAll(spark, loop)) ==
+      wantByEpoch.values.flatten.toSet,
+      "the in-loop compaction must preserve the admitted set")
+  }
+
   test("as-of audit law: the register snapshot equals the decision-log prefix at every epoch") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_eradm_asof_").toString
