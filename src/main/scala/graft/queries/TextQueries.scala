@@ -246,9 +246,14 @@ object TextQueries {
       val sigs = graft.multimodal.Multimodal.imageAHash(
         s, graft.multimodal.Multimodal.imageAssets(s, Tables.documents(s, d)))
         .toDF().withColumnRenamed("asset_id", "doc_id")
+      // decode ONCE: shard(e) branches the base three ways per epoch
+      // (own + same-shard dupes + re-crawls), and Spark plan branches
+      // share no work — unpinned, the aHash decode pass would run ~9×
+      // across the fold
       val base = docs.join(sigs, "doc_id")
         .select(col("doc_id"), col("text"),
           col("c0"), col("c1"), col("c2"), col("c3"))
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_adm_mm_")
       dedupIndexDirs.add(dir)
       val path = dir.toAbsolutePath.toString
@@ -270,10 +275,13 @@ object TextQueries {
               concat(lit("perceptual recrawl of asset "), col("doc_id"),
                 lit(" reworded entirely")).as("text") +: sigCols: _*))
       }
-      (0 to 2).map { e =>
+      try (0 to 2).map { e =>
         graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e))
           .select(col("doc_id"), lit(e.toLong).as("epoch"))
       }.reduce(_.unionByName(_))
+      // the fold ran eagerly (admitEpoch writes each epoch); the
+      // returned union reads only the stored segments
+      finally graft.operators.Storage.unpersistLocalCheckpoint(base)
     }),
 
     // ...and the perceptual stage is SIGNATURE-AGNOSTIC by
@@ -291,9 +299,13 @@ object TextQueries {
       val sigs = graft.multimodal.Multimodal.videoFingerprint(
         s, graft.multimodal.Multimodal.videoAssets(s, Tables.documents(s, d)))
         .toDF().withColumnRenamed("asset_id", "doc_id")
+      // decode ONCE (the video fingerprint pass decodes ~30k frames at
+      // sf0.1): shard(e) branches the base three ways per epoch, so
+      // unpinned the decode would run ~9× across the fold
       val base = docs.join(sigs, "doc_id")
         .select(col("doc_id"), col("text"),
           col("c0"), col("c1"), col("c2"), col("c3"))
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_adm_vid_")
       dedupIndexDirs.add(dir)
       val path = dir.toAbsolutePath.toString
@@ -312,10 +324,11 @@ object TextQueries {
               concat(lit("perceptual recrawl of video "), col("doc_id"),
                 lit(" reworded entirely")).as("text") +: sigCols: _*))
       }
-      (0 to 2).map { e =>
+      try (0 to 2).map { e =>
         graft.operators.Admission.admitEpoch(s, path, e.toLong, shard(e))
           .select(col("doc_id"), lit(e.toLong).as("epoch"))
       }.reduce(_.unionByName(_))
+      finally graft.operators.Storage.unpersistLocalCheckpoint(base)
     }),
 
     // md5-bit variant so the whole pipeline (tokenize → bit votes →

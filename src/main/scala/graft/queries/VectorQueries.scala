@@ -1322,7 +1322,34 @@ object VectorQueries {
             .withColumnRenamed("asset_id", "doc_id"),
           maxHamming = 3, maxBucket = 32))
         .select(col("doc_id").as("asset_id"), col("cluster_id"),
-          (col("doc_id") === col("cluster_id")).as("is_survivor"))))
+          (col("doc_id") === col("cluster_id")).as("is_survivor"))),
+
+    // ...and the DURABLE form of the capped decision chain — what a
+    // deployment actually serves from: signatures persisted on the
+    // shared LSM index (base 2/3 + one committed delta + compact/gc),
+    // the capped pair law over the snapshot (servePairs inherits the
+    // shared maxBucket contract), then the same CC → survivor fold.
+    // Signatures round-trip parquet exactly, so this is bit-identical
+    // to mm_neardup_clusters_capped — the shared oracle.
+    "mm_neardup_clusters_durable" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mmham_ccdur_")
+      val path = dir.toAbsolutePath.toString
+      ivfIndexDirs.add(dir)
+      graft.operators.HammingIndex.write(
+        sigs.where(col("doc_id") % 3 =!= 2), path)
+      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+        sigs.where(col("doc_id") % 3 === 2))
+      graft.operators.HammingIndex.compact(s, path)
+      graft.operators.HammingIndex.gc(s, path)
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.HammingIndex.servePairs(s, path,
+          maxHamming = 3, maxBucket = 32))
+        .select(col("doc_id").as("asset_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_survivor"))
+    }))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -3504,6 +3531,7 @@ object VectorQueries {
           FROM reach GROUP BY aid""",
 
     "mm_neardup_clusters_capped" -> cappedClustersOracle(mmCappedOracle),
+    "mm_neardup_clusters_durable" -> cappedClustersOracle(mmCappedOracle),
     "mm_video_clusters_capped" -> cappedClustersOracle(mmVideoCappedOracle),
     "mm_audio_clusters_capped" -> cappedClustersOracle(mmAudioCappedOracle),
 
