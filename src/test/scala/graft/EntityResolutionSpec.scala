@@ -147,6 +147,21 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"wanted one 3-member entity with survivor 2 (q=9.0): $got")
   }
 
+  test("resolveWith over explicit pairs equals resolve over the same scorer") {
+    val df = recs(
+      (1L, "smith", 1, 5.0), (2L, "smyth", 1, 9.0), (3L, "smythe", 1, 7.0),
+      (9L, "unrelated", 1, 99.0))
+    val direct = EntityResolution
+      .resolve(df, blockCols = Seq("block"), maxDist = 1, quality = "q")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val viaSeam = EntityResolution
+      .resolveWith(df,
+        EntityResolution.blockedPairs(df, Seq("block"), maxDist = 1),
+        quality = "q")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(direct == viaSeam, "the explicit-pair seam drifted from resolve")
+  }
+
   test("resolve survivor ties break toward the smaller id") {
     val df = recs((1L, "aa", 1, 5.0), (2L, "ab", 1, 5.0))
     val got = EntityResolution

@@ -18,6 +18,31 @@ class SimilaritySpec extends AnyFunSuite {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("scalarFrontier: exact byte accounting and a perfect float32 reference row") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
+    val n = emb.count()
+    val rows = Similarity.scalarFrontier(emb, nQueries = 8, k = 5)
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    assert(rows.keySet ==
+      Set("float32_brute", "sq8", "binary", "pq"), s"tiers: ${rows.keySet}")
+    // the exactness ceiling: brute vs itself is recall 1.0, 40 hits
+    assert(rows("float32_brute").getAs[Double]("recall_at_5") == 1.0)
+    assert(rows("float32_brute").getAs[Long]("n_hits") == 40L)
+    // 64-dim float corpus: 256 / 72 / 8 / 4 bytes per candidate, and
+    // scanned_bytes is EXACTLY (n−1)·bytes_per_vec for every tier
+    val wantBytes = Map("float32_brute" -> 256L, "sq8" -> 72L,
+      "binary" -> 8L, "pq" -> 4L)
+    wantBytes.foreach { case (t, b) =>
+      assert(rows(t).getAs[Long]("bytes_per_vec") == b, s"$t bytes")
+      assert(rows(t).getAs[Long]("scanned_bytes") == (n - 1) * b,
+        s"$t scanned_bytes")
+    }
+    // compressed tiers can never out-recall the exact reference
+    Seq("sq8", "binary", "pq").foreach(t =>
+      assert(rows(t).getAs[Double]("recall_at_5") <= 1.0 &&
+        rows(t).getAs[Long]("n_hits") <= 40L, t))
+  }
+
   test("brute-force knn ranks nearest first, excludes self") {
     val vecs = Seq(
       (0L, Array(1f, 0f), 0),
