@@ -1355,9 +1355,12 @@ object Similarity {
       salts: Int = 32): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val truth = bruteForceKnn(e, nQueries, k, salts).localCheckpoint(true)
+    // one row, materialized ONCE: four tier rows consume it, and an
+    // unpinned aggregate would re-scan the embedding column per tier
+    val stats = e.agg(count(lit(1)).as("n_total"),
+      max(size(col("embedding"))).cast("long").as("dims"))
+      .localCheckpoint(true)
     try {
-      val stats = e.agg(count(lit(1)).as("n_total"),
-        max(size(col("embedding"))).cast("long").as("dims"))
       val tiers: Seq[(String, DataFrame, org.apache.spark.sql.Column)] = Seq(
         ("float32_brute", truth, col("dims") * 4),
         ("sq8", sq8Knn(e, nQueries, k, salts), col("dims") + 8),
@@ -1374,7 +1377,10 @@ object Similarity {
             bytes.cast("long").as("bytes_per_vec"),
             ((col("n_total") - 1) * bytes).cast("long").as("scanned_bytes"))
       }.reduce(_.unionByName(_)).localCheckpoint(true)
-    } finally Storage.unpersistLocalCheckpoint(truth)
+    } finally {
+      Storage.unpersistLocalCheckpoint(stats)
+      Storage.unpersistLocalCheckpoint(truth)
+    }
   }
 
   /** [[ivfFrontier]]'s two-stage sibling — the OTHER knob a
