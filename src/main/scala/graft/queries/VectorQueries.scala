@@ -1324,6 +1324,42 @@ object VectorQueries {
         .select(col("doc_id").as("asset_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("is_survivor"))),
 
+    // the CAP'S PRICE, measured: of the exhaustive hamming ≤ 3 pair
+    // set, what fraction survives the maxBucket = 32 skew cap, and
+    // how many buckets saturated to pay for it — the one-row table a
+    // deployment reads before sizing its cap (at sf0.01 the cap
+    // keeps 389/456 = 85.3% of true pairs; at sf0.1 only
+    // 11,335/61,748 = 18.4% — which is exactly why the admission
+    // stage defaults to 4096: the cap is a circuit breaker to SIZE,
+    // not a free lunch, and this query is the sizing instrument).
+    // One pinned signature pass, three output-sized folds.
+    "mm_capped_eval" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
+      try {
+        val all = graft.operators.Dedup
+          .hammingChunkPairs(sigs, maxHamming = 3)
+          .agg(count(lit(1)).as("n_pairs_exhaustive"))
+        val capped = graft.operators.Dedup
+          .hammingChunkPairs(sigs, maxHamming = 3, maxBucket = 32)
+          .agg(count(lit(1)).as("n_pairs_capped"))
+        val sat = sigs
+          .select(posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+          .toDF("chunk", "chunk_val")
+          .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") > 32, 1L).otherwise(0L))
+            .as("n_saturated_buckets"))
+        all.crossJoin(broadcast(capped)).crossJoin(broadcast(sat))
+          .select(col("n_pairs_exhaustive"), col("n_pairs_capped"),
+            col("n_saturated_buckets"),
+            round(col("n_pairs_capped").cast("double") /
+              col("n_pairs_exhaustive"), 6).as("pair_recall"))
+          .localCheckpoint(true)
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
+    }),
+
     // ...and the DURABLE form of the capped decision chain — what a
     // deployment actually serves from: signatures persisted on the
     // shared LSM index (base 2/3 + one committed delta + compact/gc),
@@ -3529,6 +3565,24 @@ object VectorQueries {
             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.aid)
           SELECT aid AS asset_id, CAST(min(lab) AS BIGINT) AS cluster_id
           FROM reach GROUP BY aid""",
+
+    "mm_capped_eval" ->
+      s"""SELECT n_pairs_exhaustive, n_pairs_capped, n_saturated_buckets,
+                 round(CAST(n_pairs_capped AS DOUBLE) / n_pairs_exhaustive, 6)
+                   AS pair_recall
+          FROM (SELECT
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmNearDupOracle)) AS n_pairs_exhaustive,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmCappedOracle)) AS n_pairs_capped,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+              WITH $mmSigCtes
+              SELECT chunk, v, count(*) AS n FROM (
+                SELECT 0 AS chunk, c0 AS v FROM sigs
+                UNION ALL SELECT 1, c1 FROM sigs
+                UNION ALL SELECT 2, c2 FROM sigs
+                UNION ALL SELECT 3, c3 FROM sigs) GROUP BY 1, 2
+              HAVING count(*) > 32) x) AS n_saturated_buckets)""",
 
     "mm_neardup_clusters_capped" -> cappedClustersOracle(mmCappedOracle),
     "mm_neardup_clusters_durable" -> cappedClustersOracle(mmCappedOracle),

@@ -76,7 +76,8 @@ object PlanDigest {
     "mm_neardup_clusters_capped", "mm_video_clusters_capped",
     "mm_audio_clusters_capped", "knn_eval_frontier_scalar",
     "er_candidates_multi", "er_admission_loop",
-    "knn_hybrid_rrf_persisted", "dedup_admission_video")
+    "knn_hybrid_rrf_persisted", "dedup_admission_video",
+    "mm_neardup_clusters_durable", "mm_capped_eval")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")
