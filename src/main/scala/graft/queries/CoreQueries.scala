@@ -1026,6 +1026,52 @@ object CoreQueries {
       graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
     }),
 
+    // ...and the probe TRIAGED — the deferred-rescore pattern a
+    // deployment runs instead of widening the register schema: the
+    // o(index) name screen produces the output-sized match set, and
+    // the multi-field weighted-agreement score (name already agreed
+    // by construction = 3, exact segment = 2, balance within 100.00
+    // = 1) is computed only on those matches via two broadcast joins
+    // back to the records. True re-crawls (the planted re-keyed
+    // originals) score 6; near-miss matches to OTHER records separate
+    // at 3–5 — the triage a reviewer queue is sorted by.
+    "er_probe_rescored" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_er_resc_")
+      val path = dir.toAbsolutePath.toString
+      erIndexDirs.add(dir)
+      graft.operators.RecordIndex.write(
+        cust.where(col("id") % 3 =!= 2), path)
+      graft.operators.RecordIndex.appendEpoch(s, path, 0L,
+        cust.where(col("id") % 3 === 2))
+      val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"),
+            lit("X")).as("name"),
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      val matches = graft.operators.RecordIndex
+        .probeShard(s, path, shard, maxDist = 1)
+      val fields = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      // matches is output-sized (eagerly pinned by probeShard): it is
+      // the build side of BOTH joins — the records table streams
+      val withI = fields
+        .select(col("c_custkey").as("indexed_id"),
+          col("c_mktsegment").as("i_seg"), col("c_acctbal").as("i_bal"))
+        .join(broadcast(matches), Seq("indexed_id"))
+      fields
+        .select((col("c_custkey") + 1000000L).as("shard_id"),
+          col("c_mktsegment").as("s_seg"), col("c_acctbal").as("s_bal"))
+        .join(broadcast(withI), Seq("shard_id"))
+        .select(col("shard_id"), col("indexed_id"), col("name_dist"),
+          (lit(3) +
+            lit(2) * (col("i_seg") === col("s_seg")).cast("int") +
+            lit(1) * (abs(col("i_bal") - col("s_bal")) <= 100.0).cast("int"))
+            .cast("int").as("score"))
+    }),
+
     // the ER measurement: the er_probe shard is PLANTED (every typo'd
     // re-crawl has exactly one known original, shard_id − 1000000),
     // so probe quality is exactly computable — recall of the planted
@@ -1980,6 +2026,29 @@ object CoreQueries {
            ON c.c_nationkey = s.c_nationkey
           AND c.c_mktsegment = s.c_mktsegment
          WHERE levenshtein(s.name, c.c_name) <= 1""",
+
+    "er_probe_rescored" ->
+      """WITH shard AS (
+           SELECT c_custkey + 1000000 AS shard_id,
+                  substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+                  c_custkey AS orig_key, c_nationkey, c_mktsegment
+           FROM customer WHERE c_custkey % 9 = 0),
+         m AS (
+           SELECT s.shard_id, s.orig_key, c.c_custkey AS indexed_id,
+                  CAST(levenshtein(s.name, c.c_name) AS INT) AS name_dist
+           FROM shard s JOIN customer c
+             ON c.c_nationkey = s.c_nationkey
+            AND c.c_mktsegment = s.c_mktsegment
+           WHERE levenshtein(s.name, c.c_name) <= 1)
+         SELECT m.shard_id, m.indexed_id, m.name_dist,
+                CAST(3
+                   + 2 * (CASE WHEN i.c_mktsegment = o.c_mktsegment
+                          THEN 1 ELSE 0 END)
+                   + 1 * (CASE WHEN abs(i.c_acctbal - o.c_acctbal) <= 100.0
+                          THEN 1 ELSE 0 END) AS INT) AS score
+         FROM m
+         JOIN customer i ON i.c_custkey = m.indexed_id
+         JOIN customer o ON o.c_custkey = m.orig_key""",
 
     "er_resolve" ->
       s"""WITH RECURSIVE pr AS ($erPairsSql),
