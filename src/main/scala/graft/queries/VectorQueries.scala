@@ -184,6 +184,25 @@ object VectorQueries {
         e, k = 5)
     }),
 
+    // ...and MMR over the FUSED shortlist — diversity on top of the
+    // hybrid stack: the RRF top-20 (its rounded fused score as the
+    // relevance signal) re-ranked by the same greedy
+    // relevance-vs-redundancy trade. The composed trajectory —
+    // corpus pass → two rankings → fusion → greedy rounds — replays
+    // in full: every stage is deterministic and the greedy consumes
+    // the ROUNDED rrf exactly as emitted.
+    "knn_mmr_hybrid" -> ((s, d) => {
+      val lex = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("toks"))
+      val embAll = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Similarity.mmrRerankWith(
+        Similarity.hybridRrf(lex, embAll, nQueries = 8, m = 20, k = 20)
+          .select(col("query_id"), col("doc_id").as("vec_id"),
+            col("rrf").as("rel")),
+        embAll, k = 5)
+    }),
+
     // ...and the full tuning curve: the filtered recall–cost frontier
     // over nProbe ∈ {1,2,4,8}, with BOTH cost axes per config — rows
     // the scan reads (whole probed lists) and rows the scorer scores
@@ -1585,6 +1604,17 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY rel DESC, vec_id ASC) AS rank
             FROM candraw) WHERE rank <= 20)""")
+
+  /** knn_mmr_hybrid oracle: the same greedy over the hybrid RRF
+    * top-20 — rel is the ROUNDED fused score, exactly the column the
+    * engine feeds mmrRerankWith. */
+  private lazy val mmrHybridOracle: String = mmrGreedySql(
+    s"""$hybridRrfCtes,
+        cand AS (
+          SELECT r.query_id, r.doc_id AS vec_id,
+                 round(r.rrf, 6) AS rel, e.embedding
+          FROM rk r JOIN embeddings e ON e.vec_id = r.doc_id
+          WHERE r.rank <= 20)""")
 
   /** The unrolled greedy MMR trajectory over whatever `candCtes`
     * defines as cand(query_id, vec_id, rel, embedding). */
@@ -3010,6 +3040,7 @@ object VectorQueries {
     "knn_filtered_ivf" -> filteredIvfOracle,
     "knn_mmr" -> mmrOracle,
     "knn_mmr_ivf" -> mmrIvfOracle,
+    "knn_mmr_hybrid" -> mmrHybridOracle,
 
     // both rankings + the RRF fusion recomputed from first
     // principles: window top-20s over one scored relation, full
