@@ -649,9 +649,10 @@ object Graph {
     * pre-partitioned edge list against the O(|V|) label state, one
     * combinable (dst, label) count, and one max_by reduce per node —
     * all hash-keyed, nothing driver-side, no windows. The vote
-    * argmax rides an integer composite (cnt·10¹⁰ − label) so the
+    * argmax rides an integer composite (cnt·10¹¹ − label) so the
     * reduce stays a single combinable max_by instead of a window
-    * sort; label ids must stay below 10¹⁰ (guarded). */
+    * sort; label ids must stay below 10¹¹ (guarded — headroom for
+    * the repo-wide 10¹⁰ synthetic-node-id offset convention). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
@@ -664,10 +665,10 @@ object Graph {
       .union(e.select(col("dst").as("node_id")))
       .distinct()
       .select(col("node_id"),
-        when(col("node_id").between(0L, 9999999999L), col("node_id"))
+        when(col("node_id").between(0L, 99999999999L), col("node_id"))
           .otherwise(raise_error(concat(lit("labelPropagation: node id "),
             col("node_id").cast("string"),
-            lit(" outside [0, 1e10) — composite vote order would overflow"))))
+            lit(" outside [0, 1e11) — composite vote order would overflow"))))
           .as("community"))
       .localCheckpoint(true)
     try {
@@ -859,16 +860,16 @@ object Graph {
       .groupBy(col("dst").as("node_id"), col("community").as("c"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("node_id"))
-      // composite vote order cnt·10¹⁰ − c needs cnt·10¹⁰ ≤ int64 max;
+      // composite vote order cnt·10¹¹ − c needs cnt·10¹¹ ≤ int64 max;
       // guarded like the label-id bound (Spark with ANSI off would
       // wrap silently to a wrong community while the oracle's BIGINT
       // errors — an asymmetric divergence without the guard)
       .agg(max_by(col("c"),
-        when(col("cnt") <= lit(922337203L),
-          col("cnt") * lit(10000000000L) - col("c"))
+        when(col("cnt") <= lit(92233720L),
+          col("cnt") * lit(100000000000L) - col("c"))
           .otherwise(raise_error(concat(
             lit("labelPropagation: vote count "), col("cnt").cast("string"),
-            lit(" overflows the composite vote order (max 922337203 "),
+            lit(" overflows the composite vote order (max 92233720 "),
             lit("weighted in-edges per label)"))))).as("voted"))
     lbl
       .join(votes, Seq("node_id"), "left")

@@ -651,7 +651,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -732,7 +732,7 @@ object CoreQueries {
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
+          (col("l_suppkey") + 10000000000L).as("dst"))
       val h = graft.operators.Graph.hits(edges, iters = 3)
       val out = h
         .orderBy(col("auth").desc, col("node_id").asc)
@@ -771,7 +771,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -823,7 +823,7 @@ object CoreQueries {
       val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
         .select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -1019,7 +1019,7 @@ object CoreQueries {
       graft.operators.RecordIndex.appendEpoch(s, path, 0L,
         cust.where(col("id") % 3 === 2))
       val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
+        .select((col("c_custkey") + 10000000000L).as("id"),
           concat(expr("substring(c_name, 1, length(c_name)-1)"),
             lit("X")).as("name"),
           concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
@@ -1047,7 +1047,7 @@ object CoreQueries {
       graft.operators.RecordIndex.appendEpoch(s, path, 0L,
         cust.where(col("id") % 3 === 2))
       val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
+        .select((col("c_custkey") + 10000000000L).as("id"),
           concat(expr("substring(c_name, 1, length(c_name)-1)"),
             lit("X")).as("name"),
           concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
@@ -1062,7 +1062,7 @@ object CoreQueries {
           col("c_mktsegment").as("i_seg"), col("c_acctbal").as("i_bal"))
         .join(broadcast(matches), Seq("indexed_id"))
       fields
-        .select((col("c_custkey") + 1000000L).as("shard_id"),
+        .select((col("c_custkey") + 10000000000L).as("shard_id"),
           col("c_mktsegment").as("s_seg"), col("c_acctbal").as("s_bal"))
         .join(broadcast(withI), Seq("shard_id"))
         .select(col("shard_id"), col("indexed_id"), col("name_dist"),
@@ -1073,7 +1073,7 @@ object CoreQueries {
     }),
 
     // the ER measurement: the er_probe shard is PLANTED (every typo'd
-    // re-crawl has exactly one known original, shard_id − 1000000),
+    // re-crawl has exactly one known original, shard_id − 10000000000),
     // so probe quality is exactly computable — recall of the planted
     // originals, plus how many matches were near-misses to OTHER
     // registered records (the reviewer-queue volume). One pass over
@@ -1087,7 +1087,7 @@ object CoreQueries {
       erIndexDirs.add(dir)
       graft.operators.RecordIndex.write(cust, path)
       val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
+        .select((col("c_custkey") + 10000000000L).as("id"),
           concat(expr("substring(c_name, 1, length(c_name)-1)"),
             lit("X")).as("name"),
           concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
@@ -1095,10 +1095,10 @@ object CoreQueries {
       graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
         .agg(
           count(lit(1)).as("n_matches"),
-          sum(when(col("indexed_id") === col("shard_id") - 1000000L, 1L)
+          sum(when(col("indexed_id") === col("shard_id") - 10000000000L, 1L)
             .otherwise(0L)).as("n_self_matches"),
           countDistinct(when(
-            col("indexed_id") === col("shard_id") - 1000000L,
+            col("indexed_id") === col("shard_id") - 10000000000L,
             col("shard_id"))).as("n_caught"))
         .crossJoin(broadcast(nShard))
         .select(col("n_shard"), col("n_matches"), col("n_self_matches"),
@@ -1135,11 +1135,11 @@ object CoreQueries {
         val own = cust.where(col("id") % 3 === e)
         val withDupes = own.unionByName(
           cust.where(col("id") % 3 === e && col("id") % 7 === 0)
-            .select((col("id") + 3000000L).as("id"), typod, col("block")))
+            .select((col("id") + 30000000000L).as("id"), typod, col("block")))
         if (e == 0) withDupes
         else withDupes.unionByName(
           cust.where(col("id") % 3 === e - 1 && col("id") % 5 === 0)
-            .select((col("id") + lit(1000000L * e)).as("id"), typod,
+            .select((col("id") + lit(10000000000L * e)).as("id"), typod,
               col("block")))
       }
       (0 to 2).map { e =>
@@ -1607,7 +1607,7 @@ object CoreQueries {
               JOIN outdeg o ON e.src = o.src
               GROUP BY e.dst) i ON n.node_id = i.node_id"""
       s"""WITH e0 AS (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS (SELECT c AS src, sp AS dst FROM e0
                     UNION ALL SELECT sp, c FROM e0),
@@ -1645,7 +1645,7 @@ object CoreQueries {
       val rounds = (1 to 3).map(n => iter(if (n == 1) "it0" else s"it${n - 1}", n))
         .mkString(",\n          ")
       s"""WITH edges AS MATERIALIZED (
-            SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+            SELECT o_custkey AS src, 10000000000 + l_suppkey AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           nodes AS MATERIALIZED (SELECT DISTINCT x AS node_id FROM (
             SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
@@ -1690,7 +1690,7 @@ object CoreQueries {
               JOIN outdeg o ON e.src = o.src
               GROUP BY e.dst) i ON n.node_id = i.node_id"""
       s"""WITH e0 AS (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS (SELECT c AS src, sp AS dst FROM e0
                     UNION ALL SELECT sp, c FROM e0),
@@ -1738,8 +1738,10 @@ object CoreQueries {
 
     "graph_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; the vote argmax rides the
-      // same integer composite (cnt·1e10 − label) as the engine so
-      // the (count desc, label asc) order is total on both sides.
+      // same integer composite (cnt·1e11 − label) as the engine so
+      // the (count desc, label asc) order is total on both sides
+      // (1e11 because supplier node ids are c_custkey-collision-free
+      // at 1e10 + l_suppkey, which exceeds the old 1e10 multiplier).
       // MATERIALIZED for the same inlining-blowup reason as
       // graph_kcore (each round reads the previous one twice).
       def iter(prev: String, n: Int): String =
@@ -1747,7 +1749,7 @@ object CoreQueries {
               SELECT e.dst AS node_id, p.community AS c, count(*) AS cnt
               FROM edges e JOIN $prev p ON e.src = p.node_id GROUP BY 1, 2),
           w$n AS MATERIALIZED (
-              SELECT node_id, max_by(c, cnt * 10000000000 - c) AS voted
+              SELECT node_id, max_by(c, cnt * 100000000000 - c) AS voted
               FROM v$n GROUP BY node_id),
           l$n AS MATERIALIZED (
               SELECT n.node_id, coalesce(w.voted, p.community) AS community
@@ -1757,7 +1759,7 @@ object CoreQueries {
       val rounds = (1 to 3).map(n => iter(if (n == 1) "l0" else s"l${n - 1}", n))
         .mkString(",\n          ")
       s"""WITH e0 AS MATERIALIZED (
-            SELECT o_custkey AS c, 1000000 + l_suppkey AS sp
+            SELECT o_custkey AS c, 10000000000 + l_suppkey AS sp
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM e0
                     UNION ALL SELECT sp, c FROM e0),
@@ -1924,23 +1926,23 @@ object CoreQueries {
           s0 AS (
             SELECT id, name, block FROM r WHERE id % 3 = 0
             UNION ALL
-            SELECT id + 3000000, $ty, block FROM r
+            SELECT id + 30000000000, $ty, block FROM r
             WHERE id % 3 = 0 AND id % 7 = 0),
           s1 AS (
             SELECT id, name, block FROM r WHERE id % 3 = 1
             UNION ALL
-            SELECT id + 3000000, $ty, block FROM r
+            SELECT id + 30000000000, $ty, block FROM r
             WHERE id % 3 = 1 AND id % 7 = 0
             UNION ALL
-            SELECT id + 1000000, $ty, block FROM r
+            SELECT id + 10000000000, $ty, block FROM r
             WHERE id % 3 = 0 AND id % 5 = 0),
           s2 AS (
             SELECT id, name, block FROM r WHERE id % 3 = 2
             UNION ALL
-            SELECT id + 3000000, $ty, block FROM r
+            SELECT id + 30000000000, $ty, block FROM r
             WHERE id % 3 = 2 AND id % 7 = 0
             UNION ALL
-            SELECT id + 2000000, $ty, block FROM r
+            SELECT id + 20000000000, $ty, block FROM r
             WHERE id % 3 = 1 AND id % 5 = 0),
           a0 AS MATERIALIZED (${dominate("s0")}),
           f1 AS MATERIALIZED (${screen("s1", Some("a0"))}),
@@ -1988,7 +1990,7 @@ object CoreQueries {
 
     "er_probe_eval" ->
       """WITH shard AS (
-           SELECT c_custkey + 1000000 AS shard_id,
+           SELECT c_custkey + 10000000000 AS shard_id,
                   substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
                   c_nationkey, c_mktsegment
            FROM customer WHERE c_custkey % 9 = 0),
@@ -2000,10 +2002,10 @@ object CoreQueries {
            WHERE levenshtein(s.name, c.c_name) <= 1),
           agg AS (
            SELECT CAST(count(*) AS BIGINT) AS n_matches,
-                  CAST(sum(CASE WHEN indexed_id = shard_id - 1000000
+                  CAST(sum(CASE WHEN indexed_id = shard_id - 10000000000
                                 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_self_matches,
-                  CAST(count(DISTINCT CASE WHEN indexed_id = shard_id - 1000000
+                  CAST(count(DISTINCT CASE WHEN indexed_id = shard_id - 10000000000
                                            THEN shard_id END) AS BIGINT)
                     AS n_caught
            FROM m)
@@ -2016,7 +2018,7 @@ object CoreQueries {
 
     "er_probe" ->
       """WITH shard AS (
-           SELECT c_custkey + 1000000 AS shard_id,
+           SELECT c_custkey + 10000000000 AS shard_id,
                   substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
                   c_nationkey, c_mktsegment
            FROM customer WHERE c_custkey % 9 = 0)
@@ -2029,7 +2031,7 @@ object CoreQueries {
 
     "er_probe_rescored" ->
       """WITH shard AS (
-           SELECT c_custkey + 1000000 AS shard_id,
+           SELECT c_custkey + 10000000000 AS shard_id,
                   substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
                   c_custkey AS orig_key, c_nationkey, c_mktsegment
            FROM customer WHERE c_custkey % 9 = 0),

@@ -84,7 +84,7 @@ object TextQueries {
         docs.where(col("doc_id") % 3 =!= 2), path)
       graft.operators.ContentHashIndex.probeNew(s, path,
         docs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -162,13 +162,13 @@ object TextQueries {
         // same-shard exact dups: every 7th doc re-keyed in ITS shard
         val withDupes = own.unionByName(
           docs.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 30000000000L).as("doc_id"), col("text")))
         // re-crawls of the PREVIOUS shard: every 5th doc re-keyed —
         // exact-dropped iff its original was admitted
         if (e == 0) withDupes
         else withDupes.unionByName(
           docs.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 5 === 0)
-            .select((col("doc_id") + lit(1000000L * e)).as("doc_id"),
+            .select((col("doc_id") + lit(10000000000L * e)).as("doc_id"),
               col("text")))
       }
       (0 to 2).map { e =>
@@ -207,14 +207,14 @@ object TextQueries {
         // same-shard exact dups keep stage 1 non-vacuous
         val withDupes = own.unionByName(
           base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            .select((col("doc_id") + 30000000000L).as("doc_id"), col("text"),
               col("embedding")))
         // semantic re-crawls of the PREVIOUS shard: reworded text,
         // original embedding
         if (e == 0) withDupes
         else withDupes.unionByName(
           base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
-            .select((col("doc_id") + lit(1000000L * e)).as("doc_id"),
+            .select((col("doc_id") + lit(10000000000L * e)).as("doc_id"),
               concat(lit("semantic recrawl of document "), col("doc_id"),
                 lit(" reworded entirely")).as("text"),
               col("embedding")))
@@ -264,14 +264,14 @@ object TextQueries {
         // same-shard exact dups keep stage 1 non-vacuous
         val withDupes = own.unionByName(
           base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id") +:
+            .select((col("doc_id") + 30000000000L).as("doc_id") +:
               col("text") +: sigCols: _*))
         // perceptual re-crawls of the PREVIOUS shard: reworded text,
         // original signature
         if (e == 0) withDupes
         else withDupes.unionByName(
           base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
-            .select((col("doc_id") + lit(1000000L * e)).as("doc_id") +:
+            .select((col("doc_id") + lit(10000000000L * e)).as("doc_id") +:
               concat(lit("perceptual recrawl of asset "), col("doc_id"),
                 lit(" reworded entirely")).as("text") +: sigCols: _*))
       }
@@ -315,12 +315,12 @@ object TextQueries {
         val own = base.where(col("doc_id") % 3 === e)
         val withDupes = own.unionByName(
           base.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id") +:
+            .select((col("doc_id") + 30000000000L).as("doc_id") +:
               col("text") +: sigCols: _*))
         if (e == 0) withDupes
         else withDupes.unionByName(
           base.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 4 === 0)
-            .select((col("doc_id") + lit(1000000L * e)).as("doc_id") +:
+            .select((col("doc_id") + lit(10000000000L * e)).as("doc_id") +:
               concat(lit("perceptual recrawl of video "), col("doc_id"),
                 lit(" reworded entirely")).as("text") +: sigCols: _*))
       }
@@ -420,7 +420,7 @@ object TextQueries {
         docs.where(col("doc_id") % 7 === 0)
           .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
           .unionByName(docs.where(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+            .select((col("doc_id") + 10000000000L).as("doc_id"), col("text"))))
       graft.operators.ContentHashIndex.diffAsOf(s, path, 0L, 1L)
     }),
 
@@ -1111,23 +1111,23 @@ object TextQueries {
         s0 AS (
           SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 0
           UNION ALL
-          SELECT doc_id + 3000000, text, sh FROM d
+          SELECT doc_id + 30000000000, text, sh FROM d
           WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
         s1 AS (
           SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 1
           UNION ALL
-          SELECT doc_id + 3000000, text, sh FROM d
+          SELECT doc_id + 30000000000, text, sh FROM d
           WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
           UNION ALL
-          SELECT doc_id + 1000000, text, sh FROM d
+          SELECT doc_id + 10000000000, text, sh FROM d
           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
         s2 AS (
           SELECT doc_id, text, sh FROM d WHERE doc_id % 3 = 2
           UNION ALL
-          SELECT doc_id + 3000000, text, sh FROM d
+          SELECT doc_id + 30000000000, text, sh FROM d
           WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
           UNION ALL
-          SELECT doc_id + 2000000, text, sh FROM d
+          SELECT doc_id + 20000000000, text, sh FROM d
           WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
         e0 AS MATERIALIZED (${exact("s0", None)}),
         a0 AS MATERIALIZED (${near("e0", None)}),
@@ -1218,22 +1218,22 @@ object TextQueries {
         s0 AS (
           SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 0
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          SELECT doc_id + 30000000000, text, sh, v, c_id FROM ba
           WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
         s1 AS (
           SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 1
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          SELECT doc_id + 30000000000, text, sh, v, c_id FROM ba
           WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
           UNION ALL
-          ${plant(0, 1000000L)}),
+          ${plant(0, 10000000000L)}),
         s2 AS (
           SELECT doc_id, text, sh, v, c_id FROM ba WHERE doc_id % 3 = 2
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, v, c_id FROM ba
+          SELECT doc_id + 30000000000, text, sh, v, c_id FROM ba
           WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
           UNION ALL
-          ${plant(1, 2000000L)}),
+          ${plant(1, 20000000000L)}),
         e0 AS MATERIALIZED (${exact("s0", None)}),
         n0 AS MATERIALIZED (${near("e0", None)}),
         m0 AS MATERIALIZED (${sem("n0", None)}),
@@ -1325,22 +1325,22 @@ object TextQueries {
         s0 AS (
           SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 0
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          SELECT doc_id + 30000000000, text, sh, c0, c1, c2, c3 FROM ba
           WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
         s1 AS (
           SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 1
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          SELECT doc_id + 30000000000, text, sh, c0, c1, c2, c3 FROM ba
           WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
           UNION ALL
-          ${plant(0, 1000000L)}),
+          ${plant(0, 10000000000L)}),
         s2 AS (
           SELECT doc_id, text, sh, c0, c1, c2, c3 FROM ba WHERE doc_id % 3 = 2
           UNION ALL
-          SELECT doc_id + 3000000, text, sh, c0, c1, c2, c3 FROM ba
+          SELECT doc_id + 30000000000, text, sh, c0, c1, c2, c3 FROM ba
           WHERE doc_id % 3 = 2 AND doc_id % 7 = 0
           UNION ALL
-          ${plant(1, 2000000L)}),
+          ${plant(1, 20000000000L)}),
         e0 AS MATERIALIZED (${exact("s0", None)}),
         n0 AS MATERIALIZED (${near("e0", None)}),
         p0 AS MATERIALIZED (${perc("n0", None)}),
@@ -1673,7 +1673,7 @@ object TextQueries {
     // earliest indexed copy + multiplicity
     "dedup_exact_probe" ->
       """WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
-              nw  AS (SELECT doc_id + 1000000 AS doc_id, text
+              nw  AS (SELECT doc_id + 10000000000 AS doc_id, text
                       FROM documents WHERE doc_id % 5 = 0),
               hits AS (
                 SELECT text, min(doc_id) AS dup_of_doc_id,
@@ -1779,7 +1779,7 @@ object TextQueries {
             SELECT doc_id, text || ' rev2' AS text
             FROM documents WHERE doc_id % 7 = 0
             UNION ALL
-            SELECT doc_id + 1000000, text
+            SELECT doc_id + 10000000000, text
             FROM documents WHERE doc_id % 11 = 0),
           newt AS (
             SELECT d.doc_id

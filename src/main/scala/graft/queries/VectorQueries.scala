@@ -689,7 +689,7 @@ object VectorQueries {
         e.where(col("vec_id") % 3 === 2).select(col("vec_id"), col("embedding")))
       graft.operators.IvfIndex.probeSemantic(s, path,
         e.where(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding")))
     }),
 
     // ...and the COMPRESSED admission probe (IvfPqIndex.probeSemantic):
@@ -718,7 +718,7 @@ object VectorQueries {
         e.where(col("vec_id") % 3 === 2).select(col("vec_id"), col("embedding")))
       graft.operators.IvfPqIndex.probeSemantic(s, path,
         e.where(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+          .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding")),
         vectorSource = e.select(col("vec_id"), col("embedding")))
     }),
 
@@ -1155,7 +1155,7 @@ object VectorQueries {
         sigs.where(col("doc_id") % 3 === 2))
       graft.operators.HammingIndex.probePairs(s, path,
         sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
@@ -1205,7 +1205,7 @@ object VectorQueries {
       graft.operators.HammingIndex.gc(s, path)
       graft.operators.HammingIndex.probePairs(s, path,
         sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
@@ -1250,7 +1250,7 @@ object VectorQueries {
       graft.operators.HammingIndex.gc(s, path)
       graft.operators.HammingIndex.probePairs(s, path,
         sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             col("c0"), col("c1"), col("c2"), col("c3")))
     }),
 
@@ -2216,7 +2216,7 @@ object VectorQueries {
           SELECT vec_id, min(c_id) AS c_id, $codeCols FROM enc GROUP BY vec_id),
         sa AS (
           SELECT vec_id, embedding, c_id, c_vec FROM (
-            SELECT s.vec_id + 1000000 AS vec_id, s.embedding, c.c_id, c.c_vec,
+            SELECT s.vec_id + 10000000000 AS vec_id, s.embedding, c.c_id, c.c_vec,
                    row_number() OVER (PARTITION BY s.vec_id
                      ORDER BY ${cosSql("s.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
             FROM embeddings s CROSS JOIN c WHERE s.vec_id % 5 = 0) WHERE rn = 1),
@@ -2352,7 +2352,7 @@ object VectorQueries {
   private lazy val mmProbeOracle: String =
     s"""WITH $mmSigCtes,
         ssig AS (
-          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          SELECT asset_id + 10000000000 AS asset_id, c0, c1, c2, c3
           FROM sigs WHERE asset_id % 5 = 0),
         crossp AS (
           SELECT i.asset_id AS a_id, s.asset_id AS b_id,
@@ -2475,7 +2475,7 @@ object VectorQueries {
   private lazy val mmVideoOracle: String =
     s"""WITH $videoSigCtes,
         ssig AS (
-          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          SELECT asset_id + 10000000000 AS asset_id, c0, c1, c2, c3
           FROM vsigs WHERE asset_id % 5 = 0),
         crossp AS (
           SELECT i.asset_id AS a_id, s.asset_id AS b_id,
@@ -2596,7 +2596,7 @@ object VectorQueries {
   private lazy val mmAudioOracle: String =
     s"""WITH $audioSigCtes,
         ssig AS (
-          SELECT asset_id + 1000000 AS asset_id, c0, c1, c2, c3
+          SELECT asset_id + 10000000000 AS asset_id, c0, c1, c2, c3
           FROM asigs WHERE asset_id % 5 = 0),
         crossp AS (
           SELECT i.asset_id AS a_id, s.asset_id AS b_id,
@@ -3302,7 +3302,7 @@ object VectorQueries {
               FROM embeddings e CROSS JOIN c) WHERE rn = 1),
           sa AS (
             SELECT vec_id, embedding, c_id FROM (
-              SELECT s.vec_id + 1000000 AS vec_id, s.embedding, c.c_id,
+              SELECT s.vec_id + 10000000000 AS vec_id, s.embedding, c.c_id,
                      row_number() OVER (PARTITION BY s.vec_id
                        ORDER BY ${cosSql("s.embedding", "c.c_vec")} DESC, c.c_id ASC) AS rn
               FROM embeddings s CROSS JOIN c WHERE s.vec_id % 5 = 0) WHERE rn = 1),

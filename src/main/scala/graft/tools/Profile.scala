@@ -58,7 +58,7 @@ object Profile {
         val edges = ord.select("o_orderkey", "o_custkey")
           .join(li.select("l_orderkey", "l_suppkey"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000000L).as("sp"))
           .select(explode(array(
             struct(col("c").as("src"), col("sp").as("dst")),
             struct(col("sp").as("src"), col("c").as("dst")))).as("e"))

@@ -285,12 +285,30 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("label propagation rejects label ids that overflow the vote composite") {
-    val edges = Seq((10000000000L, 1L), (1L, 10000000000L)).toDF("src", "dst")
+    val edges = Seq((100000000000L, 1L), (1L, 100000000000L)).toDF("src", "dst")
     val e = intercept[Exception] {
       Graph.labelPropagation(edges, rounds = 1).collect()
     }
     assert(exceptionChain(e).exists(_.contains("composite")),
       s"wanted composite-overflow guidance, got: ${e.getMessage}")
+  }
+
+  test("1e10 node-id offset keeps big customer keys disjoint from suppliers") {
+    // regression for the retired 1e6 offset: customer 1,500,000 and
+    // supplier 500,000 collided under `suppkey + 1e6` (both node
+    // 1,500,000 — the graph silently merged them); under the repo-wide
+    // `suppkey + 1e10` convention they stay distinct nodes. Node ids
+    // at 1e10 + k must also survive the 1e11 vote composite.
+    val offset = 10000000000L
+    val cust = 1500000L
+    val supp = 500000L + offset
+    assert(cust != supp) // the collision the old offset produced
+    val edges = Seq((cust, supp), (supp, cust)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 2).collect()
+    assert(got.length == 2, s"wanted 2 distinct nodes, got ${got.length}")
+    // one sync round swaps labels, two rounds restore: both keep a
+    // label from the {cust, supp} set and the pair stays 2 rows
+    assert(got.map(_.getLong(0)).toSet == Set(cust, supp))
   }
 
   test("bfs: multi-source hop minima, budget bound, unreached absent") {
