@@ -1023,6 +1023,9 @@ object CoreQueries {
           concat(expr("substring(c_name, 1, length(c_name)-1)"),
             lit("X")).as("name"),
           concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+      // the probe's eager pin IS this query's result (output-sized) —
+      // the same final-result pin every checkpointing query returns;
+      // derived consumers (er_probe_eval/_rescored) release theirs
       graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
     }),
 
@@ -1032,13 +1035,17 @@ object CoreQueries {
     // the multi-field weighted-agreement score (name already agreed
     // by construction = 3, exact segment = 2, balance within 100.00
     // = 1) is computed only on those matches via two broadcast joins
-    // back to the records. True re-crawls (the planted re-keyed
-    // originals) score 6; near-miss matches to OTHER records separate
-    // at 3–5 — the triage a reviewer queue is sorted by.
+    // back to the records. The register here blocks on NATION alone —
+    // coarser than er_probe's nation+segment — precisely so the
+    // segment term is a live signal at rescore time (a field folded
+    // into the blocking key agrees by construction and scores
+    // nothing). True re-crawls (the planted re-keyed originals)
+    // always score 6; near-miss matches to OTHER records spread over
+    // 3–6 — the triage a reviewer queue is sorted by.
     "er_probe_rescored" -> ((s, d) => {
       val cust = Tables.customer(s, d).select(
         col("c_custkey").as("id"), col("c_name").as("name"),
-        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+        col("c_nationkey").cast("string").as("block"))
       val dir = java.nio.file.Files.createTempDirectory("graft_er_resc_")
       val path = dir.toAbsolutePath.toString
       erIndexDirs.add(dir)
@@ -1050,7 +1057,7 @@ object CoreQueries {
         .select((col("c_custkey") + 10000000000L).as("id"),
           concat(expr("substring(c_name, 1, length(c_name)-1)"),
             lit("X")).as("name"),
-          concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
+          col("c_nationkey").cast("string").as("block"))
       val matches = graft.operators.RecordIndex
         .probeShard(s, path, shard, maxDist = 1)
       val fields = Tables.customer(s, d)
@@ -1061,7 +1068,7 @@ object CoreQueries {
         .select(col("c_custkey").as("indexed_id"),
           col("c_mktsegment").as("i_seg"), col("c_acctbal").as("i_bal"))
         .join(broadcast(matches), Seq("indexed_id"))
-      fields
+      val out = fields
         .select((col("c_custkey") + 10000000000L).as("shard_id"),
           col("c_mktsegment").as("s_seg"), col("c_acctbal").as("s_bal"))
         .join(broadcast(withI), Seq("shard_id"))
@@ -1070,6 +1077,10 @@ object CoreQueries {
             lit(2) * (col("i_seg") === col("s_seg")).cast("int") +
             lit(1) * (abs(col("i_bal") - col("s_bal")) <= 100.0).cast("int"))
             .cast("int").as("score"))
+        .localCheckpoint(true)
+      // the probe pin fed its two joins; only the rescored final stays
+      graft.operators.Storage.unpersistLocalCheckpoint(matches)
+      out
     }),
 
     // the ER measurement: the er_probe shard is PLANTED (every typo'd
@@ -1092,7 +1103,9 @@ object CoreQueries {
             lit("X")).as("name"),
           concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("block"))
       val nShard = shard.agg(count(lit(1)).as("n_shard"))
-      graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
+      val matches =
+        graft.operators.RecordIndex.probeShard(s, path, shard, maxDist = 1)
+      val out = matches
         .agg(
           count(lit(1)).as("n_matches"),
           sum(when(col("indexed_id") === col("shard_id") - 10000000000L, 1L)
@@ -1105,6 +1118,10 @@ object CoreQueries {
           col("n_caught"),
           round(col("n_caught").cast("double") /
             col("n_shard").cast("double"), 6).as("recall"))
+        .localCheckpoint(true)
+      // the probe pin fed the one-row fold; release it now
+      graft.operators.Storage.unpersistLocalCheckpoint(matches)
+      out
     }),
 
     // the ER ADMISSION LOOP end-to-end — Admission's structured-
@@ -2033,14 +2050,13 @@ object CoreQueries {
       """WITH shard AS (
            SELECT c_custkey + 10000000000 AS shard_id,
                   substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
-                  c_custkey AS orig_key, c_nationkey, c_mktsegment
+                  c_custkey AS orig_key, c_nationkey
            FROM customer WHERE c_custkey % 9 = 0),
          m AS (
            SELECT s.shard_id, s.orig_key, c.c_custkey AS indexed_id,
                   CAST(levenshtein(s.name, c.c_name) AS INT) AS name_dist
            FROM shard s JOIN customer c
              ON c.c_nationkey = s.c_nationkey
-            AND c.c_mktsegment = s.c_mktsegment
            WHERE levenshtein(s.name, c.c_name) <= 1)
          SELECT m.shard_id, m.indexed_id, m.name_dist,
                 CAST(3
