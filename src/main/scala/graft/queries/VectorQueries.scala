@@ -1404,6 +1404,39 @@ object VectorQueries {
           maxHamming = 3, maxBucket = 32))
         .select(col("doc_id").as("asset_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("is_survivor"))
+    }),
+
+    // ...and the ONLINE form of the capped decision chain, proven at
+    // the driver's gate on real signatures: the image aHash relation
+    // is replayed in two micro-batch-shaped halves through
+    // StreamingOps.updateHammingClusters — per-bucket occupancy,
+    // member, and bucket-keyed admitted-pair state maintained
+    // incrementally, with a bucket that crosses maxBucket mid-stream
+    // RETRACTING exactly its own admitted pairs (the cap's
+    // drop-whole-bucket law is not monotone under arrival; at sf0.01+
+    // real buckets do cross between the halves, so the rebuild path
+    // runs here, not just in the spec). The maintained snapshot must
+    // land bit-identically on mm_neardup_clusters_capped's chain —
+    // the shared oracle.
+    "mm_clusters_capped_incremental" -> ((s, d) => {
+      val sigs = Multimodal.imageAHash(
+        s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true) // two halves + the fold branch it
+      try {
+        val st = graft.streaming.StreamingOps.emptyHammingClusterState(
+          s, maxHamming = 3, maxBucket = 32)
+        try {
+          graft.streaming.StreamingOps.updateHammingClusters(
+            st, sigs.where(col("doc_id") % 2 === 0))
+          graft.streaming.StreamingOps.updateHammingClusters(
+            st, sigs.where(col("doc_id") % 2 =!= 0))
+          st.snapshot
+            .select(col("doc_id").as("asset_id"), col("cluster_id"),
+              (col("doc_id") === col("cluster_id")).as("is_survivor"))
+            .localCheckpoint(true)
+        } finally st.release()
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }))
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
@@ -3617,6 +3650,7 @@ object VectorQueries {
 
     "mm_neardup_clusters_capped" -> cappedClustersOracle(mmCappedOracle),
     "mm_neardup_clusters_durable" -> cappedClustersOracle(mmCappedOracle),
+    "mm_clusters_capped_incremental" -> cappedClustersOracle(mmCappedOracle),
     "mm_video_clusters_capped" -> cappedClustersOracle(mmVideoCappedOracle),
     "mm_audio_clusters_capped" -> cappedClustersOracle(mmAudioCappedOracle),
 

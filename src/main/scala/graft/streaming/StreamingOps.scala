@@ -1858,4 +1858,226 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** Maintained state for ONLINE CAPPED PERCEPTUAL CLUSTERING — the
+    * Hamming-signature closure of the cosineLshVerdicts → [[updateCc]]
+    * composition, with the exactness the embedding gate cannot give:
+    * after any batch sequence [[snapshot]] equals the batch capped
+    * decision chain (`Dedup.hammingChunkPairs(allSigsSoFar, maxHamming,
+    * maxBucket)` → `Dedup.connectedComponents`) — the
+    * `mm_neardup_clusters_capped` law — INCLUDING the skew cap's
+    * drop-whole-bucket semantics, which are not monotone under
+    * arrival: a bucket that crosses `maxBucket` mid-stream must take
+    * its already-admitted pairs back out of the clustering. The state
+    * makes that retraction exact by keying every admitted pair with
+    * the (chunk, chunk_val) bucket that admitted it, so saturating one
+    * bucket removes exactly its rows while pairs co-admitted by a
+    * still-open bucket survive the distinct — the batch operator's
+    * EXISTS-a-qualifying-chunk law, maintained.
+    *
+    * State relations (all localCheckpoint'ed, superseded generations
+    * released per batch): `counts` (chunk, chunk_val, n) over every
+    * bucket ever seen; `members` (chunk, chunk_val, doc_id, c0..c3)
+    * for UNSATURATED buckets only — each holds ≤ maxBucket signatures,
+    * and a bucket's members are dropped the moment it saturates, so
+    * hot buckets shrink the state instead of growing it; `admitted`
+    * (chunk, chunk_val, a_id, b_id) bounded by the capped pair law's
+    * own Σ min(|b|, cap)² budget; `seen` (doc_id) for idempotent
+    * re-delivery (foreachBatch is at-least-once); and the cluster
+    * labels via a [[CcState]].
+    *
+    * 100 TB shape: every per-batch term is keyed on the bucket hash —
+    * Δ signatures join member/count state on (chunk, chunk_val), pair
+    * expansion is in-row over ≤ cap collected members (never a
+    * self-join), and the common no-saturation batch maintains labels
+    * through [[updateCc]]'s broadcast remap. Only a batch that
+    * actually saturates a bucket pays a clustering rebuild, and that
+    * rebuild runs over the capped pair relation — the same
+    * deliberately-bounded input the batch decision chain pays for
+    * every run. */
+  final class HammingClusterState private[streaming] (
+      private[streaming] var counts: DataFrame,
+      private[streaming] var members: DataFrame,
+      private[streaming] var admitted: DataFrame,
+      private[streaming] var seen: DataFrame,
+      private[streaming] val cc: CcState,
+      val maxHamming: Int,
+      val maxBucket: Int) {
+    /** Current (doc_id, cluster_id) — exactly the batch capped chain
+      * over every signature ingested so far. */
+    def snapshot: DataFrame =
+      cc.snapshot.select(col("node_id").as("doc_id"), col("cluster_id"))
+
+    /** The maintained capped pair relation (a_id, b_id), distinct. */
+    def pairSnapshot: DataFrame =
+      admitted.select(col("a_id"), col("b_id")).distinct()
+
+    def release(): Unit = {
+      graft.operators.Storage.unpersistLocalCheckpoint(counts)
+      graft.operators.Storage.unpersistLocalCheckpoint(members)
+      graft.operators.Storage.unpersistLocalCheckpoint(admitted)
+      graft.operators.Storage.unpersistLocalCheckpoint(seen)
+      cc.release()
+    }
+  }
+
+  def emptyHammingClusterState(
+      spark: SparkSession, maxHamming: Int = 3,
+      maxBucket: Int = 4096): HammingClusterState = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingClusterState: hamming budget $maxHamming breaks the " +
+        "4-chunk pigeonhole (blocking needs maxHamming + 1 <= chunks)")
+    require(maxBucket >= 2,
+      s"hammingClusterState: maxBucket $maxBucket can admit no pairs")
+    import spark.implicits._
+    new HammingClusterState(
+      Seq.empty[(Int, Long, Long)].toDF("chunk", "chunk_val", "n")
+        .localCheckpoint(true),
+      Seq.empty[(Int, Long, Long, Long, Long, Long, Long)]
+        .toDF("chunk", "chunk_val", "doc_id", "c0", "c1", "c2", "c3")
+        .localCheckpoint(true),
+      Seq.empty[(Int, Long, Long, Long)]
+        .toDF("chunk", "chunk_val", "a_id", "b_id")
+        .localCheckpoint(true),
+      Seq.empty[Long].toDF("doc_id").localCheckpoint(true),
+      emptyCcState(spark), maxHamming, maxBucket)
+  }
+
+  /** One incremental maintenance step: ingest a micro-batch of chunked
+    * Hamming signatures (doc_id, c0..c3 — computed with the stream's
+    * ONE fixed signature function, the [[hammingIngestStream]]
+    * contract), updating the capped near-dup clustering EXACTLY (law
+    * pinned in StreamingOpsSpec; replayed on real signatures by the
+    * `mm_clusters_capped_incremental` query). Re-delivered doc_ids are
+    * no-ops. */
+  def updateHammingClusters(
+      state: HammingClusterState, batch: DataFrame): HammingClusterState = {
+    val bucketKey = Seq("chunk", "chunk_val")
+    // genuinely-new signatures only (at-least-once delivery tolerated)
+    val fresh = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("c0").cast("long"), col("c1").cast("long"),
+        col("c2").cast("long"), col("c3").cast("long"))
+      .dropDuplicates("doc_id")
+      .join(state.seen, Seq("doc_id"), "anti")
+      .localCheckpoint(true)
+    try {
+      val chunked = fresh.select(
+        col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+        .toDF("doc_id", "c0", "c1", "c2", "c3", "chunk", "chunk_val")
+      // bucket occupancy fold: n is monotone, so saturation is
+      // permanent and "newly saturated" is exactly the n_old <= cap <
+      // n frontier of this batch
+      val merged = state.counts.withColumnRenamed("n", "n_old")
+        .join(chunked.groupBy(bucketKey.map(col): _*)
+          .agg(count(lit(1)).as("dn")), bucketKey, "full")
+        .select(col("chunk"), col("chunk_val"),
+          (coalesce(col("n_old"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          col("dn").isNotNull.as("touched"))
+        .localCheckpoint(true)
+      val newlySat = merged
+        .where(col("n") > state.maxBucket && col("n_old") <= state.maxBucket)
+        .select(col("chunk"), col("chunk_val"))
+      // pair delta: only buckets still within the cap AND touched this
+      // batch can admit; expansion is in-row over <= cap members and
+      // keeps only pairs with a Δ endpoint (old×old already admitted)
+      val open = merged.where(col("n") <= state.maxBucket && col("touched"))
+        .select(col("chunk"), col("chunk_val"))
+      val pooled = state.members
+        .withColumn("is_new", lit(false))
+        .unionByName(chunked.select(
+          col("chunk"), col("chunk_val"), col("doc_id"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+          .withColumn("is_new", lit(true)))
+        .join(open, bucketKey, "semi")
+      val sorted = array_sort(collect_list(struct(
+        col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("is_new"))))
+      val pairDelta = pooled
+        .groupBy(bucketKey.map(col): _*)
+        .agg(sorted.as("ids"))
+        .select(col("chunk"), col("chunk_val"),
+          explode(flatten(transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              b => struct(a.as("a"), b.as("b")))))).as("p"))
+        .where(col("p.a.is_new") || col("p.b.is_new"))
+        .where((0 until 4).map(c =>
+          bit_count(col(s"p.a.c$c").bitwiseXOR(col(s"p.b.c$c"))))
+          .reduce(_ + _) <= state.maxHamming)
+        .select(col("chunk"), col("chunk_val"),
+          col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
+        .localCheckpoint(true)
+      // state upserts (retraction = the anti-join on newlySat)
+      val newAdmitted = state.admitted
+        .join(newlySat, bucketKey, "anti")
+        .unionByName(pairDelta)
+        .localCheckpoint(true)
+      val newMembers = state.members
+        .join(newlySat, bucketKey, "anti")
+        .unionByName(chunked
+          .select(col("chunk"), col("chunk_val"), col("doc_id"),
+            col("c0"), col("c1"), col("c2"), col("c3"))
+          .join(merged.where(col("n") <= state.maxBucket)
+            .select(col("chunk"), col("chunk_val")), bucketKey, "semi"))
+        .localCheckpoint(true)
+      val newSeen = state.seen.unionByName(fresh.select("doc_id"))
+        .localCheckpoint(true)
+      val retracting = !newlySat.isEmpty
+      graft.operators.Storage.unpersistLocalCheckpoint(state.counts)
+      graft.operators.Storage.unpersistLocalCheckpoint(state.members)
+      graft.operators.Storage.unpersistLocalCheckpoint(state.admitted)
+      graft.operators.Storage.unpersistLocalCheckpoint(state.seen)
+      state.counts = merged.select(col("chunk"), col("chunk_val"), col("n"))
+        .localCheckpoint(true)
+      graft.operators.Storage.unpersistLocalCheckpoint(merged)
+      state.members = newMembers
+      state.admitted = newAdmitted
+      state.seen = newSeen
+      if (retracting) {
+        // a saturated bucket pulled pairs out — merges may have to
+        // un-happen, so rebuild from the maintained capped pair set
+        // (bounded by the same law the batch chain pays every run)
+        val labels = graft.operators.Dedup.connectedComponents(
+          newAdmitted.select(col("a_id"), col("b_id")).distinct())
+          .select(col("doc_id").as("node_id"), col("cluster_id"))
+          .localCheckpoint(true)
+        graft.operators.Storage.unpersistLocalCheckpoint(state.cc.labels)
+        state.cc.labels = labels
+      } else {
+        // append-only delta: the broadcast-remap incremental merge
+        updateCc(state.cc,
+          pairDelta.select(col("a_id").as("src"), col("b_id").as("dst")))
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(pairDelta)
+      state
+    } finally graft.operators.Storage.unpersistLocalCheckpoint(fresh)
+  }
+
+  /** Streaming perceptual-cluster maintenance: ingest a signature
+    * stream (doc_id, c0..c3) via `foreachBatch`, maintaining the exact
+    * capped near-dup clustering across micro-batches with
+    * [[updateHammingClusters]]; `sink` receives the updated
+    * (doc_id, cluster_id) snapshot and epoch id after every batch —
+    * the perceptual closure of [[ccMaintenanceStream]]'s symmetry with
+    * the cosine gate. */
+  def hammingClusterMaintenanceStream(
+      signatures: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = emptyHammingClusterState(
+      signatures.sparkSession, maxHamming, maxBucket)
+    signatures.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        sink(updateHammingClusters(state, batch.toDF()).snapshot, epoch)
+        ()
+      }
+      .start()
+  }
 }

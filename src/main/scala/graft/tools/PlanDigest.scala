@@ -77,7 +77,14 @@ object PlanDigest {
     "mm_audio_clusters_capped", "knn_eval_frontier_scalar",
     "er_candidates_multi", "er_admission_loop",
     "knn_hybrid_rrf_persisted", "dedup_admission_video",
-    "mm_neardup_clusters_durable", "mm_capped_eval")
+    "mm_neardup_clusters_durable", "mm_capped_eval",
+    // round 16 (late additions, r17 digest coverage): the multi-field
+    // resolution chain, the deferred-rescore triage, MMR over the
+    // fused hybrid shortlist, and the persisted-hybrid eval
+    "er_resolve_multi", "er_probe_rescored", "knn_mmr_hybrid",
+    "knn_eval_hybrid_persisted",
+    // round 17: the online capped perceptual clustering replay
+    "mm_clusters_capped_incremental")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")

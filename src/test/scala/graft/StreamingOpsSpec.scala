@@ -1865,4 +1865,79 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
     assert(graft.pipelines.StediPipelines.customerPipeline(batch).schema == streamed)
   }
+
+  // -- online capped perceptual clustering ------------------------------
+
+  /** batch capped chain over `sigs` — the law's right-hand side */
+  private def cappedChain(
+      sigs: Seq[(Long, Long, Long, Long, Long)],
+      maxHamming: Int, maxBucket: Int): Map[Long, Long] =
+    graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.hammingChunkPairs(
+        sigs.toDF("doc_id", "c0", "c1", "c2", "c3"),
+        maxHamming, maxBucket))
+      .as[(Long, Long)].collect().toMap
+
+  test("online capped clustering law: snapshot == batch capped chain after every batch, retraction included") {
+    // four docs share bucket (c0=10) which crosses the cap mid-stream
+    // (its pairs must retract but survive via per-chunk buckets), and
+    // docs 5/6 pair ONLY through bucket (c0=77), which batch 4
+    // saturates — their cluster must VANISH from the snapshot, the
+    // non-monotone case an append-only verdict gate cannot express
+    val d1 = (1L, 10L, 1L, 0L, 0L)
+    val d2 = (2L, 10L, 0L, 1L, 0L)
+    val d3 = (3L, 10L, 1L, 1L, 0L)
+    val d4 = (4L, 10L, 0L, 0L, 0L)
+    val d5 = (5L, 77L, 50L, 60L, 70L)
+    val d6 = (6L, 77L, 51L, 61L, 71L) // hamming(d5,d6)=3, shared bucket: c0 only
+    val d7 = (7L, 77L, 1000L, 2000L, 3000L) // saturates (0,77); pairs with nothing
+    val d8 = (8L, 77L, 5000L, 6000L, 7000L)
+    val batches = Seq(Seq(d1, d2), Seq(d3, d5, d6), Seq(d4), Seq(d7, d8))
+    val st = StreamingOps.emptyHammingClusterState(
+      spark, maxHamming = 3, maxBucket = 3)
+    try {
+      var soFar = Seq.empty[(Long, Long, Long, Long, Long)]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        soFar ++= b
+        StreamingOps.updateHammingClusters(
+          st, b.toDF("doc_id", "c0", "c1", "c2", "c3"))
+        val got = st.snapshot.as[(Long, Long)].collect().toMap
+        val want = cappedChain(soFar, maxHamming = 3, maxBucket = 3)
+        assert(got == want, s"after batch $i: stream $got != batch $want")
+      }
+      // the scenario actually exercised both non-trivial paths
+      val fin = st.snapshot.as[(Long, Long)].collect().toMap
+      assert(fin == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+        s"wanted the 5/6 cluster retracted and 1-4 held via chunk buckets, got $fin")
+      // re-delivery is a no-op
+      StreamingOps.updateHammingClusters(
+        st, Seq(d1, d5).toDF("doc_id", "c0", "c1", "c2", "c3"))
+      assert(st.snapshot.as[(Long, Long)].collect().toMap == fin)
+    } finally st.release()
+  }
+
+  test("hammingClusterMaintenanceStream: streamed signatures maintain the capped clustering") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Long)]
+    val snaps = scala.collection.mutable.Map[Long, Map[Long, Long]]()
+    val q = StreamingOps.hammingClusterMaintenanceStream(
+      mem.toDF().toDF("doc_id", "c0", "c1", "c2", "c3"),
+      maxHamming = 3, maxBucket = 3) { (snap, epoch) =>
+      snaps.synchronized {
+        snaps(epoch) = snap.as[(Long, Long)].collect().toMap
+      }
+    }
+    try {
+      mem.addData((1L, 10L, 1L, 0L, 0L), (2L, 10L, 0L, 1L, 0L))
+      q.processAllAvailable()
+      mem.addData((3L, 10L, 1L, 1L, 0L), (4L, 10L, 0L, 0L, 0L))
+      q.processAllAvailable()
+      val last = snaps.synchronized(snaps(snaps.keys.max))
+      val want = cappedChain(
+        Seq((1L, 10L, 1L, 0L, 0L), (2L, 10L, 0L, 1L, 0L),
+          (3L, 10L, 1L, 1L, 0L), (4L, 10L, 0L, 0L, 0L)),
+        maxHamming = 3, maxBucket = 3)
+      assert(last == want && want.nonEmpty, s"stream $last != batch $want")
+    } finally q.stop()
+  }
 }
