@@ -69,6 +69,21 @@ object CoreQueries {
           AND a.c_custkey < b.c_custkey)
        WHERE score >= 4"""
 
+  private lazy val erMultiFinePairsSql: String =
+    """SELECT a_id, b_id, score FROM (
+         SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                CAST(3 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                          THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 10.0
+                          THEN 1 ELSE 0 END)
+                   + 1 * (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                          THEN 1 ELSE 0 END) AS INT) AS score
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey)
+       WHERE score >= 4"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- aggregation ---------------------------------------------------
@@ -965,6 +980,33 @@ object CoreQueries {
           graft.operators.EntityResolution.FuzzyField("name", maxDist = 2, weight = 3),
           graft.operators.EntityResolution.ExactField("segment", weight = 2),
           graft.operators.EntityResolution.NumericField("acctbal", tol = 100.0, weight = 1)),
+        minScore = 4)),
+
+    // the SCALE-TRUE form of the multi-field scorer: PRODUCTION
+    // blocking (nation + segment — er_candidates' key, whose 10×
+    // pair growth SCALE10X measures near-linear, vs 22× for the
+    // nation-coarse demo above). A field folded into the blocking
+    // key agrees by construction and scores nothing (the
+    // er_probe_rescored lesson), so the secondary signal here is a
+    // GRADED agreement ladder on the one remaining free field:
+    // balance within 10.00 earns 2, within 100.00 earns 1 —
+    // Fellegi–Sunter's multi-level comparison outcomes with integer
+    // weights. minScore 4 = fuzzy name + at least loose balance
+    // corroboration (name alone is NOT enough, as in the coarse
+    // form); qualifying scores split 4 (loose only) vs 6 (tight).
+    "er_candidates_multi_fine" -> ((s, d) =>
+      graft.operators.EntityResolution.blockedPairsMulti(
+        Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          // the ladder compares one attribute at two tolerances; the
+          // scorer keys fields by column name, so project it twice
+          col("c_acctbal").as("bal_tight"), col("c_acctbal").as("bal_loose"),
+          col("c_nationkey"), col("c_mktsegment")),
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        fields = Seq(
+          graft.operators.EntityResolution.FuzzyField("name", maxDist = 2, weight = 3),
+          graft.operators.EntityResolution.NumericField("bal_tight", tol = 10.0, weight = 2),
+          graft.operators.EntityResolution.NumericField("bal_loose", tol = 100.0, weight = 1)),
         minScore = 4)),
 
     // ...and the multi-field pairs taken to their decision: weighted-
@@ -1887,6 +1929,7 @@ object CoreQueries {
     "er_candidates" -> erPairsSql,
 
     "er_candidates_multi" -> erMultiPairsSql,
+    "er_candidates_multi_fine" -> erMultiFinePairsSql,
 
     // the multi-field pairs taken to their decision — the same
     // closure + survivor-election SQL as er_resolve over the

@@ -83,8 +83,9 @@ object PlanDigest {
     // fused hybrid shortlist, and the persisted-hybrid eval
     "er_resolve_multi", "er_probe_rescored", "knn_mmr_hybrid",
     "knn_eval_hybrid_persisted",
-    // round 17: the online capped perceptual clustering replay
-    "mm_clusters_capped_incremental")
+    // round 17: the online capped perceptual clustering replay and
+    // the production-blocked multi-field scorer
+    "mm_clusters_capped_incremental", "er_candidates_multi_fine")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")
