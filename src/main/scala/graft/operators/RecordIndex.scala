@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   * contract's own bound. */
 object RecordIndex {
 
-  private def writeSegment(df: DataFrame, p: String): Unit =
-    df.select("id", "name", "block").write.mode("overwrite").parquet(p)
+  private def writeSegment(df: DataFrame, p: String): Unit = {
+    val req = Seq("id", "name", "block")
+    require(req.forall(df.columns.contains),
+      s"RecordIndex: segment needs (id, name, block), got ${df.columns.mkString(", ")}")
+    // canonical triple first; any FURTHER columns are the caller's
+    // scored FIELDS and persist with the record — the multi-field
+    // register [[probeShardMulti]] screens on. One schema per index
+    // (readAll unions segments byName and fails loudly on drift).
+    val extras = df.columns.filterNot(req.contains).toSeq
+    df.select((req ++ extras).map(col): _*).write.mode("overwrite").parquet(p)
+  }
 
   /** Persist `records(id, name, block)` as base gen 0. */
   def write(records: DataFrame, path: String): Unit =
@@ -116,6 +125,71 @@ object RecordIndex {
         levenshtein(col("shard_name"), col("indexed_name"))
           .cast("int").as("name_dist"))
       .where(col("name_dist") <= maxDist)
+  }
+
+  /** The MULTI-FIELD register screen — [[probeShard]] with
+    * [[EntityResolution.blockedPairsMulti]]'s weighted-agreement
+    * scorer pushed INTO the durable probe (no deferred rescore):
+    * for each shard record, every indexed record in the same block
+    * whose summed field-agreement score reaches `minScore`, as
+    * (shard_id, indexed_id, score). The register must be written
+    * with the scored field columns ([[write]]/[[appendEpoch]]
+    * persist every column beyond the canonical (id, name, block)
+    * triple) and the shard must carry the same columns.
+    *
+    * Same o(index) shape as [[probeShard]]: the segment scan is cut
+    * to the shard's blocks by a broadcast semi-join before any pair
+    * expands, the comparison streams through one equi-join on
+    * `block` (Σ |shard_b|·|index_b| — the blocking contract's own
+    * bound), and the same loud per-block budget rides the FIRST
+    * scored field. Result eagerly pinned; release with
+    * [[Storage.unpersistLocalCheckpoint]]. */
+  def probeShardMulti(
+      spark: SparkSession, path: String, shard: DataFrame,
+      fields: Seq[EntityResolution.FieldScore], minScore: Int,
+      maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    require(fields.nonEmpty, "probeShardMulti: no fields to score")
+    val pinned = shard
+      .select((Seq("id", "block") ++ fields.map(_.field)).map(col): _*)
+      .localCheckpoint(eager = true)
+    try probeShardMultiOver(readAll(spark, path), pinned, fields,
+      minScore, maxPairsPerBlock).localCheckpoint(eager = true)
+    finally Storage.unpersistLocalCheckpoint(pinned)
+  }
+
+  /** [[probeShardMulti]] against an explicit snapshot. */
+  private[graft] def probeShardMultiOver(
+      indexed: DataFrame, shard: DataFrame,
+      fields: Seq[EntityResolution.FieldScore], minScore: Int,
+      maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    val f0 = fields.head.field
+    val sn = broadcast(
+      shard.groupBy("block").agg(count(lit(1)).cast("long").as("sn")))
+    val cut = indexed
+      .join(broadcast(shard.select("block").distinct()),
+        Seq("block"), "left_semi")
+      .withColumn("xn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("block"))
+        .cast("long"))
+      .join(sn, Seq("block"))
+      .select((Seq(col("block"), col("id").as("indexed_id"),
+        when(col("xn") * col("sn") <= maxPairsPerBlock, col(f0))
+          .otherwise(raise_error(concat(
+            lit("probeShardMulti: block "), col("block"), lit(" expands "),
+            (col("xn") * col("sn")).cast("string"),
+            lit(s" comparisons > maxPairsPerBlock=$maxPairsPerBlock — "
+              + "refine the blocking key")))).as(s"i_$f0")) ++
+        fields.tail.map(f => col(f.field).as(s"i_${f.field}"))): _*)
+    val score = fields
+      .map(f => lit(f.weight) *
+        f.agree(col(s"i_${f.field}"), col(s"s_${f.field}")))
+      .reduce(_ + _)
+    shard.select((col("block") +: col("id").as("shard_id") +:
+        fields.map(f => col(f.field).as(s"s_${f.field}"))): _*)
+      .join(cut, Seq("block"))
+      .select(col("shard_id"), col("indexed_id"),
+        score.cast("int").as("score"))
+      .where(col("score") >= minScore)
   }
 
   /** Fold committed deltas into a new base generation (marker written

@@ -1125,6 +1125,42 @@ object CoreQueries {
       out
     }),
 
+    // ...and the MULTI-FIELD DURABLE REGISTER — the probe-side answer
+    // to the same question er_probe_rescored defers: the register
+    // persists the scoring fields WITH each record (segments carry
+    // every column beyond the canonical (id, name, block) triple),
+    // and the weighted-agreement screen runs INSIDE the o(index)
+    // probe — no second pass over the records table. Nation-only
+    // blocks (the segment term must be live — the rescored query's
+    // lesson); name within 1 edit = 3, exact segment = 2, balance
+    // within 100.00 = 1; admission needs ≥ 4, so a name match alone
+    // is NOT enough even at the register. Planted re-crawls score 6.
+    "er_probe_multi" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("string").as("block"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_er_multi_")
+      val path = dir.toAbsolutePath.toString
+      erIndexDirs.add(dir)
+      graft.operators.RecordIndex.write(
+        cust.where(col("id") % 3 =!= 2), path)
+      graft.operators.RecordIndex.appendEpoch(s, path, 0L,
+        cust.where(col("id") % 3 === 2))
+      val shard = Tables.customer(s, d).where(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 10000000000L).as("id"),
+          concat(expr("substring(c_name, 1, length(c_name)-1)"),
+            lit("X")).as("name"),
+          col("c_nationkey").cast("string").as("block"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      graft.operators.RecordIndex.probeShardMulti(s, path, shard,
+        fields = Seq(
+          graft.operators.EntityResolution.FuzzyField("name", maxDist = 1, weight = 3),
+          graft.operators.EntityResolution.ExactField("segment", weight = 2),
+          graft.operators.EntityResolution.NumericField("acctbal", tol = 100.0, weight = 1)),
+        minScore = 4)
+    }),
+
     // the ER measurement: the er_probe shard is PLANTED (every typo'd
     // re-crawl has exactly one known original, shard_id − 10000000000),
     // so probe quality is exactly computable — recall of the planted
@@ -2110,6 +2146,24 @@ object CoreQueries {
          FROM m
          JOIN customer i ON i.c_custkey = m.indexed_id
          JOIN customer o ON o.c_custkey = m.orig_key""",
+
+    "er_probe_multi" ->
+      """WITH shard AS (
+           SELECT c_custkey + 10000000000 AS shard_id,
+                  substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+                  c_nationkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey % 9 = 0)
+         SELECT shard_id, indexed_id, score FROM (
+           SELECT s.shard_id, c.c_custkey AS indexed_id,
+                  CAST(3 * (CASE WHEN levenshtein(s.name, c.c_name) <= 1
+                            THEN 1 ELSE 0 END)
+                     + 2 * (CASE WHEN s.c_mktsegment = c.c_mktsegment
+                            THEN 1 ELSE 0 END)
+                     + 1 * (CASE WHEN abs(s.c_acctbal - c.c_acctbal) <= 100.0
+                            THEN 1 ELSE 0 END) AS INT) AS score
+           FROM shard s JOIN customer c
+             ON c.c_nationkey = s.c_nationkey)
+         WHERE score >= 4""",
 
     "er_resolve" ->
       s"""WITH RECURSIVE pr AS ($erPairsSql),

@@ -85,7 +85,8 @@ object PlanDigest {
     "knn_eval_hybrid_persisted",
     // round 17: the online capped perceptual clustering replay and
     // the production-blocked multi-field scorer
-    "mm_clusters_capped_incremental", "er_candidates_multi_fine")
+    "mm_clusters_capped_incremental", "er_candidates_multi_fine",
+    "er_probe_multi")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")

@@ -111,4 +111,66 @@ class RecordIndexSpec extends AnyFunSuite {
     assert(RecordIndex.appendEpoch(spark, path, 0L, recs(idx.drop(30): _*)))
     assert(probeSet(path, recs(shard: _*), maxDist = 2) == ref)
   }
+
+  test("probeShardMulti: field columns persist through the LSM lifecycle and screen at the register") {
+    import graft.operators.EntityResolution.{FuzzyField, ExactField, NumericField}
+    val fields = Seq(FuzzyField("name", maxDist = 1, weight = 3),
+      ExactField("seg", weight = 2), NumericField("bal", tol = 50.0, weight = 1))
+    def frecs(rows: (Long, String, String, String, Double)*) =
+      rows.toDF("id", "name", "block", "seg", "bal")
+    val reg = frecs(
+      (1L, "acme corp", "b1", "AUTO", 100.0),
+      (2L, "acme corpy", "b1", "AUTO", 500.0), // name+seg, bal off → 5
+      (3L, "acme corp", "b1", "FOOD", 120.0), // name+bal, seg off → 4
+      (4L, "zzzz zzzz", "b1", "AUTO", 100.0), // seg+bal only → 3, screened
+      (5L, "acme corp", "b2", "AUTO", 100.0)) // other block — never paired
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri_multi_")
+    val path = dir.toAbsolutePath.toString
+    RecordIndex.write(reg.where($"id" <= 3), path)
+    assert(RecordIndex.appendEpoch(spark, path, 0L, reg.where($"id" > 3)))
+    val shard = frecs((100L, "acme corpx", "b1", "AUTO", 110.0))
+    def multiSet() = {
+      val m = RecordIndex.probeShardMulti(spark, path, shard, fields, minScore = 4)
+      val got = m.as[(Long, Long, Int)].collect().toSet
+      graft.operators.Storage.unpersistLocalCheckpoint(m)
+      got
+    }
+    // 1: name 3 + seg 2 + bal 1 = 6; 2: 3+2 = 5; 3: 3+0+1 = 4;
+    // 4: 0+2+1 = 3 screened out; 5: wrong block
+    val want = Set((100L, 1L, 6), (100L, 2L, 5), (100L, 3L, 4))
+    assert(multiSet() == want)
+    // fields survive compaction + gc (segments fold byName, extras kept)
+    RecordIndex.compact(spark, path)
+    RecordIndex.gc(spark, path)
+    assert(multiSet() == want)
+    // the screen matches blockedPairsMulti's scorer on the same pool:
+    // probe == the (shard × register) restriction of the batch scorer
+    val pool = reg.unionByName(shard)
+    val batch = graft.operators.EntityResolution.blockedPairsMulti(
+      pool.withColumnRenamed("block", "blk"),
+      blockCols = Seq("blk"), fields = fields, minScore = 4)
+      .where($"b_id" === 100L)
+      .select($"b_id", $"a_id", $"score")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch == want)
+  }
+
+  test("probeShardMulti fails loudly when a block exceeds the pair budget") {
+    import graft.operators.EntityResolution.FuzzyField
+    def frecs(rows: (Long, String, String)*) = rows.toDF("id", "name", "block")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri_mbud_")
+    val path = dir.toAbsolutePath.toString
+    RecordIndex.write(frecs((1L to 20L).map(i => (i, s"n$i", "hot")): _*), path)
+    val shard = frecs((100L, "n1", "hot"), (101L, "n2", "hot"))
+    val e = intercept[Exception] {
+      RecordIndex.probeShardMulti(spark, path, shard,
+        Seq(FuzzyField("name", maxDist = 1, weight = 1)), minScore = 1,
+        maxPairsPerBlock = 10L).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("maxPairsPerBlock")),
+      s"wanted budget guidance, got: ${e.getMessage}")
+  }
 }
