@@ -1357,26 +1357,31 @@ object VectorQueries {
         s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
         .localCheckpoint(true)
-      try {
-        val all = graft.operators.Dedup
-          .hammingChunkPairs(sigs, maxHamming = 3)
-          .agg(count(lit(1)).as("n_pairs_exhaustive"))
-        val capped = graft.operators.Dedup
-          .hammingChunkPairs(sigs, maxHamming = 3, maxBucket = 32)
-          .agg(count(lit(1)).as("n_pairs_capped"))
-        val sat = sigs
-          .select(posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
-          .toDF("chunk", "chunk_val")
-          .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("n"))
-          .agg(sum(when(col("n") > 32, 1L).otherwise(0L))
-            .as("n_saturated_buckets"))
-        all.crossJoin(broadcast(capped)).crossJoin(broadcast(sat))
-          .select(col("n_pairs_exhaustive"), col("n_pairs_capped"),
-            col("n_saturated_buckets"),
-            round(col("n_pairs_capped").cast("double") /
-              col("n_pairs_exhaustive"), 6).as("pair_recall"))
-          .localCheckpoint(true)
-      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
+      try cappedEvalOver(sigs) finally
+        graft.operators.Storage.unpersistLocalCheckpoint(sigs)
+    }),
+
+    // ...the same sizing instrument for the OTHER two signature
+    // families — they saturate differently (the audio chain keeps
+    // real pair survival at 10× where the image chain fully
+    // saturates, SCALE10X), so a deployment sizes each family's cap
+    // from its own row, not the image one.
+    "mm_capped_eval_video" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprint(
+        s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
+      try cappedEvalOver(sigs) finally
+        graft.operators.Storage.unpersistLocalCheckpoint(sigs)
+    }),
+
+    "mm_capped_eval_audio" -> ((s, d) => {
+      val sigs = Multimodal.audioFingerprint(
+        s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
+        .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
+      try cappedEvalOver(sigs) finally
+        graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // ...and the DURABLE form of the capped decision chain — what a
@@ -1438,6 +1443,31 @@ object VectorQueries {
         } finally st.release()
       } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }))
+
+  /** The cap-sizing fold shared by the three mm_capped_eval* rows:
+    * exhaustive vs capped (maxBucket = 32) hamming ≤ 3 pair counts,
+    * the saturated-bucket count, and pair recall — one pinned
+    * signature pass (caller owns the pin), three output-sized folds. */
+  private def cappedEvalOver(sigs: org.apache.spark.sql.DataFrame) = {
+    val all = graft.operators.Dedup
+      .hammingChunkPairs(sigs, maxHamming = 3)
+      .agg(count(lit(1)).as("n_pairs_exhaustive"))
+    val capped = graft.operators.Dedup
+      .hammingChunkPairs(sigs, maxHamming = 3, maxBucket = 32)
+      .agg(count(lit(1)).as("n_pairs_capped"))
+    val sat = sigs
+      .select(posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .toDF("chunk", "chunk_val")
+      .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 32, 1L).otherwise(0L))
+        .as("n_saturated_buckets"))
+    all.crossJoin(broadcast(capped)).crossJoin(broadcast(sat))
+      .select(col("n_pairs_exhaustive"), col("n_pairs_capped"),
+        col("n_saturated_buckets"),
+        round(col("n_pairs_capped").cast("double") /
+          col("n_pairs_exhaustive"), 6).as("pair_recall"))
+      .localCheckpoint(true)
+  }
 
   // dot(a,b) with strict left-to-right double accumulation, 1-based idx
   private def dotSql(a: String, b: String) =
@@ -3646,6 +3676,42 @@ object VectorQueries {
                 UNION ALL SELECT 1, c1 FROM sigs
                 UNION ALL SELECT 2, c2 FROM sigs
                 UNION ALL SELECT 3, c3 FROM sigs) GROUP BY 1, 2
+              HAVING count(*) > 32) x) AS n_saturated_buckets)""",
+
+    "mm_capped_eval_video" ->
+      s"""SELECT n_pairs_exhaustive, n_pairs_capped, n_saturated_buckets,
+                 round(CAST(n_pairs_capped AS DOUBLE) / n_pairs_exhaustive, 6)
+                   AS pair_recall
+          FROM (SELECT
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmVideoPairsOracle)) AS n_pairs_exhaustive,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmVideoCappedOracle)) AS n_pairs_capped,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+              WITH $videoSigCtes
+              SELECT chunk, v, count(*) AS n FROM (
+                SELECT 0 AS chunk, c0 AS v FROM vsigs
+                UNION ALL SELECT 1, c1 FROM vsigs
+                UNION ALL SELECT 2, c2 FROM vsigs
+                UNION ALL SELECT 3, c3 FROM vsigs) GROUP BY 1, 2
+              HAVING count(*) > 32) x) AS n_saturated_buckets)""",
+
+    "mm_capped_eval_audio" ->
+      s"""SELECT n_pairs_exhaustive, n_pairs_capped, n_saturated_buckets,
+                 round(CAST(n_pairs_capped AS DOUBLE) / n_pairs_exhaustive, 6)
+                   AS pair_recall
+          FROM (SELECT
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmAudioPairsOracle)) AS n_pairs_exhaustive,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM ($mmAudioCappedOracle)) AS n_pairs_capped,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+              WITH $audioSigCtes
+              SELECT chunk, v, count(*) AS n FROM (
+                SELECT 0 AS chunk, c0 AS v FROM asigs
+                UNION ALL SELECT 1, c1 FROM asigs
+                UNION ALL SELECT 2, c2 FROM asigs
+                UNION ALL SELECT 3, c3 FROM asigs) GROUP BY 1, 2
               HAVING count(*) > 32) x) AS n_saturated_buckets)""",
 
     "mm_neardup_clusters_capped" -> cappedClustersOracle(mmCappedOracle),

@@ -86,7 +86,7 @@ object PlanDigest {
     // round 17: the online capped perceptual clustering replay and
     // the production-blocked multi-field scorer
     "mm_clusters_capped_incremental", "er_candidates_multi_fine",
-    "er_probe_multi")
+    "er_probe_multi", "mm_capped_eval_video", "mm_capped_eval_audio")
 
   def normalize(s: String): String =
     s.replaceAll("#\\d+", "#_")
