@@ -2080,4 +2080,66 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** Durable, restartable [[hammingClusterMaintenanceStream]] — the
+    * full capped-clustering state (bucket occupancy, open-bucket
+    * members, bucket-keyed admitted pairs, seen docs, labels)
+    * snapshotted per epoch through [[EpochStateStore]] with
+    * idempotent replay, the [[durableTriangleMaintenanceStream]]
+    * protocol. The retraction machinery survives the restart with the
+    * state: a bucket whose occupancy crosses `maxBucket` AFTER a
+    * kill/resume still takes exactly its own pre-restart admitted
+    * pairs back out (pinned in StreamingOpsSpec). The cap parameters
+    * are persisted WITH the state and verified on resume — a resume
+    * under different (maxHamming, maxBucket) would silently change
+    * the law the snapshot satisfies, so it fails loudly instead. */
+  def durableHammingClusterMaintenanceStream(
+      signatures: DataFrame,
+      stateDir: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096,
+      options: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = signatures.sparkSession
+    import spark.implicits._
+    val store = new EpochStateStore(spark, stateDir)
+    val names = Seq("counts", "members", "admitted", "seen", "labels", "params")
+    val resumed = store.latestCommitted(names)
+    requireDurableLineage("durableHammingClusterMaintenanceStream",
+      resumed.map(_._1), stateDir, options)
+    val state = resumed match {
+      case Some((_, m)) =>
+        val p = m("params").as[(Int, Int)].collect().head
+        require(p == ((maxHamming, maxBucket)),
+          s"durableHammingClusterMaintenanceStream: state at $stateDir was " +
+            s"maintained under (maxHamming, maxBucket) = $p; resuming with " +
+            s"($maxHamming, $maxBucket) would change the law the snapshot " +
+            "satisfies — pass the original cap parameters or use a fresh " +
+            "stateDir")
+        new HammingClusterState(
+          m("counts").localCheckpoint(true),
+          m("members").localCheckpoint(true),
+          m("admitted").localCheckpoint(true),
+          m("seen").localCheckpoint(true),
+          new CcState(m("labels").localCheckpoint(true)),
+          maxHamming, maxBucket)
+      case None => emptyHammingClusterState(spark, maxHamming, maxBucket)
+    }
+    val params = Seq((maxHamming, maxBucket)).toDF("max_hamming", "max_bucket")
+    signatures.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!store.isCommitted(epoch)) {
+          updateHammingClusters(state, batch.toDF())
+          store.commit(epoch, Map(
+            "counts" -> state.counts, "members" -> state.members,
+            "admitted" -> state.admitted, "seen" -> state.seen,
+            "labels" -> state.cc.labels, "params" -> params))
+        }
+        sink(state.snapshot, epoch)
+        ()
+      }
+      .start()
+  }
 }

@@ -1916,6 +1916,56 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally st.release()
   }
 
+  test("durable capped clustering: retraction across a kill/resume, cap params guarded") {
+    // the strongest durability claim: the bucket that saturates does
+    // so in the SECOND lifetime of the query — its occupancy, its
+    // members, and the admitted pairs it must take back were all
+    // recovered from the EpochStateStore, so the post-resume snapshot
+    // only matches the batch capped chain if the whole retraction
+    // state survived the kill
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dur_hcc").toString
+    val (src, ckpt, st) = (s"$base/src", s"$base/chk", s"$base/state")
+    val sch = "doc_id LONG, c0 LONG, c1 LONG, c2 LONG, c3 LONG"
+    @volatile var lastSnap: Map[Long, Long] = Map.empty
+    def start() = {
+      val stream = spark.readStream.schema(sch).parquet(src)
+      StreamingOps.durableHammingClusterMaintenanceStream(
+        stream, st, maxHamming = 3, maxBucket = 3,
+        options = Map("checkpointLocation" -> ckpt)) { (snap, _) =>
+        lastSnap = snap.as[(Long, Long)].collect().toMap
+      }
+    }
+    val b1 = Seq((1L, 10L, 1L, 0L, 0L), (2L, 10L, 0L, 1L, 0L),
+      (5L, 77L, 50L, 60L, 70L), (6L, 77L, 51L, 61L, 71L))
+    val b2 = Seq((3L, 10L, 1L, 1L, 0L), (4L, 10L, 0L, 0L, 0L),
+      (7L, 77L, 1000L, 2000L, 3000L), (8L, 77L, 5000L, 6000L, 7000L))
+    b1.toDF("doc_id", "c0", "c1", "c2", "c3")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(lastSnap == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+      s"pre-restart clusters wrong: $lastSnap")
+    // KILL happened; batch 2 crosses BOTH hot buckets past the cap:
+    // (0,10)/(3,0) retract but docs 1-4 survive via per-chunk
+    // buckets, while the 5/6 cluster must vanish outright
+    b2.toDF("doc_id", "c0", "c1", "c2", "c3")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = cappedChain(b1 ++ b2, maxHamming = 3, maxBucket = 3)
+    assert(lastSnap == want && want == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"post-resume $lastSnap != batch capped chain $want")
+    // resuming under different cap parameters fails loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.durableHammingClusterMaintenanceStream(
+        spark.readStream.schema(sch).parquet(src), st,
+        maxHamming = 3, maxBucket = 32,
+        options = Map("checkpointLocation" -> ckpt)) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+
   test("hammingClusterMaintenanceStream: streamed signatures maintain the capped clustering") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, Long, Long)]
