@@ -105,6 +105,72 @@ case class AudioFeatures(
   */
 object Multimodal {
 
+  /** Direct BGR byte access for the decode hot loops: when a decoded
+    * image is the canonical `TYPE_3BYTE_BGR` layout (what the JDK BMP
+    * reader produces for 24-bit payloads — interleaved B,G,R bytes,
+    * pixel stride 3, no scanline padding, zero offset), return its
+    * backing byte array so per-pixel reads skip the
+    * `getRGB`→ColorModel indirection (one virtual dispatch + sRGB
+    * ColorModel unpack per pixel — the dominant per-pixel cost of the
+    * decode kernels). Returns null for any other layout; callers MUST
+    * fall back to the `getRGB` path, which reads the identical channel
+    * values (TYPE_3BYTE_BGR getRGB is exactly
+    * `0xff000000 | r<<16 | g<<8 | b` over these bytes — no color
+    * conversion — so the two paths are bit-identical; MultimodalSpec
+    * pins the parity). */
+  private def bgrData(img: java.awt.image.BufferedImage): Array[Byte] = {
+    if (img.getType != java.awt.image.BufferedImage.TYPE_3BYTE_BGR) return null
+    val raster = img.getRaster
+    if (raster.getSampleModelTranslateX != 0 ||
+      raster.getSampleModelTranslateY != 0) return null
+    raster.getSampleModel match {
+      case sm: java.awt.image.PixelInterleavedSampleModel
+          if sm.getPixelStride == 3 &&
+            sm.getScanlineStride == img.getWidth * 3 &&
+            java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0)) =>
+        raster.getDataBuffer match {
+          case db: java.awt.image.DataBufferByte
+              if db.getOffset == 0 && db.getNumBanks == 1 =>
+            db.getData
+          case _ => null
+        }
+      case _ => null
+    }
+  }
+
+  /** Encode one frame as BMP bytes: a `TYPE_3BYTE_BGR` image whose
+    * raster bytes are filled DIRECTLY (the constructor guarantees the
+    * canonical interleaved layout, so writing b,g,r at
+    * `(y·w + x)·3` is exactly what `setRGB` would store — minus the
+    * per-pixel ColorModel round trip), then the JDK ImageIO BMP
+    * writer, so the payload bytes are identical to the historical
+    * per-pixel `setRGB` encode. `rgb(x, y)` packs the channels as
+    * `r<<16 | g<<8 | b`. */
+  private def encodeBmp(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var off = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = rgb(x, y)
+        data(off) = (p & 0xff).toByte            // B
+        data(off + 1) = ((p >> 8) & 0xff).toByte // G
+        data(off + 2) = ((p >> 16) & 0xff).toByte // R
+        off += 3
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "bmp", out),
+      "JDK ImageIO has no BMP writer")
+    out.toByteArray
+  }
+
   /** Synthesize an assets table from `documents`: payload = UTF-8 bytes
     * of the text, kind assigned round-robin. Deterministic. */
   def assetsFromDocuments(documents: DataFrame): DataFrame =
@@ -170,26 +236,15 @@ object Multimodal {
         // once per partition = once per executor in practice)
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, w, h) =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-              val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
-              val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
+          // direct-raster fill + the same ImageIO BMP writer: payload
+          // bytes identical to the per-pixel setRGB encode
+          val payload = encodeBmp(w, h) { (x, y) =>
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+            val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+            (r << 16) | (g << 8) | b
           }
-          val out = new java.io.ByteArrayOutputStream()
-          // BMP writer ships in the JDK; returns false only if no
-          // writer exists — fail loudly rather than emit empty bytes
-          require(javax.imageio.ImageIO.write(img, "bmp", out),
-            "JDK ImageIO has no BMP writer")
-          ImageAsset(id, w, h, out.toByteArray)
+          ImageAsset(id, w, h, payload)
         }
       }
   }
@@ -217,17 +272,31 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff
-            sg += (p >> 8) & 0xff
-            sb += p & 0xff
-            x += 1
+        val data = bgrData(img)
+        if (data != null) {
+          // fast path: read the interleaved B,G,R bytes directly —
+          // identical channel values to getRGB (see bgrData)
+          var off = 0
+          val end = w * h * 3
+          while (off < end) {
+            sb += data(off) & 0xff
+            sg += data(off + 1) & 0xff
+            sr += data(off + 2) & 0xff
+            off += 3
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
         }
         val n = w.toLong * h
         ImageFeatures(a.asset_id, w, h, n,
@@ -282,22 +351,51 @@ object Multimodal {
     val cellSum = new Array[Long](64)
     val cellN = new Array[Long](64)
     var totSum = 0L
-    var y = 0
-    while (y < h) {
-      val gy = y * 8 / h
+    // per-row grid-column table: gx depends only on x, so hoist the
+    // per-pixel integer division out of the inner loop
+    val gxT = new Array[Int](w)
+    locally {
       var x = 0
-      while (x < w) {
-        val gx = x * 8 / w
-        val p = img.getRGB(x, y)
-        val gray = ((p >> 16) & 0xff) * 299L +
-          ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
-        val i = gy * 8 + gx
-        cellSum(i) += gray
-        cellN(i) += 1
-        totSum += gray
-        x += 1
+      while (x < w) { gxT(x) = x * 8 / w; x += 1 }
+    }
+    val data = bgrData(img)
+    if (data != null) {
+      // fast path: interleaved B,G,R bytes read directly — identical
+      // channel values to getRGB (see bgrData), same exact Long luma
+      var off = 0
+      var y = 0
+      while (y < h) {
+        val row = y * 8 / h * 8
+        var x = 0
+        while (x < w) {
+          val gray = (data(off + 2) & 0xff) * 299L +
+            (data(off + 1) & 0xff) * 587L + (data(off) & 0xff) * 114L
+          val i = row + gxT(x)
+          cellSum(i) += gray
+          cellN(i) += 1
+          totSum += gray
+          off += 3
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < h) {
+        val row = y * 8 / h * 8
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val gray = ((p >> 16) & 0xff) * 299L +
+            ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+          val i = row + gxT(x)
+          cellSum(i) += gray
+          cellN(i) += 1
+          totSum += gray
+          x += 1
+        }
+        y += 1
+      }
     }
     val totN = w.toLong * h
     var bits = 0L
@@ -386,24 +484,14 @@ object Multimodal {
           var frameLen = -1
           var f = 0
           while (f < nf) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val r = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
-                val g = ((id * 17 + f * 23 + x * 5 + y * 11) % 256).toInt
-                val b = ((id * 29 + f * 47 + x * 3 + y * 19) % 256).toInt
-                img.setRGB(x, y, (r << 16) | (g << 8) | b)
-                x += 1
-              }
-              y += 1
+            // direct-raster fill + the same ImageIO BMP writer: frame
+            // bytes identical to the per-pixel setRGB encode
+            val bytes = encodeBmp(w, h) { (x, y) =>
+              val r = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + f * 23 + x * 5 + y * 11) % 256).toInt
+              val b = ((id * 29 + f * 47 + x * 3 + y * 19) % 256).toInt
+              (r << 16) | (g << 8) | b
             }
-            val frame = new java.io.ByteArrayOutputStream()
-            require(javax.imageio.ImageIO.write(img, "bmp", frame),
-              "JDK ImageIO has no BMP writer")
-            val bytes = frame.toByteArray
             // equal-size frames are the slicing contract — BMP encode
             // is deterministic for fixed dimensions, but verify loudly
             if (frameLen < 0) frameLen = bytes.length

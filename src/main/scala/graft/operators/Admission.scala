@@ -347,21 +347,61 @@ object Admission {
       finally Storage.unpersistLocalCheckpoint(admitted)
     }
     val admitted = spark.read.parquet(s"$admittedPath/deltas/$epoch")
-    ContentHashIndex.appendEpoch(spark, store(path, "exact"), epoch, admitted)
-    MinHashIndex.appendEpoch(spark, store(path, "neardup"), epoch, admitted)
+    // the per-store index appends are mutually independent (disjoint
+    // store dirs, each individually idempotent and marker-guarded; the
+    // crash-safety proof only orders them AFTER the admitted commit,
+    // never relative to each other), so OVERLAP them: Spark happily
+    // runs concurrent jobs from driver threads, and the next store's
+    // append back-fills executors the previous one's job tail leaves
+    // idle (guide-§2.6 shape). Sequentially these 2–4 small jobs paid
+    // one full job latency each, the dominant per-epoch cost of the
+    // loop at bench scale.
+    val appends = Seq.newBuilder[() => Unit]
+    appends += (() => ContentHashIndex.appendEpoch(
+      spark, store(path, "exact"), epoch, admitted))
+    appends += (() => MinHashIndex.appendEpoch(
+      spark, store(path, "neardup"), epoch, admitted))
     if (hasPerceptual(spark, path))
-      HammingIndex.appendEpoch(spark, store(path, "perceptual"), epoch,
+      appends += (() => HammingIndex.appendEpoch(
+        spark, store(path, "perceptual"), epoch,
         admitted.select(col("doc_id"),
-          col("c0"), col("c1"), col("c2"), col("c3")))
+          col("c0"), col("c1"), col("c2"), col("c3"))))
     if (hasSemantic(spark, path)) {
       val vecs = admitted.select(col("doc_id").as("vec_id"), col("embedding"))
       if (hasSemanticPq(spark, path))
-        IvfPqIndex.appendEpoch(spark, store(path, "semantic"), epoch, vecs)
+        appends += (() => IvfPqIndex.appendEpoch(
+          spark, store(path, "semantic"), epoch, vecs))
       else
-        IvfIndex.appendEpoch(spark, store(path, "semantic"), epoch, vecs)
+        appends += (() => IvfIndex.appendEpoch(
+          spark, store(path, "semantic"), epoch, vecs))
     }
+    runConcurrently(appends.result())
     admitted
   }
+
+  /** Run independent store maintenance actions concurrently from a
+    * short-lived driver thread pool, rethrowing the FIRST failure's
+    * own exception (unwrapped) after all have settled — a failed
+    * append surfaces exactly as it would sequentially, and the epoch
+    * replay completes whichever appends are missing. */
+  private def runConcurrently(actions: Seq[() => Unit]): Unit =
+    if (actions.size == 1) actions.head()
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+      try {
+        val futs = actions.map(a => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = a() }))
+        var failure: Throwable = null
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (failure == null) failure = e.getCause
+          }
+        }
+        if (failure != null) throw failure
+      } finally pool.shutdown()
+    }
 
   /** The admitted corpus: one consistent snapshot of the admitted
     * store (base ∪ committed deltas). */

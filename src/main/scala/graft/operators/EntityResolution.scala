@@ -57,12 +57,18 @@ object EntityResolution {
   }
 
   /** Fuzzy text agreement: `levenshtein(a, b) <= maxDist` (Spark's
-    * codegen'd integer Levenshtein — matched exactly by DuckDB's). */
+    * codegen'd integer Levenshtein — matched exactly by DuckDB's),
+    * evaluated through the BANDED threshold form
+    * `levenshtein(a, b, maxDist)` (SPARK-40718): the DP runs only a
+    * 2·maxDist+1 diagonal band and aborts early, returning −1 past
+    * the threshold — O(len·maxDist) instead of O(len²) per pair, with
+    * `dist ≤ maxDist ⟺ banded ≥ 0` (the banded form returns the exact
+    * distance whenever it is within the threshold). */
   final case class FuzzyField(field: String, maxDist: Int, weight: Int)
       extends FieldScore {
     private[operators] def agree(
         a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      coalesce((levenshtein(a, b) <= maxDist).cast("int"), lit(0))
+      coalesce((levenshtein(a, b, maxDist) >= 0).cast("int"), lit(0))
   }
 
   /** Exact agreement on a secondary key (phone, tax id, zip). */
@@ -124,9 +130,13 @@ object EntityResolution {
       (Seq(col("id").as("b_id"), col("name").as("b_name")) ++ bcols): _*)
     a.join(b, blockCols)
       .where(col("a_id") < col("b_id"))
+      // banded threshold Levenshtein (SPARK-40718): O(len·maxDist)
+      // per pair with early abort, −1 past the threshold — identical
+      // distance values for every surviving pair
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_name"), col("b_name")).cast("int").as("name_dist"))
-      .where(col("name_dist") <= maxDist)
+        levenshtein(col("a_name"), col("b_name"), maxDist)
+          .cast("int").as("name_dist"))
+      .where(col("name_dist") >= 0)
   }
 
   /** MULTI-FIELD candidate pairs — real record linkage weighs several
@@ -150,27 +160,52 @@ object EntityResolution {
     require(fields.nonEmpty, "blockedPairsMulti: no fields to score")
     val bcols = blockCols.map(col)
     val participating = records.where(bcols.map(_.isNotNull).reduce(_ && _))
-    val f0 = fields.head.field
+    // CHEAP-FIRST SCORING: the exact/numeric agreements are a few
+    // codegen'd comparisons; the fuzzy (Levenshtein) ones are the
+    // per-pair cost. When both kinds are present, the fuzzy fields are
+    // evaluated only for pairs whose cheap score could still reach
+    // minScore (cheap + Σ fuzzy weights ≥ minScore) — a pair that
+    // fails that bound scores cheap-only, which is < minScore, so the
+    // final filter drops it either way: output-identical, but the
+    // Levenshtein runs on the corroborated fraction of the block
+    // expansion instead of all of it. The loud block budget must keep
+    // firing for EVERY pair of an oversized block, so the raise_error
+    // poison rides the first EAGERLY-evaluated field: the first cheap
+    // field when the fuzzy evaluation is guarded, else fields.head.
+    val fuzzyFields = fields.collect { case f: FuzzyField => f }
+    val cheapFields = fields.filterNot(_.isInstanceOf[FuzzyField])
+    val guardFuzzy = fuzzyFields.nonEmpty && cheapFields.nonEmpty
+    val pf = if (guardFuzzy) cheapFields.head.field else fields.head.field
     val guarded = participating
       .withColumn("bn", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(bcols: _*))
         .cast("long"))
       .select((Seq(col("id"),
-        when(col("bn") * (col("bn") - 1) / 2 <= maxPairsPerBlock, col(f0))
+        when(col("bn") * (col("bn") - 1) / 2 <= maxPairsPerBlock, col(pf))
           .otherwise(raise_error(concat(
             lit("blockedPairsMulti: block "), concat_ws("/", bcols: _*),
             lit(" expands "),
             (col("bn") * (col("bn") - 1) / 2).cast("string"),
             lit(s" pairs > maxPairsPerBlock=$maxPairsPerBlock — refine "
-              + "the blocking keys")))).as(f0)) ++
-        fields.tail.map(f => col(f.field)) ++ bcols): _*)
+              + "the blocking keys")))).as(pf)) ++
+        fields.filterNot(_.field == pf).map(f => col(f.field)) ++ bcols): _*)
     val a = guarded.select((col("id").as("a_id") +:
       fields.map(f => col(f.field).as(s"a_${f.field}"))) ++ bcols: _*)
     val b = guarded.select((col("id").as("b_id") +:
       fields.map(f => col(f.field).as(s"b_${f.field}"))) ++ bcols: _*)
-    val score = fields
+    def fieldScore(fs: Seq[FieldScore]) = fs
       .map(f => lit(f.weight) * f.agree(col(s"a_${f.field}"), col(s"b_${f.field}")))
-      .reduce(_ + _)
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val score =
+      if (!guardFuzzy) fieldScore(fields)
+      else {
+        val cheapScore = fieldScore(cheapFields)
+        val fuzzyTotal = fuzzyFields.map(_.weight).sum
+        // when() short-circuits per row in codegen: the Levenshtein
+        // branch runs only where the bound can still be met
+        cheapScore + when(cheapScore + lit(fuzzyTotal) >= minScore,
+          fieldScore(fuzzyFields)).otherwise(lit(0))
+      }
     a.join(b, blockCols)
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), score.cast("int").as("score"))

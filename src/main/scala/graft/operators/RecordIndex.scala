@@ -121,10 +121,13 @@ object RecordIndex {
     shard.select(col("block"), col("id").as("shard_id"),
         col("name").as("shard_name"))
       .join(cut, Seq("block"))
+      // banded threshold Levenshtein (SPARK-40718): O(len·maxDist)
+      // per comparison with early abort, −1 past the threshold —
+      // identical distance values for every surviving row
       .select(col("shard_id"), col("indexed_id"),
-        levenshtein(col("shard_name"), col("indexed_name"))
+        levenshtein(col("shard_name"), col("indexed_name"), maxDist)
           .cast("int").as("name_dist"))
-      .where(col("name_dist") <= maxDist)
+      .where(col("name_dist") >= 0)
   }
 
   /** The MULTI-FIELD register screen — [[probeShard]] with
@@ -162,7 +165,19 @@ object RecordIndex {
       indexed: DataFrame, shard: DataFrame,
       fields: Seq[EntityResolution.FieldScore], minScore: Int,
       maxPairsPerBlock: Long = 100000000L): DataFrame = {
-    val f0 = fields.head.field
+    // CHEAP-FIRST SCORING, mirroring [[EntityResolution
+    // .blockedPairsMulti]]: fuzzy (Levenshtein) fields are evaluated
+    // only where the cheap score could still reach minScore —
+    // output-identical (a pair failing the bound scores < minScore
+    // and is filtered either way). The loud budget poison rides the
+    // first EAGERLY-evaluated field: the first cheap field when the
+    // fuzzy evaluation is guarded, else fields.head.
+    val fuzzyFields = fields.collect {
+      case f: EntityResolution.FuzzyField => f }
+    val cheapFields = fields.filterNot(
+      _.isInstanceOf[EntityResolution.FuzzyField])
+    val guardFuzzy = fuzzyFields.nonEmpty && cheapFields.nonEmpty
+    val pf = if (guardFuzzy) cheapFields.head.field else fields.head.field
     val sn = broadcast(
       shard.groupBy("block").agg(count(lit(1)).cast("long").as("sn")))
     val cut = indexed
@@ -173,17 +188,26 @@ object RecordIndex {
         .cast("long"))
       .join(sn, Seq("block"))
       .select((Seq(col("block"), col("id").as("indexed_id"),
-        when(col("xn") * col("sn") <= maxPairsPerBlock, col(f0))
+        when(col("xn") * col("sn") <= maxPairsPerBlock, col(pf))
           .otherwise(raise_error(concat(
             lit("probeShardMulti: block "), col("block"), lit(" expands "),
             (col("xn") * col("sn")).cast("string"),
             lit(s" comparisons > maxPairsPerBlock=$maxPairsPerBlock — "
-              + "refine the blocking key")))).as(s"i_$f0")) ++
-        fields.tail.map(f => col(f.field).as(s"i_${f.field}"))): _*)
-    val score = fields
+              + "refine the blocking key")))).as(s"i_$pf")) ++
+        fields.filterNot(_.field == pf)
+          .map(f => col(f.field).as(s"i_${f.field}"))): _*)
+    def fieldScore(fs: Seq[EntityResolution.FieldScore]) = fs
       .map(f => lit(f.weight) *
         f.agree(col(s"i_${f.field}"), col(s"s_${f.field}")))
-      .reduce(_ + _)
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val score =
+      if (!guardFuzzy) fieldScore(fields)
+      else {
+        val cheapScore = fieldScore(cheapFields)
+        val fuzzyTotal = fuzzyFields.map(_.weight).sum
+        cheapScore + when(cheapScore + lit(fuzzyTotal) >= minScore,
+          fieldScore(fuzzyFields)).otherwise(lit(0))
+      }
     shard.select((col("block") +: col("id").as("shard_id") +:
         fields.map(f => col(f.field).as(s"s_${f.field}"))): _*)
       .join(cut, Seq("block"))

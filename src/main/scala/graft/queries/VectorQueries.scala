@@ -1121,19 +1121,26 @@ object VectorQueries {
     // bit-identical to mm_neardup (4-int signatures round-trip
     // parquet exactly), the shared oracle.
     "mm_neardup_delta" -> ((s, d) => {
+      // decode ONCE: the write and append branches share no work in
+      // Spark plans, so unpinned the aHash decode pass would run twice
       val sigs = Multimodal.imageAHash(
         s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_mmham_delta_")
       val path = dir.toAbsolutePath.toString
       ivfIndexDirs.add(dir)
-      graft.operators.HammingIndex.write(
-        sigs.where(col("doc_id") % 3 =!= 2), path)
-      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
-        sigs.where(col("doc_id") % 3 === 2))
-      graft.operators.HammingIndex.compact(s, path)
-      graft.operators.HammingIndex.gc(s, path)
-      graft.operators.HammingIndex.servePairs(s, path, maxHamming = 3)
+      try {
+        graft.operators.HammingIndex.write(
+          sigs.where(col("doc_id") % 3 =!= 2), path)
+        graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+          sigs.where(col("doc_id") % 3 === 2))
+        graft.operators.HammingIndex.compact(s, path)
+        graft.operators.HammingIndex.gc(s, path)
+        // the serve reads only the persisted segments — the pin can
+        // release before the (lazy) result leaves the query body
+        graft.operators.HammingIndex.servePairs(s, path, maxHamming = 3)
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // ...and the image ADMISSION probe: a re-keyed shard of signatures
@@ -1143,20 +1150,27 @@ object VectorQueries {
     // exhaustive at hamming ≤ 3, so the probe equals the all-pairs
     // restriction to shard-touching pairs — exactly oracled.
     "mm_neardup_probe" -> ((s, d) => {
+      // decode ONCE: write/append/probe-shard are three independent
+      // plan branches — unpinned, the aHash decode pass would run 3×
       val sigs = Multimodal.imageAHash(
         s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_mmham_probe_")
       val path = dir.toAbsolutePath.toString
       ivfIndexDirs.add(dir)
-      graft.operators.HammingIndex.write(
-        sigs.where(col("doc_id") % 3 =!= 2), path)
-      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
-        sigs.where(col("doc_id") % 3 === 2))
-      graft.operators.HammingIndex.probePairs(s, path,
-        sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 10000000000L).as("doc_id"),
-            col("c0"), col("c1"), col("c2"), col("c3")))
+      try {
+        graft.operators.HammingIndex.write(
+          sigs.where(col("doc_id") % 3 =!= 2), path)
+        graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+          sigs.where(col("doc_id") % 3 === 2))
+        // probePairs eagerly pins its (output-sized) result, so the
+        // sigs pin can release before the result leaves the body
+        graft.operators.HammingIndex.probePairs(s, path,
+          sigs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000000L).as("doc_id"),
+              col("c0"), col("c1"), col("c2"), col("c3")))
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // ...and the SKEW-CAPPED pair law — the production form for real
@@ -1191,22 +1205,27 @@ object VectorQueries {
     // Every fingerprint bit is recomputed by the oracle from the
     // closed-form WAV sample formula.
     "mm_audio_neardup" -> ((s, d) => {
+      // decode ONCE: write/append/probe-shard are three independent
+      // plan branches — unpinned, the WAV decode pass would run 3×
       val sigs = Multimodal.audioFingerprint(
         s, Multimodal.audioAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_audham_")
       val path = dir.toAbsolutePath.toString
       ivfIndexDirs.add(dir)
-      graft.operators.HammingIndex.write(
-        sigs.where(col("doc_id") % 3 =!= 2), path)
-      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
-        sigs.where(col("doc_id") % 3 === 2))
-      graft.operators.HammingIndex.compact(s, path)
-      graft.operators.HammingIndex.gc(s, path)
-      graft.operators.HammingIndex.probePairs(s, path,
-        sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 10000000000L).as("doc_id"),
-            col("c0"), col("c1"), col("c2"), col("c3")))
+      try {
+        graft.operators.HammingIndex.write(
+          sigs.where(col("doc_id") % 3 =!= 2), path)
+        graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+          sigs.where(col("doc_id") % 3 === 2))
+        graft.operators.HammingIndex.compact(s, path)
+        graft.operators.HammingIndex.gc(s, path)
+        graft.operators.HammingIndex.probePairs(s, path,
+          sigs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000000L).as("doc_id"),
+              col("c0"), col("c1"), col("c2"), col("c3")))
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // the skew-cap MONITORING view, itself oracled: the
@@ -1236,22 +1255,28 @@ object VectorQueries {
     // with re-keyed shard plants (hamming 0). Every bit recomputed by
     // the oracle from the closed-form frame-pixel formula.
     "mm_video_neardup" -> ((s, d) => {
+      // decode ONCE (the video fingerprint pass decodes ~30k frames
+      // at sf0.1): write/append/probe-shard are three independent
+      // plan branches — unpinned, that decode pass would run 3×
       val sigs = Multimodal.videoFingerprint(
         s, Multimodal.videoAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_vidham_")
       val path = dir.toAbsolutePath.toString
       ivfIndexDirs.add(dir)
-      graft.operators.HammingIndex.write(
-        sigs.where(col("doc_id") % 3 =!= 2), path)
-      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
-        sigs.where(col("doc_id") % 3 === 2))
-      graft.operators.HammingIndex.compact(s, path)
-      graft.operators.HammingIndex.gc(s, path)
-      graft.operators.HammingIndex.probePairs(s, path,
-        sigs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 10000000000L).as("doc_id"),
-            col("c0"), col("c1"), col("c2"), col("c3")))
+      try {
+        graft.operators.HammingIndex.write(
+          sigs.where(col("doc_id") % 3 =!= 2), path)
+        graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+          sigs.where(col("doc_id") % 3 === 2))
+        graft.operators.HammingIndex.compact(s, path)
+        graft.operators.HammingIndex.gc(s, path)
+        graft.operators.HammingIndex.probePairs(s, path,
+          sigs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000000L).as("doc_id"),
+              col("c0"), col("c1"), col("c2"), col("c3")))
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // ...and the CAPPED video pair law — for the densest signature
@@ -1392,23 +1417,31 @@ object VectorQueries {
     // Signatures round-trip parquet exactly, so this is bit-identical
     // to mm_neardup_clusters_capped — the shared oracle.
     "mm_neardup_clusters_durable" -> ((s, d) => {
+      // decode ONCE: the write and append branches share no work —
+      // unpinned, the aHash decode pass would run twice
       val sigs = Multimodal.imageAHash(
         s, Multimodal.imageAssets(s, Tables.documents(s, d))).toDF()
         .withColumnRenamed("asset_id", "doc_id")
+        .localCheckpoint(true)
       val dir = java.nio.file.Files.createTempDirectory("graft_mmham_ccdur_")
       val path = dir.toAbsolutePath.toString
       ivfIndexDirs.add(dir)
-      graft.operators.HammingIndex.write(
-        sigs.where(col("doc_id") % 3 =!= 2), path)
-      graft.operators.HammingIndex.appendEpoch(s, path, 0L,
-        sigs.where(col("doc_id") % 3 === 2))
-      graft.operators.HammingIndex.compact(s, path)
-      graft.operators.HammingIndex.gc(s, path)
-      graft.operators.Dedup.connectedComponents(
-        graft.operators.HammingIndex.servePairs(s, path,
-          maxHamming = 3, maxBucket = 32))
-        .select(col("doc_id").as("asset_id"), col("cluster_id"),
-          (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      try {
+        graft.operators.HammingIndex.write(
+          sigs.where(col("doc_id") % 3 =!= 2), path)
+        graft.operators.HammingIndex.appendEpoch(s, path, 0L,
+          sigs.where(col("doc_id") % 3 === 2))
+        graft.operators.HammingIndex.compact(s, path)
+        graft.operators.HammingIndex.gc(s, path)
+        // connectedComponents consumes the (disk-backed) pair relation
+        // eagerly into its persisted edge set, so the sigs pin can
+        // release before the labels leave the body
+        graft.operators.Dedup.connectedComponents(
+          graft.operators.HammingIndex.servePairs(s, path,
+            maxHamming = 3, maxBucket = 32))
+          .select(col("doc_id").as("asset_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      } finally graft.operators.Storage.unpersistLocalCheckpoint(sigs)
     }),
 
     // ...and the ONLINE form of the capped decision chain, proven at

@@ -235,6 +235,89 @@ object Profile {
       graft.operators.Storage.unpersistLocalCheckpoint(seedRow)
     }
 
+    // round-17 optimization profiles ----------------------------------
+
+    // connected components: rounds + per-call cost on the two hot pair
+    // graphs (image aHash pairs, multi-field ER pairs). Run with
+    // GRAFT_CC_DEBUG=1 to see the round count.
+    run("cc") {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val sigs = graft.multimodal.Multimodal.imageAHash(
+        spark, graft.multimodal.Multimodal.imageAssets(spark, docs)).toDF()
+        .withColumnRenamed("asset_id", "doc_id").localCheckpoint(true)
+      val pairs = graft.operators.Dedup
+        .hammingChunkPairs(sigs, maxHamming = 3).localCheckpoint(true)
+      println("  |pairs| = " + pairs.count())
+      for (i <- 1 to 3) {
+        val cc = time(s"cc(image pairs) #$i")(
+          graft.operators.Dedup.connectedComponents(pairs))
+        time("  consume")(noop(cc))
+        graft.operators.Storage.unpersistLocalCheckpoint(cc)
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(pairs)
+      graft.operators.Storage.unpersistLocalCheckpoint(sigs)
+      val recs = graft.Tables.customer(spark, sfDir).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        col("c_nationkey"))
+      val erPairs = graft.operators.EntityResolution.blockedPairsMulti(recs,
+        blockCols = Seq("c_nationkey"),
+        fields = Seq(
+          graft.operators.EntityResolution.FuzzyField("name", 2, 3),
+          graft.operators.EntityResolution.ExactField("segment", 2),
+          graft.operators.EntityResolution.NumericField("acctbal", 100.0, 1)),
+        minScore = 4).localCheckpoint(true)
+      println("  |er pairs| = " + erPairs.count())
+      for (i <- 1 to 3) {
+        val cc = time(s"cc(er pairs) #$i")(
+          graft.operators.Dedup.connectedComponents(erPairs))
+        time("  consume")(noop(cc))
+        graft.operators.Storage.unpersistLocalCheckpoint(cc)
+      }
+      graft.operators.Storage.unpersistLocalCheckpoint(erPairs)
+    }
+
+    // admission loop: per-epoch decide vs index-append split (the
+    // 3-store text loop — the baseline the other folds extend)
+    run("admission") {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prof_adm_").toString
+      graft.operators.Admission.init(spark, dir)
+      def shard(e: Int) = {
+        val own = docs.where(col("doc_id") % 3 === e)
+        val withDupes = own.unionByName(
+          docs.where(col("doc_id") % 3 === e && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 30000000000L).as("doc_id"), col("text")))
+        if (e == 0) withDupes
+        else withDupes.unionByName(
+          docs.where(col("doc_id") % 3 === e - 1 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + lit(10000000000L * e)).as("doc_id"),
+              col("text")))
+      }
+      for (e <- 0 to 2)
+        time(s"admitEpoch $e")(
+          graft.operators.Admission.admitEpoch(
+            spark, dir, e.toLong, shard(e)).count())
+    }
+
+    // IVFADC training: coarse kmeans vs residual codebook split
+    run("ivfpqtrain") {
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      e.count()
+      for (i <- 1 to 3) {
+        val cents = time(s"coarse kmeans #$i")(
+          graft.operators.Similarity.kmeans(e, 16, 3, dims = 64))
+        val (c2, cb) = time(s"full ivfPqTrainState #$i")(
+          graft.operators.Similarity.ivfPqTrainState(e))
+        graft.operators.Storage.unpersistLocalCheckpoint(cents)
+        graft.operators.Storage.unpersistLocalCheckpoint(c2)
+        graft.operators.Storage.unpersistLocalCheckpoint(cb)
+      }
+    }
+
     run("cube") {
       val q = graft.SparkEntry.queries("q_cube")
       for (i <- 1 to 10) time(s"q_cube #$i")(noop(q(spark, sfDir)))

@@ -115,6 +115,69 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"want ${ref.size}; diff ${(got diff ref) ++ (ref diff got)}")
   }
 
+  test("cheap-first fuzzy guard: output-identical when cheap corroboration is REQUIRED") {
+    // minScore 4 with weights 3/2/1 means the Levenshtein branch is
+    // skipped for pairs with zero cheap agreement (3 + 0 < 4) — the
+    // guard-false path this brute force must match exactly
+    val rnd = new scala.util.Random(31)
+    val names = Vector("alpha", "alphb", "alpzb", "beta", "betta", "gamma")
+    val phones = Vector("555-0001", "555-0002", "555-0003", "555-0004")
+    val rows = (1L to 100L).map(i =>
+      (i, names(rnd.nextInt(names.size)), rnd.nextInt(3),
+        phones(rnd.nextInt(phones.size)),
+        BigDecimal(rnd.nextInt(2000)) / 100))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ref = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1
+      score = 3 * (if (lev(a._2, b._2) <= 1) 1 else 0) +
+        2 * (if (a._4 == b._4) 1 else 0) +
+        1 * (if ((a._5 - b._5).abs <= BigDecimal(5)) 1 else 0)
+      if score >= 4
+    } yield (a._1, b._1, score)).toSet
+    val df = rows.toDF("id", "name", "block", "phone", "bal")
+      .withColumn("bal", col("bal").cast("decimal(12,2)"))
+    val got = EntityResolution
+      .blockedPairsMulti(df, blockCols = Seq("block"),
+        fields = Seq(
+          EntityResolution.FuzzyField("name", maxDist = 1, weight = 3),
+          EntityResolution.ExactField("phone", weight = 2),
+          EntityResolution.NumericField("bal", tol = 5.0, weight = 1)),
+        minScore = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref, s"guarded multi-field score mismatch: got ${got.size}, " +
+      s"want ${ref.size}; diff ${(got diff ref) ++ (ref diff got)}")
+  }
+
+  test("blockedPairsMulti budget still fails loudly with guarded fuzzy scoring") {
+    // the poison rides the first CHEAP field when the fuzzy branch is
+    // guarded — an oversized block must still raise before any pair
+    // can stream past, even for pairs whose fuzzy branch is skipped
+    val df = (1L to 30L).map(i => (i, s"name$i", 1, s"555-$i"))
+      .toDF("id", "name", "block", "phone")
+    val ex = intercept[Exception] {
+      EntityResolution.blockedPairsMulti(df, blockCols = Seq("block"),
+        fields = Seq(
+          EntityResolution.FuzzyField("name", maxDist = 1, weight = 3),
+          EntityResolution.ExactField("phone", weight = 2)),
+        minScore = 4, maxPairsPerBlock = 10L)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxPairsPerBlock")),
+      s"budget breach must surface the block contract: ${messages(ex)}")
+  }
+
   test("blockedPairsMulti: NULL field values are disagreements, not errors") {
     val df = Seq(
       (1L, "acme corp", 1, "555-1", Some(BigDecimal(10))),

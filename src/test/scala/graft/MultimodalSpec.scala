@@ -126,6 +126,59 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("direct-raster fast paths are bit-identical to the setRGB/getRGB reference") {
+    import graft.multimodal.ImageAsset
+    // encode parity: imageAssets fills the TYPE_3BYTE_BGR raster bytes
+    // directly; bmpOf is this spec's independent per-pixel setRGB
+    // encoder over the same formula — payloads must be BYTE-identical
+    // across the fixture dimension grid (w ∈ [8,23], h ∈ [8,19])
+    val ids = (0L until 192L) // covers every (w, h) = (id%16+8, id%12+8) cell
+    val docs = spark.range(192).select(
+      col("id").as("doc_id"), lit("x").as("text"))
+    val fast = Multimodal.imageAssets(spark, docs).collect()
+      .map(a => a.asset_id -> a).toMap
+    ids.foreach { id =>
+      val w = (id % 16 + 8).toInt; val h = (id % 12 + 8).toInt
+      val ref = bmpOf(w, h) { (x, y) =>
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      assert(java.util.Arrays.equals(fast(id).payload, ref),
+        s"asset $id (${w}x$h): direct-raster encode diverged from setRGB")
+    }
+    // decode parity: imageAHash reads the decoded raster bytes
+    // directly; recompute each signature with a per-pixel getRGB walk
+    // over the SAME decoded image and the same exact-integer law
+    val sigs = Multimodal.imageAHash(
+      spark, Multimodal.imageAssets(spark, docs)).collect()
+      .map(p => p.asset_id -> Seq(p.c0, p.c1, p.c2, p.c3)).toMap
+    ids.foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fast(id).payload))
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Long](64); val cellN = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val gray = ((p >> 16) & 0xff) * 299L +
+          ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+        val i = y * 8 / h * 8 + x * 8 / w
+        cellSum(i) += gray; cellN(i) += 1; tot += gray
+      }
+      val n = w.toLong * h
+      val bits = (0 until 64).map { i =>
+        // same exact cross-multiplied integer compare (sums here are
+        // far below the 128-bit regime, so Long products suffice)
+        if (cellSum(i) * n > tot * cellN(i)) 1L << i else 0L
+      }.reduce(_ | _)
+      val refChunks = (0 until 4).map(c => ((bits >>> (c * 16)) & 0xffffL).toInt)
+      assert(sigs(id) == refChunks,
+        s"asset $id: direct-raster aHash diverged from the getRGB walk")
+    }
+  }
+
   test("perceptual-hash near-dup: planted duplicate found at hamming 0, resize-invariant, unrelated image excluded") {
     import graft.multimodal.ImageAsset
     // a structured 16x16 half-dark/half-light image; a byte-identical
