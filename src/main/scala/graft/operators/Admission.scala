@@ -116,6 +116,16 @@ object Admission {
 
   private def store(path: String, which: String) = s"$path/$which"
 
+  // dev-only stage visibility for the optimization profiles
+  private def debugTime[A](tag: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_ADM_DEBUG")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[adm] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   /** Initialize all stores empty. LSH parameters are fixed for the
     * life of the loop, like any [[MinHashIndex]]; `semanticCentroids`
     * = Some((c_id, c_vec)) turns the semantic stage ON with those
@@ -262,7 +272,7 @@ object Admission {
     val hashed = shard
       .withColumn("text_hash", xxhash64(col("text")))
       .localCheckpoint(eager = true)
-    val exactSurvivors = try {
+    val exactSurvivors = debugTime("exact stage")(try {
       val exactDropped = ContentHashIndex
         .probeNewPlan(spark, store(path, "exact"),
           hashed.select(col("doc_id"), col("text_hash")))
@@ -277,21 +287,21 @@ object Admission {
         .select(shardCols.map(c => col(s"first.$c").as(c)): _*)
         .join(broadcast(exactDropped), Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
-    } finally Storage.unpersistLocalCheckpoint(hashed)
-    val nearSurvivors = try {
+    } finally Storage.unpersistLocalCheckpoint(hashed))
+    val nearSurvivors = debugTime("neardup stage")(try {
       // near-dup stage: pairs touching the shard, vs index ∪ shard
       // (eager, output-sized — released below)
       val pairs = MinHashIndex.probePairs(
         spark, store(path, "neardup"), exactSurvivors, threshold)
       try dropPaired(exactSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
-    } finally Storage.unpersistLocalCheckpoint(exactSurvivors)
+    } finally Storage.unpersistLocalCheckpoint(exactSurvivors))
     // perceptual stage (when on): the same drop law over the hamming
     // ≤ 3 pairs touching the shard — the signature probe is o(index)
     // and runs BEFORE the (embedding-heavy) semantic stage
     val percSurvivors =
       if (!hasPerceptual(spark, path)) nearSurvivors
-      else try {
+      else debugTime("perceptual stage")(try {
         val pairs = HammingIndex.probePairs(
           spark, store(path, "perceptual"),
           nearSurvivors.select(col("doc_id"),
@@ -299,9 +309,9 @@ object Admission {
           maxHamming = 3, maxBucket = perceptualMaxBucket)
         try dropPaired(nearSurvivors, pairs)
         finally Storage.unpersistLocalCheckpoint(pairs)
-      } finally Storage.unpersistLocalCheckpoint(nearSurvivors)
+      } finally Storage.unpersistLocalCheckpoint(nearSurvivors))
     if (!hasSemantic(spark, path)) percSurvivors
-    else try {
+    else debugTime("semantic stage")(try {
       // semantic stage: same drop law over the same-inverted-list
       // cosine pairs vs the indexed embeddings ∪ the surviving shard.
       // Compressed tier: ADC shortlist over the PQ codes, exact
@@ -322,7 +332,7 @@ object Admission {
           semanticThreshold, semanticMaxList)
       try dropPaired(percSurvivors, pairs)
       finally Storage.unpersistLocalCheckpoint(pairs)
-    } finally Storage.unpersistLocalCheckpoint(percSurvivors)
+    } finally Storage.unpersistLocalCheckpoint(percSurvivors))
   }
 
   /** Admit one epoch: decide (or, on replay, re-read the committed
@@ -339,13 +349,13 @@ object Admission {
     // fail fast on a loop that was never [[init]]ed — appendEpoch
     // itself would happily commit into a half-existing store
     LsmSegments.current(spark, admittedPath)
-    LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
+    debugTime("wal commit")(LsmSegments.appendEpoch(spark, admittedPath, epoch) { p =>
       val admitted = decide(
         spark, path, shard, threshold, semanticThreshold,
         semanticMaxList, semanticShortlist, perceptualMaxBucket)
       try admitted.write.mode("overwrite").parquet(p)
       finally Storage.unpersistLocalCheckpoint(admitted)
-    }
+    })
     val admitted = spark.read.parquet(s"$admittedPath/deltas/$epoch")
     // the per-store index appends are mutually independent (disjoint
     // store dirs, each individually idempotent and marker-guarded; the
@@ -375,7 +385,7 @@ object Admission {
         appends += (() => IvfIndex.appendEpoch(
           spark, store(path, "semantic"), epoch, vecs))
     }
-    runConcurrently(appends.result())
+    debugTime("index appends")(runConcurrently(appends.result()))
     admitted
   }
 

@@ -357,50 +357,101 @@ object Dedup {
     * instead of growing by one cached relation per round. Only the
     * returned label frame stays cached — localCheckpoint truncates
     * lineage, so the result's blocks must outlive the call. */
+  /** Label-state row threshold under which the CC rounds run the
+    * broadcast plan (labels broadcast to the pre-partitioned edge
+    * relation — ZERO per-round exchanges) instead of the shuffle plan.
+    * 2M (long, long) labels build a ~32 MB hash relation — far under
+    * the broadcast cap; graphs past it take the shuffle path whose
+    * per-round traffic is O(V) label rows. Parameterise with
+    * `spark.graft.cc.broadcastLabelRows` (scale knob, not a local-mode
+    * constant: the REGIME is picked by the measured label count). */
+  private def ccBroadcastLabelRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.cc.broadcastLabelRows")
+      .map(_.toLong).getOrElse(2000000L)
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // both directions in ONE pass (a unionAll of two projections
-    // would re-run the upstream pair generation per branch), hash-
-    // partitioned on src and PERSISTED — InMemoryRelation keeps the
-    // layout (a checkpoint's LogicalRDD loses it under AQE), so every
-    // propagation round joins the edge relation with NO re-exchange;
-    // only the |V|-row label state moves. Same fixed-relation
-    // rationale as Graph.pageRank.
-    val edges = pairs
+    // would re-run the upstream pair generation per branch) into a
+    // PERSISTED raw relation — the upstream pair generation is read
+    // exactly once no matter which round plan runs below.
+    val raw = pairs
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = raw.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // |V| picks the round plan: counting the checkpointed labels costs
+    // what the old isEmpty check cost and buys the regime decision
+    val nV = labels.count()
+    val smallGraph = nV <= ccBroadcastLabelRows(pairs)
+    // hash-partitioned and PERSISTED — InMemoryRelation keeps the
+    // layout (a checkpoint's LogicalRDD loses it under AQE), so every
+    // propagation round reads the edge relation with NO re-exchange.
+    // The partition key FOLLOWS the round plan: the broadcast plan
+    // aggregates on dst (its only clustering requirement — everything
+    // else is a broadcast join), the shuffle plan joins on src.
+    val edges = raw
+      .repartition(col(if (smallGraph) "dst" else "src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
-    var converged = labels.isEmpty
+    var converged = nV == 0L
     try {
       while (!converged && it < maxIter) {
-        // each doc contributes exactly one row from the labels branch, so
-        // min(prev) recovers its previous label through the aggregation —
-        // the convergence test then reads straight off the checkpointed
-        // result instead of costing a join+shuffle of its own per round
-        val propagated = edges
-          .join(labels.hint("shuffle_hash"), edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster_id"),
-            lit(null).cast("long").as("prev"))
-          .unionAll(labels.select(
-            col("doc_id"), col("cluster_id"), col("cluster_id").as("prev")))
-          .groupBy("doc_id").agg(
-            min("cluster_id").as("cluster_id"), min("prev").as("prev"))
-        // pointer jump: follow my label to ITS label (labels are doc ids,
-        // so every label row exists in the labels relation)
-        val next = propagated
-          .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
-            propagated("cluster_id") === col("p_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
-              .as("cluster_id"),
-            col("prev"))
-          .localCheckpoint(true)
+        val next = (if (smallGraph) {
+          // BROADCAST round plan (guide §3.1: broadcast the side that
+          // fits): the |V|-row label state ships to the executors and
+          // the round is ONE stage over the dst-partitioned edges —
+          // in-neighbor min (partial+final agg with no exchange), own
+          // label merge, pointer jump, all via broadcast joins. Every
+          // node appears as a dst (both directions were emitted), so
+          // the aggregation covers the full label domain.
+          val inMin = edges
+            .join(broadcast(labels), edges("src") === labels("doc_id"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min("cluster_id").as("nbr_min"))
+          val own = inMin
+            .join(broadcast(labels.select(col("doc_id").as("o_id"),
+              col("cluster_id").as("own"))), col("doc_id") === col("o_id"))
+            .select(col("doc_id"),
+              least(col("nbr_min"), col("own")).as("cluster_id"),
+              col("own").as("prev"))
+          own
+            .join(broadcast(labels.select(col("doc_id").as("p_id"),
+              col("cluster_id").as("p_label"))),
+              own("cluster_id") === col("p_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+                .as("cluster_id"),
+              col("prev"))
+        } else {
+          // SHUFFLE round plan (the 100 TB regime): only the |V|-row
+          // label state moves; the edge relation streams through the
+          // shuffle_hash join with no re-exchange. Each doc
+          // contributes exactly one row from the labels branch, so
+          // min(prev) recovers its previous label through the
+          // aggregation — the convergence test then reads straight
+          // off the checkpointed result.
+          val propagated = edges
+            .join(labels.hint("shuffle_hash"), edges("src") === labels("doc_id"))
+            .select(col("dst").as("doc_id"), col("cluster_id"),
+              lit(null).cast("long").as("prev"))
+            .unionAll(labels.select(
+              col("doc_id"), col("cluster_id"), col("cluster_id").as("prev")))
+            .groupBy("doc_id").agg(
+              min("cluster_id").as("cluster_id"), min("prev").as("prev"))
+          // pointer jump: follow my label to ITS label (labels are doc
+          // ids, so every label row exists in the labels relation)
+          propagated
+            .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")),
+              propagated("cluster_id") === col("p_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+                .as("cluster_id"),
+              col("prev"))
+        }).localCheckpoint(true)
         converged = next.where(col("cluster_id") =!= col("prev")).isEmpty
         // `next` is eagerly materialized and the convergence check has
         // run — nothing references the superseded round's blocks anymore
@@ -415,11 +466,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
       labels
     } finally {
-      // success or failure, the edge relation is never needed again;
+      // success or failure, the edge relations are never needed again;
       // on failure (non-convergence or a mid-loop job error) the last
       // round's labels must be released too — a caller that catches
       // and retries with a larger budget must not strand blocks
       edges.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
       if (!converged) Storage.unpersistLocalCheckpoint(labels)
     }
   }
